@@ -1,0 +1,131 @@
+"""Profile aggregation + enrichment joins (SURVEY.md §2.3 J1-J3, §2.4 A1-A3).
+
+The reference computes per-customer / per-merchant 90-day profiles
+with N+1 per-record SQL point lookups (python_scoring/app.py:116-151
+— 3-4 MySQL round-trips per transaction). The engine-native form is a
+grouped aggregation over the history table joined back to the fact
+rows — one shuffle for the aggregation, then a broadcast hash join
+(the profile side is keys × a few columns; tiny relative to facts at
+every scale, so it always broadcasts and never reshuffles the facts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions.timefn import lookback_filter
+
+# The reference serves COUNT(*)/90.0 as "frequency per day"
+# (python_scoring/app.py:122).
+PROFILE_WINDOW_DAYS = 90
+
+
+def customer_profile(
+    history: DataFrame,
+    key: str = "customer_id",
+    amount: str = "amount",
+    ts: str = "timestamp",
+    anchor: str | None = None,
+    days: int = PROFILE_WINDOW_DAYS,
+) -> DataFrame:
+    """A1 — per-customer avg amount + per-day frequency over the
+    lookback window (python_scoring/app.py:121-128).
+
+    ``anchor=None`` reproduces the reference's ``NOW()`` semantics;
+    tests pass a pinned anchor for determinism (W2).
+    """
+    if anchor is not None:
+        history = history.filter(lookback_filter(ts, anchor, days))
+    else:
+        history = history.filter(
+            F.col(ts) >= F.current_timestamp() - F.expr(f"INTERVAL {days} DAYS")
+        )
+    return history.groupBy(key).agg(
+        F.avg(amount).alias("cust_avg_amount"),
+        (F.count(F.lit(1)) / F.lit(float(days))).alias("cust_txn_count"),
+    )
+
+
+def merchant_profile(
+    history: DataFrame,
+    key: str = "merchant_id",
+    amount: str = "amount",
+    ts: str = "timestamp",
+    anchor: str | None = None,
+    days: int = PROFILE_WINDOW_DAYS,
+) -> DataFrame:
+    """A2 — per-merchant avg amount over the lookback window
+    (python_scoring/app.py:131-137)."""
+    if anchor is not None:
+        history = history.filter(lookback_filter(ts, anchor, days))
+    else:
+        history = history.filter(
+            F.col(ts) >= F.current_timestamp() - F.expr(f"INTERVAL {days} DAYS")
+        )
+    return history.groupBy(key).agg(F.avg(amount).alias("merch_avg_amount"))
+
+
+def with_profiles(
+    tx: DataFrame,
+    cust_profile: DataFrame,
+    merch_profile: DataFrame,
+    cust_key: str = "customer_id",
+    merch_key: str = "merchant_id",
+) -> DataFrame:
+    """J1 + J2 — left-join both profiles onto the fact rows, defaulting
+    absent profiles to 0.0 (python_scoring/app.py:127-137 fallback).
+
+    Profiles are explicitly broadcast: they are bounded by key
+    cardinality, facts are not.
+    """
+    out = tx.join(F.broadcast(cust_profile), on=cust_key, how="left").join(
+        F.broadcast(merch_profile), on=merch_key, how="left"
+    )
+    return out.na.fill(
+        0.0, subset=["cust_avg_amount", "cust_txn_count", "merch_avg_amount"]
+    )
+
+
+def with_window_profiles(
+    tx: DataFrame,
+    cust_key: str = "customer_id",
+    merch_key: str = "merchant_id",
+    amount: str = "amount",
+) -> DataFrame:
+    """J3/A3 — the training path's pandas
+    ``groupby(key)[amount].transform('mean'/'count')`` (train.py:47-53):
+    every row annotated with its whole-group aggregate. Window form —
+    one shuffle per partition key, no join."""
+    cw = Window.partitionBy(cust_key)
+    mw = Window.partitionBy(merch_key)
+    return (
+        tx.withColumn("cust_avg_amount", F.avg(amount).over(cw))
+        .withColumn("cust_txn_count", F.count(F.lit(1)).over(cw).cast("double"))
+        .withColumn("merch_avg_amount", F.avg(amount).over(mw))
+    )
+
+
+def profile_asof(
+    tx: DataFrame,
+    key: str = "customer_id",
+    amount: str = "amount",
+    ts: str = "timestamp",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """The as-of / point-in-time profile (SURVEY.md §2.3 note): each
+    row enriched with the running mean/count of *strictly earlier*
+    events for the same key — the semantically correct generalization
+    of the reference's NOW()-anchored lookup, and the leakage-free form
+    for training-feature generation.
+
+    Rows with no prior history default to 0.0 (same fallback as J1).
+    """
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return tx.withColumn(
+        "prior_avg_amount", F.coalesce(F.avg(amount).over(w), F.lit(0.0))
+    ).withColumn("prior_txn_count", F.count(F.lit(1)).over(w).cast("double"))

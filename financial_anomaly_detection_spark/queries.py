@@ -1,0 +1,1051 @@
+"""Named query registry — the engine's public query corpus.
+
+Every operator from SURVEY.md §2 is exercised by at least one named
+query here. Each entry carries:
+
+  * ``fn(spark, sf_dir) -> DataFrame`` — the Spark-first implementation
+    (DataFrame API, declarative, no UDFs in the relational spine);
+  * ``oracle`` — an equivalent ANSI-SQL string DuckDB runs on the same
+    parquet tables (the driver's differential-correctness gate), or
+    ``None`` for genuinely non-SQL-expressible ops (ML scores, LSH),
+    which get a rows-only check.
+
+Hash-match discipline (the driver compares order-insensitive value
+hashes, so floats must be *bit-identical*, not merely close):
+
+  * Money-like sums are computed in DECIMAL on both engines (exact),
+    then cast to double — the nearest-double of the same rational is
+    identical bits. These need no rounding at all.
+  * Averages/ratios divide a bit-identical double by a count — the
+    quotient is bit-identical — then apply ``sround`` (floor-based
+    half-up rounding). Plain ROUND is banned: Spark rounds the decimal
+    string HALF_UP while DuckDB rounds the raw double, and 2-decimal
+    money data lands quotients exactly on boundaries constantly.
+  * Integer-ish outputs are CAST to BIGINT on both sides; timestamps
+    are emitted as formatted strings.
+
+The events table is the engine's transaction-stream analog
+(user_id ~ customer_id, event_type ~ channel, value ~ amount,
+props ~ JSON payload). Rule thresholds are scaled to the events value
+distribution (median ≈ 35, max ≈ 490) — they are env-tunable in the
+reference too (python_scoring/app.py:22-24).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from .functions.scoring import (
+    deviation_ratio,
+    fuse_scores_orchestrator,
+    high_amount_override,
+    risk_level,
+    rule_flags,
+    rule_score,
+)
+from .functions.timefn import dow_pandas, lookback_filter
+from .functions.vectorfn import cosine_similarity, dot, l2_norm
+from .sources.readers import load_table
+
+# Deterministic replay anchor (W2): the reference uses NOW(); events
+# span 2024-01-01..2024-01-30, so this anchor sees all of them in a
+# 90-day lookback, and the 7-day variant exercises the window bounds.
+ANCHOR = "2024-02-01 00:00:00"
+TIGHT_ANCHOR = "2024-01-20 00:00:00"
+
+# Rule constants scaled to the events value distribution.
+EV_LARGE_AMOUNT = 150.0
+EV_HIGH_RISK_AMOUNT = 300.0
+
+# event_type -> channel / props.k -> location mappings so the
+# reference's rule semantics (card + unusual location) are exercisable
+# on the events table. Purely deterministic projections.
+_CHANNEL_CASE = (
+    "CASE event_type WHEN 'purchase' THEN 'card' WHEN 'click' THEN 'pos' "
+    "WHEN 'view' THEN 'mobile_money' ELSE 'bank_transfer' END"
+)
+_LOCATIONS = ["Harare", "Bulawayo", "Mutare", "Victoria Falls", "Marondera", "Gweru"]
+
+
+# --- bit-exact float discipline helpers -----------------------------------
+
+
+def sround(col: Column, n: int) -> Column:
+    """Stable half-up rounding: floor(x * 10^n + 0.5) / 10^n.
+
+    Pure double arithmetic, so it is bit-identical across engines as
+    long as the *input* is bit-identical (decimal-exact sums divided by
+    counts). Spark's own ROUND is not: it rounds the shortest decimal
+    repr HALF_UP, DuckDB rounds the raw double, and they disagree on
+    every exact boundary.
+    """
+    p = float(10**n)
+    return F.floor(col * F.lit(p) + F.lit(0.5)) / F.lit(p)
+
+
+def sround_sql(expr: str, n: int) -> str:
+    p = float(10**n)
+    return f"floor(({expr}) * {p} + 0.5) / {p}"
+
+
+def dec(col: Column | str, prec: int = 18, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+def money_avg(col: Column | str, n: int = 4) -> Column:
+    """Exact decimal sum -> double -> divide by count -> stable round."""
+    return sround(F.sum(dec(col)).cast("double") / F.count(F.lit(1)), n)
+
+
+def money_avg_sql(col: str, n: int = 4) -> str:
+    return sround_sql(
+        f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)", n
+    )
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    description: str
+    tags: list[str] = field(default_factory=list)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str], description: str, tags: list[str] | None = None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, description=description, tags=tags or [])
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Scans / projections / filters (S1, P1-P7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_scan_filter_project",
+    oracle="""
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(user_id AS BIGINT) AS user_id,
+               event_type,
+               value
+        FROM events
+        WHERE value >= 0 AND ts IS NOT NULL AND event_type IN ('purchase', 'click')
+    """,
+    description="P1-P4: scan -> predicate filter -> projection; filters and "
+    "pruned columns reach the parquet scan (PushedFilters).",
+    tags=["scan", "filter", "project"],
+)
+def q_events_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("value") >= 0)
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isin("purchase", "click")
+    ).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        "value",
+    )
+
+
+@register(
+    "time_features_extract",
+    oracle="""
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(year(ts) AS BIGINT) AS year,
+               CAST(month(ts) AS BIGINT) AS month,
+               CAST(isodow(ts) - 1 AS BIGINT) AS day_of_week,
+               CAST(hour(ts) AS BIGINT) AS hour
+        FROM events
+    """,
+    description="F1-F3: time-feature projection with the pandas day-of-week "
+    "convention (Mon=0..Sun=6) — the reference's train.py:40-43.",
+    tags=["functions", "time"],
+)
+def q_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").cast("long"),
+        F.year("ts").cast("long").alias("year"),
+        F.month("ts").cast("long").alias("month"),
+        dow_pandas("ts").cast("long").alias("day_of_week"),
+        F.hour("ts").cast("long").alias("hour"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Profile aggregations + joins (A1-A3, J1-J3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_profile_90d",
+    oracle=f"""
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               {money_avg_sql('value')} AS cust_avg_amount,
+               {sround_sql('COUNT(*) / 90.0', 6)} AS cust_txn_count
+        FROM events
+        WHERE ts >= TIMESTAMP '{ANCHOR}' - INTERVAL 90 DAY
+          AND ts <  TIMESTAMP '{ANCHOR}'
+        GROUP BY user_id
+    """,
+    description="A1/S2: per-customer 90-day avg + per-day frequency "
+    "(python_scoring/app.py:121-128) with a pinned anchor instead of NOW().",
+    tags=["aggregate", "profile"],
+)
+def q_customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(lookback_filter("ts", ANCHOR, 90))
+        .groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(
+            money_avg("value").alias("cust_avg_amount"),
+            sround(F.count(F.lit(1)) / F.lit(90.0), 6).alias("cust_txn_count"),
+        )
+    )
+
+
+@register(
+    "merchant_profile_90d",
+    oracle=f"""
+        SELECT event_type,
+               {money_avg_sql('value')} AS merch_avg_amount
+        FROM events
+        WHERE ts >= TIMESTAMP '{ANCHOR}' - INTERVAL 90 DAY
+          AND ts <  TIMESTAMP '{ANCHOR}'
+        GROUP BY event_type
+    """,
+    description="A2/S3: per-merchant(-analog) avg over the lookback window "
+    "(python_scoring/app.py:131-137).",
+    tags=["aggregate", "profile"],
+)
+def q_merchant_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(lookback_filter("ts", ANCHOR, 90))
+        .groupBy("event_type")
+        .agg(money_avg("value").alias("merch_avg_amount"))
+    )
+
+
+@register(
+    "profile_window_7d",
+    oracle=f"""
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               {money_avg_sql('value')} AS avg_value,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        WHERE ts >= TIMESTAMP '{TIGHT_ANCHOR}' - INTERVAL 7 DAY
+          AND ts <  TIMESTAMP '{TIGHT_ANCHOR}'
+        GROUP BY user_id
+    """,
+    description="P8/W3: the rolling-lookback predicate with a window tight "
+    "enough to actually exclude rows on both sides.",
+    tags=["filter", "aggregate", "time"],
+)
+def q_profile_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(lookback_filter("ts", TIGHT_ANCHOR, 7))
+        .groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(
+            money_avg("value").alias("avg_value"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+
+
+# Exact (unrounded) profile CTE shared by the join queries: decimal sum
+# cast to double divided by count — bit-identical across engines.
+_CUST_PROFILE_CTE = f"""
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS cust_avg,
+               COUNT(*) / 90.0 AS cust_freq
+        FROM events
+        WHERE ts >= TIMESTAMP '{ANCHOR}' - INTERVAL 90 DAY
+          AND ts <  TIMESTAMP '{ANCHOR}'
+        GROUP BY user_id
+"""
+
+
+def _exact_profile(ev: DataFrame, key: str) -> DataFrame:
+    """Anchored profile with a bit-exact avg (decimal sum / count)."""
+    return (
+        ev.filter(lookback_filter("ts", ANCHOR, 90))
+        .groupBy(key)
+        .agg(
+            (F.sum(dec("value")).cast("double") / F.count(F.lit(1))).alias("cust_avg"),
+            (F.count(F.lit(1)) / F.lit(90.0)).alias("cust_freq"),
+        )
+    )
+
+
+@register(
+    "profile_join_deviation",
+    oracle=f"""
+        WITH cust AS ({_CUST_PROFILE_CTE}),
+        merch AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS merch_avg
+            FROM events
+            WHERE ts >= TIMESTAMP '{ANCHOR}' - INTERVAL 90 DAY
+              AND ts <  TIMESTAMP '{ANCHOR}'
+            GROUP BY event_type
+        )
+        SELECT CAST(e.event_id AS BIGINT) AS event_id,
+               CAST(e.user_id AS BIGINT) AS user_id,
+               e.event_type,
+               e.value,
+               {sround_sql('COALESCE(c.cust_avg, 0.0)', 4)} AS cust_avg_amount,
+               {sround_sql('COALESCE(c.cust_freq, 0.0)', 6)} AS cust_txn_count,
+               {sround_sql('COALESCE(m.merch_avg, 0.0)', 4)} AS merch_avg_amount,
+               {sround_sql('''CASE WHEN COALESCE(c.cust_avg, 0.0) > 0
+                          THEN (e.value - c.cust_avg) / (c.cust_avg + 1e-9)
+                          ELSE 0.0 END''', 4)} AS deviation_score
+        FROM events e
+        LEFT JOIN cust c ON e.user_id = c.user_id
+        LEFT JOIN merch m ON e.event_type = m.event_type
+    """,
+    description="J1+J2+F7 (flagship spine): facts left-joined to both "
+    "broadcast profile dims, zero-defaulted, with the deviation ratio — the "
+    "join-based replacement for the reference's N+1 point lookups "
+    "(python_scoring/app.py:116-151).",
+    tags=["join", "broadcast", "profile", "flagship"],
+)
+def q_profile_join_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = _exact_profile(ev, "user_id")
+    merch = (
+        ev.filter(lookback_filter("ts", ANCHOR, 90))
+        .groupBy("event_type")
+        .agg((F.sum(dec("value")).cast("double") / F.count(F.lit(1))).alias("merch_avg"))
+    )
+    joined = (
+        ev.join(F.broadcast(cust), "user_id", "left")
+        .join(F.broadcast(merch), "event_type", "left")
+        .na.fill(0.0, subset=["cust_avg", "cust_freq", "merch_avg"])
+    )
+    return joined.select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        "event_type",
+        "value",
+        sround(F.col("cust_avg"), 4).alias("cust_avg_amount"),
+        sround(F.col("cust_freq"), 6).alias("cust_txn_count"),
+        sround(F.col("merch_avg"), 4).alias("merch_avg_amount"),
+        sround(deviation_ratio("value", "cust_avg"), 4).alias("deviation_score"),
+    )
+
+
+@register(
+    "window_transform_profile",
+    # Integer-cents window sums: exact in both engines regardless of
+    # accumulation order, so the derived avg is bit-identical.
+    oracle=f"""
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               {sround_sql('''SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                                  OVER (PARTITION BY user_id)
+                              / (100.0 * COUNT(*) OVER (PARTITION BY user_id))''', 4)}
+                   AS cust_avg_amount,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS cust_txn_count,
+               {sround_sql('''SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                                  OVER (PARTITION BY event_type)
+                              / (100.0 * COUNT(*) OVER (PARTITION BY event_type))''', 4)}
+                   AS merch_avg_amount
+        FROM events
+    """,
+    description="J3/A3: pandas groupby().transform('mean'/'count') "
+    "(train.py:47-53) as unbounded partition windows — no self-join.",
+    tags=["window", "profile"],
+)
+def q_window_transform_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cw = Window.partitionBy("user_id")
+    mw = Window.partitionBy("event_type")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return ev.select(
+        F.col("event_id").cast("long"),
+        sround(F.sum(cents).over(cw) / (F.lit(100.0) * F.count(F.lit(1)).over(cw)), 4).alias(
+            "cust_avg_amount"
+        ),
+        F.count(F.lit(1)).over(cw).cast("long").alias("cust_txn_count"),
+        sround(F.sum(cents).over(mw) / (F.lit(100.0) * F.count(F.lit(1)).over(mw)), 4).alias(
+            "merch_avg_amount"
+        ),
+    )
+
+
+@register(
+    "asof_profile",
+    oracle=f"""
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               COALESCE({sround_sql('''SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+                              / (100.0 * COUNT(*) OVER w)''', 4)}, 0.0) AS prior_avg_amount,
+               CAST(COUNT(*) OVER w AS BIGINT) AS prior_txn_count
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    """,
+    description="As-of / point-in-time profile (SURVEY.md §2.3 note): each "
+    "event enriched with the running stats of strictly-earlier events for "
+    "its key — the leakage-free generalization of the NOW()-anchored lookup.",
+    tags=["window", "asof", "profile"],
+)
+def q_asof_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    prior_avg = F.sum(cents).over(w) / (F.lit(100.0) * F.count(F.lit(1)).over(w))
+    return ev.select(
+        F.col("event_id").cast("long"),
+        F.coalesce(sround(prior_avg, 4), F.lit(0.0)).alias("prior_avg_amount"),
+        F.count(F.lit(1)).over(w).cast("long").alias("prior_txn_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rules / fusion / risk (F7-F14, A6, W6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rules_fusion_risk",
+    oracle=f"""
+        WITH cust AS ({_CUST_PROFILE_CTE}),
+        enriched AS (
+            SELECT e.event_id, e.value, hour(e.ts) AS hr,
+                   {_CHANNEL_CASE} AS channel,
+                   ['Harare','Bulawayo','Mutare','Victoria Falls','Marondera','Gweru']
+                       [(CAST(json_extract_string(e.props, '$.k') AS BIGINT) % 6) + 1] AS location,
+                   CASE WHEN COALESCE(c.cust_avg, 0.0) > 0
+                        THEN (e.value - c.cust_avg) / (c.cust_avg + 1e-9)
+                        ELSE 0.0 END AS dev
+            FROM events e LEFT JOIN cust c ON e.user_id = c.user_id
+        ), scored AS (
+            SELECT event_id, value, dev,
+                   LEAST(
+                       (CASE WHEN value > {EV_LARGE_AMOUNT} THEN 0.6 ELSE 0.0 END)
+                     + (CASE WHEN lower(channel) = 'card'
+                              AND lower(location) NOT IN ('harare','bulawayo')
+                         THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN hr < 5 THEN 0.2 ELSE 0.0 END), 1.0) AS rule_score_raw,
+                   concat_ws(',',
+                       CASE WHEN value > {EV_LARGE_AMOUNT} THEN 'large_amount' END,
+                       CASE WHEN lower(channel) = 'card'
+                             AND lower(location) NOT IN ('harare','bulawayo')
+                        THEN 'card_unusual_location' END,
+                       CASE WHEN hr < 5 THEN 'odd_hour' END) AS flags
+            FROM enriched
+        ), fused AS (
+            SELECT *,
+                   0.45 * rule_score_raw + 0.4 * 0.0
+                     + 0.15 * LEAST(GREATEST(ABS(dev), 0.0), 1.0) AS agg0
+            FROM scored
+        ), floored AS (
+            SELECT *,
+                   CASE WHEN rule_score_raw >= 0.6 AND agg0 < 0.4 THEN 0.5 ELSE agg0 END AS agg1
+            FROM fused
+        ), finalagg AS (
+            SELECT *,
+                   CASE WHEN value >= {EV_HIGH_RISK_AMOUNT}
+                        THEN GREATEST(agg1, 0.85) ELSE agg1 END AS agg2
+            FROM floored
+        )
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               {sround_sql('rule_score_raw', 4)} AS rule_score,
+               flags,
+               {sround_sql('dev', 4)} AS deviation_score,
+               {sround_sql('agg2', 4)} AS aggregated_score,
+               CASE WHEN agg2 >= 0.7 THEN 'High'
+                    WHEN agg2 >= 0.4 THEN 'Medium'
+                    ELSE 'Low' END AS risk_level
+        FROM finalagg
+    """,
+    description="F7-F13 + A6 + W6 end-to-end rule/fusion/risk tail as pure "
+    "Catalyst expressions (reference app.py:156-203, api/app.py:167-194); "
+    "model score takes the reference's 0.0 fallback placeholder "
+    "(api/utils.py:30-37). Thresholds rescaled to the events distribution.",
+    tags=["scoring", "rules", "fusion", "flagship"],
+)
+def q_rules_fusion_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = _exact_profile(ev, "user_id")
+    loc_array = F.array(*[F.lit(x) for x in _LOCATIONS])
+    enriched = (
+        ev.join(F.broadcast(cust), "user_id", "left")
+        .withColumn("hr", F.hour("ts"))
+        .withColumn("channel", F.expr(_CHANNEL_CASE))
+        .withColumn(
+            "location",
+            F.element_at(
+                loc_array,
+                (F.get_json_object("props", "$.k").cast("long") % 6 + 1).cast("int"),
+            ),
+        )
+        .withColumn("dev", deviation_ratio("value", F.coalesce("cust_avg", F.lit(0.0))))
+    )
+    scored = enriched.withColumn(
+        "rule_score_raw",
+        rule_score("value", "channel", "location", "hr", large_amount_t=EV_LARGE_AMOUNT),
+    ).withColumn(
+        "flags",
+        F.array_join(
+            rule_flags("value", "channel", "location", "hr", large_amount_t=EV_LARGE_AMOUNT), ","
+        ),
+    )
+    fused = scored.withColumn(
+        "agg1", fuse_scores_orchestrator("rule_score_raw", F.lit(0.0), "dev")
+    ).withColumn("agg2", high_amount_override("agg1", "value", threshold=EV_HIGH_RISK_AMOUNT))
+    return fused.select(
+        F.col("event_id").cast("long"),
+        sround(F.col("rule_score_raw"), 4).alias("rule_score"),
+        "flags",
+        sround(F.col("dev"), 4).alias("deviation_score"),
+        sround(F.col("agg2"), 4).alias("aggregated_score"),
+        risk_level("agg2").alias("risk_level"),
+    )
+
+
+@register(
+    "percentile_thresholds",
+    # Percentile interpolates between two order statistics; computing it
+    # over integer cents keeps lo/hi exact so the linear interpolation
+    # is bit-identical across engines.
+    oracle=f"""
+        SELECT event_type,
+               {sround_sql("quantile_cont(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.975) / 100.0", 6)} AS p975,
+               {sround_sql("quantile_cont(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.5) / 100.0", 6)} AS p50,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    description="A4/M9: exact linear-interpolation percentile per group — "
+    "the AE threshold calibration (train.py:86-88). percentile_approx is the "
+    "documented 100 TB substitute.",
+    tags=["aggregate", "percentile"],
+)
+def q_percentile_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+    return ev.groupBy("event_type").agg(
+        sround(F.expr(f"percentile({cents}, 0.975)") / 100.0, 6).alias("p975"),
+        sround(F.expr(f"percentile({cents}, 0.5)") / 100.0, 6).alias("p50"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage on the TPC-H-ish tables (joins, aggs, sorts, set ops)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    # All measures in exact DECIMAL; the final cast to double is
+    # bit-identical, so sums need no rounding at all.
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(1 - l_discount AS DECIMAL(12,2))
+                        * CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
+               {sround_sql("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)", 4)} AS avg_qty,
+               {sround_sql("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)", 4)} AS avg_price,
+               {sround_sql("CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)", 6)} AS avg_disc,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1 shape: scan-heavy grouped aggregation with derived "
+    "measures in exact decimal; partial (map-side) aggregation + AQE coalesce.",
+    tags=["aggregate", "tpch"],
+)
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = dec("l_quantity", 12, 2)
+    price = dec("l_extendedprice", 12, 2)
+    one_minus_disc = dec(F.lit(1) - F.col("l_discount"), 12, 2)
+    one_plus_tax = dec(F.lit(1) + F.col("l_tax"), 12, 2)
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * one_minus_disc).cast("double").alias("sum_disc_price"),
+            F.sum(price * one_minus_disc * one_plus_tax).cast("double").alias("sum_charge"),
+            sround(F.sum(qty).cast("double") / cnt, 4).alias("avg_qty"),
+            sround(F.sum(price).cast("double") / cnt, 4).alias("avg_price"),
+            sround(F.sum(dec("l_discount", 12, 2)).cast("double") / cnt, 6).alias("avg_disc"),
+            cnt.cast("long").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+        SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * CAST(1 - l.l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    description="TPC-H Q3 shape: 3-way join, grouped revenue, deterministic "
+    "top-10 (revenue desc, orderkey tiebreak). Customer dim broadcasts.",
+    tags=["join", "topk", "tpch"],
+)
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    revenue = dec("l_extendedprice", 12, 2) * dec(F.lit(1) - F.col("l_discount"), 12, 2)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            F.col("l_orderkey").cast("long"),
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+    )
+
+
+@register(
+    "q5_region_volume",
+    oracle="""
+        SELECT n.n_name,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * CAST(1 - l.l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n.n_name
+    """,
+    description="TPC-H Q5 shape: 6-table star join; all dims broadcast, the "
+    "only shuffle is lineitem->orders and the final group-by.",
+    tags=["join", "broadcast", "tpch"],
+)
+def q_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    revenue = dec("l_extendedprice", 12, 2) * dec(F.lit(1) - F.col("l_discount"), 12, 2)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    description="Left-anti join (available-but-unexercised in the reference, "
+    "SURVEY.md §2.5): customers with no orders.",
+    tags=["join", "anti"],
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").cast("long"), "c_mktsegment"
+    )
+
+
+@register(
+    "set_ops_users",
+    oracle="""
+        SELECT CAST(user_id AS BIGINT) AS user_id FROM events WHERE event_type = 'purchase'
+        EXCEPT
+        SELECT CAST(user_id AS BIGINT) AS user_id FROM events WHERE event_type = 'error'
+    """,
+    description="Set ops (§2.5): purchasers who never hit an error — "
+    "EXCEPT (distinct) semantics.",
+    tags=["setop"],
+)
+def q_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("long").alias("user_id")
+    )
+    erroring = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").cast("long").alias("user_id")
+    )
+    # subtract == SQL EXCEPT (distinct); exceptAll would be the bag form.
+    return purchasers.subtract(erroring)
+
+
+@register(
+    "rank_windows",
+    oracle="""
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+               CAST(RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS value_rank,
+               COALESCE(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1.0) AS prev_value,
+               COALESCE(LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1.0) AS next_value
+        FROM events
+    """,
+    description="Ranking + offset windows (§2.5, engine-native extras): "
+    "row_number / rank / lag / lead per user ordered by event time.",
+    tags=["window", "rank"],
+)
+def q_rank_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    byval = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return ev.select(
+        F.col("event_id").cast("long"),
+        F.row_number().over(seq).cast("long").alias("rn"),
+        F.rank().over(byval).cast("long").alias("value_rank"),
+        F.coalesce(F.lag("value").over(seq), F.lit(-1.0)).alias("prev_value"),
+        F.coalesce(F.lead("value").over(seq), F.lit(-1.0)).alias("next_value"),
+    )
+
+
+@register(
+    "distinct_agg_users",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(DISTINCT CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_distinct_value
+        FROM events
+        GROUP BY event_type
+    """,
+    description="Distinct aggregation (§2.4 note): exact count-distinct and "
+    "sum-distinct per group. approx_count_distinct is the 100 TB variant "
+    "(exercised rows-only elsewhere).",
+    tags=["aggregate", "distinct"],
+)
+def q_distinct_agg_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum_distinct(dec("value")).cast("double").alias("sum_distinct_value"),
+    )
+
+
+@register(
+    "json_extract_props",
+    oracle=f"""
+        SELECT event_type,
+               {sround_sql("CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*)", 4)} AS avg_k,
+               CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        FROM events
+        GROUP BY event_type
+    """,
+    description="JSON payload extraction (engine extension, §1.2): "
+    "get_json_object over the events.props column + aggregation.",
+    tags=["json", "functions"],
+)
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        sround(F.sum(k).cast("double") / F.count(F.lit(1)), 4).alias("avg_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )
+
+
+@register(
+    "rollup_order_volume",
+    oracle="""
+        SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    description="ROLLUP grouping sets (§2.4 available-but-unexercised): "
+    "order volume by priority/status with subtotals and a grand total.",
+    tags=["aggregate", "rollup"],
+)
+def q_rollup_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.sum(dec("o_totalprice", 14, 2)).cast("double").alias("total"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            "total",
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text / documents (north-star extensions, §2.10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+        SELECT md5(text) AS text_hash,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    description="Exact dedup (§2.10): group by content hash, keep the lowest "
+    "doc_id. Hash-groupBy = one shuffle on a 16-byte key at any scale.",
+    tags=["dedup", "text"],
+)
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )
+
+
+@register(
+    "dedup_keep_first",
+    oracle="""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id
+        FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    """,
+    description="Exact dedup, keep-first-by-priority form (§2.10): "
+    "row_number over the content hash, rn=1 survivors.",
+    tags=["dedup", "window", "text"],
+)
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("doc_id").cast("long"))
+    )
+
+
+_DUCK_TOKENS = r"string_split_regex(trim(text), '\s+')"
+_CPT = sround_sql(f"length(text) * 1.0 / length({_DUCK_TOKENS})", 4)
+
+
+@register(
+    "text_quality_stats",
+    oracle=f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               lang,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+               CAST(length(list_distinct({_DUCK_TOKENS})) AS BIGINT) AS n_distinct_tokens,
+               {_CPT} AS chars_per_token
+        FROM documents
+        WHERE length(trim(text)) > 0
+    """,
+    description="Text quality scoring (§2.10): token counts, lexical "
+    "diversity, chars-per-token — whitespace tokenizer, all JVM-side.",
+    tags=["text", "quality"],
+)
+def q_text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.filter(F.length(F.trim("text")) > 0).select(
+        F.col("doc_id").cast("long"),
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        sround(F.length("text") * F.lit(1.0) / F.size(toks), 4).alias("chars_per_token"),
+    )
+
+
+_AVG_TOKENS = sround_sql(f"CAST(SUM(length({_DUCK_TOKENS})) AS DOUBLE) / COUNT(*)", 4)
+
+
+@register(
+    "lang_token_stats",
+    oracle=f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               {sround_sql("CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)", 4)} AS avg_chars,
+               {_AVG_TOKENS} AS avg_tokens
+        FROM documents
+        GROUP BY lang
+    """,
+    description="Language distribution + token counting rollup (§2.10): the "
+    "corpus-statistics pass of a training-data pipeline.",
+    tags=["text", "aggregate"],
+)
+def q_lang_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        sround(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias("avg_chars"),
+        sround(F.sum(F.size(toks)).cast("double") / F.count(F.lit(1)), 4).alias("avg_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embeddings / similarity search (north-star extensions, §2.10)
+# ---------------------------------------------------------------------------
+
+# Double-precision dot product in DuckDB SQL: list_zip + lambda with
+# explicit casts. Sequential left-to-right accumulation matches Spark's
+# F.aggregate bit-for-bit (verified).
+_DUCK_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+        pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_DUCK_DOT.format(a='q.embedding', b='c.embedding')}
+                   / (sqrt({_DUCK_DOT.format(a='q.embedding', b='q.embedding')})
+                    * sqrt({_DUCK_DOT.format(a='c.embedding', b='c.embedding')})) AS cos
+            FROM q, embeddings c
+            WHERE q.vec_id <> c.vec_id
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(neighbor_id AS BIGINT) AS neighbor_id,
+               {sround_sql('cos', 6)} AS cosine,
+               CAST(rn AS BIGINT) AS rn
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rn
+            FROM pairs
+        ) WHERE rn <= 10
+    """,
+    description="Brute-force cosine top-k (§2.10 similarity-search baseline): "
+    "query set broadcast against all candidates; dot product via zip_with/"
+    "aggregate higher-order functions — sequential double accumulation, "
+    "bit-identical to the DuckDB oracle. LSH variant is the scale path "
+    "(rows-only).",
+    tags=["similarity", "vector", "topk"],
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot("q_emb", "embedding") / (l2_norm("q_emb") * l2_norm("embedding"))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            F.col("query_id").cast("long"),
+            F.col("neighbor_id").cast("long"),
+            sround(F.col("cos"), 6).alias("cosine"),
+            F.col("rn").cast("long"),
+        )
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    # Norms are bit-identical scalars; quantize to 1e-6 before the group
+    # sum so accumulation order can't matter, then divide by count.
+    oracle=f"""
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sround_sql(
+                   "SUM(CAST(floor(sqrt(" + _DUCK_DOT.format(a='embedding', b='embedding')
+                   + ") * 1e6 + 0.5) AS BIGINT)) / (1e6 * COUNT(*))", 4)} AS avg_l2_norm,
+               CAST(MIN(length(embedding)) AS BIGINT) AS dim
+        FROM embeddings
+        GROUP BY label
+    """,
+    description="Vector-column statistics (§2.10): per-label L2-norm "
+    "average over the array<float> embedding column, JVM-side.",
+    tags=["vector", "aggregate"],
+)
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm_q = F.floor(l2_norm("embedding") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return emb.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        sround(F.sum(norm_q) / (F.lit(1e6) * F.count(F.lit(1))), 4).alias("avg_l2_norm"),
+        F.min(F.size("embedding")).cast("long").alias("dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public accessors (driver contract shape)
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}

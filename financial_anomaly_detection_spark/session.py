@@ -1,0 +1,79 @@
+"""SparkSession factory.
+
+Defaults are chosen for the 100 TB design target (AQE on, skew-join
+handling, partition coalescing) while remaining correct on
+``local[*]``. Every knob is a plain public Spark conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that must be in effect for the engine's plans to behave as
+# designed. All of these are runtime-settable SQL confs, so they can
+# also be applied to a session we didn't create (see ``configure``).
+RUNTIME_CONFS: dict[str, str] = {
+    # Deterministic time semantics: extracts (hour/year/...) follow the
+    # session zone; pin UTC so results match the DuckDB oracle and are
+    # reproducible across hosts.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime re-planning, partition coalescing, skew-join splits.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # The driver's testdata writes TIMESTAMP(NANOS) parquet, which the
+    # vectorized reader rejects; read as long and convert in the reader
+    # (sources.readers handles the ns -> timestamp conversion).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Arrow for every pandas_udf / toPandas boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply the engine's required runtime confs to an existing session.
+
+    Used when the hosting environment (driver harness, notebook) built
+    the session for us.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Non-settable in this deployment; plans fall back gracefully.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "financial-anomaly-detection-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for tests and the
+    bench harness; on a real cluster, pass ``None`` and submit with the
+    cluster's own master config.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Generous broadcast threshold: profile/dimension tables are tiny
+        # relative to the fact tables at every scale factor.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return configure(builder.getOrCreate())
