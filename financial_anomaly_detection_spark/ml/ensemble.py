@@ -1,0 +1,176 @@
+"""Anomaly ensemble (SURVEY.md §2.7 M12, §3.1-§3.2).
+
+Bundles the feature pipeline + the three anomaly scorers and produces
+the reference's ScoreOut row (python_scoring/app.py:90-98): the three
+model scores, rule score, fused aggregate (F8-F11) and risk bucket
+(F12). The fusion tail is pure Catalyst column math — only the three
+model kernels are (vectorized) pandas_udfs.
+
+Persistence (M12 / S6-S7): the MLlib feature pipeline saves as a
+standard ``PipelineModel`` directory; the custom model state
+(trees / reference set / components / thresholds) goes to a
+``model.npz`` + ``meta.json`` sidecar — the engine-native analog of the
+reference's joblib bundle + SavedModel (train.py:91-102).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+
+import numpy as np
+from pyspark.ml import PipelineModel
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.scoring import (
+    clip01,
+    fuse_scores,
+    high_amount_override,
+    inv_sigmoid,
+    risk_level,
+    rule_score,
+)
+from .features import build_feature_pipeline
+from .iforest import IsolationForestModel
+from .lof import LOFNoveltyModel
+from .reconstruction import ReconstructionScorer
+
+MODEL_VERSION = "spark-ensemble-v1"
+
+
+class AnomalyEnsemble:
+    def __init__(
+        self,
+        numeric_cols: list[str] | None = None,
+        categorical_cols: list[str] | None = None,
+        seed: int = 42,
+        rule_large_amount: float = 1000.0,
+        high_risk_amount: float = 10000.0,
+    ):
+        self.numeric_cols = numeric_cols
+        self.categorical_cols = categorical_cols
+        self.seed = seed
+        self.rule_large_amount = rule_large_amount
+        self.high_risk_amount = high_risk_amount
+        self.feature_model: PipelineModel | None = None
+        self.iforest = IsolationForestModel(seed=seed)
+        self.lof = LOFNoveltyModel(seed=seed)
+        self.recon = ReconstructionScorer()
+
+    # -- train (§3.2) ------------------------------------------------------
+
+    def fit(self, feature_df: DataFrame) -> "AnomalyEnsemble":
+        """feature_df must carry the 10 feature columns
+        (schemas.FEATURE_COLS shape)."""
+        pipeline = build_feature_pipeline(self.numeric_cols, self.categorical_cols)
+        self.feature_model = pipeline.fit(feature_df)
+        feats = self.feature_model.transform(feature_df)
+        # 80/20 split for threshold calibration (M11, seed=42 ≙ train.py:83)
+        train, val = feats.randomSplit([0.8, 0.2], seed=self.seed)
+        self.iforest.fit(train)
+        self.lof.fit(train)
+        self.recon.fit(val)  # threshold calibrated on the validation split (M9)
+        return self
+
+    # -- score (§3.1) ------------------------------------------------------
+
+    def transform(self, feature_df: DataFrame, id_col: str = "event_id") -> DataFrame:
+        """Full scoring plan: features -> 3 model scores -> rules ->
+        fusion -> risk bucket. Returns the ScoreOut shape."""
+        if self.feature_model is None:
+            raise RuntimeError("fit() first")
+        feats = self.feature_model.transform(feature_df)
+        scored = (
+            feats.withColumn("anomaly_score_iforest", self.iforest.decision_col(feats))
+            .withColumn("anomaly_score_lof", self.lof.decision_col(feats))
+            .withColumn("anomaly_score_ae", self.recon.score_col(feats))
+            .withColumn(
+                "rule_score",
+                rule_score(
+                    "amount", "channel", "location", "hour",
+                    large_amount_t=self.rule_large_amount,
+                ),
+            )
+        )
+        fused = F.round(
+            high_amount_override(
+                fuse_scores(
+                    "anomaly_score_iforest",
+                    "anomaly_score_lof",
+                    "anomaly_score_ae",
+                    "rule_score",
+                ),
+                "amount",
+                threshold=self.high_risk_amount,
+            ),
+            6,
+        )
+        return scored.select(
+            id_col,
+            F.round("anomaly_score_iforest", 6).alias("anomaly_score_iforest"),
+            F.round("anomaly_score_lof", 6).alias("anomaly_score_lof"),
+            F.round("anomaly_score_ae", 6).alias("anomaly_score_ae"),
+            F.round("rule_score", 6).alias("rule_score"),
+            fused.alias("aggregated_score"),
+            risk_level(fused).alias("risk_level"),
+            F.lit(MODEL_VERSION).alias("model_version"),
+        )
+
+    # -- persistence (M12) -------------------------------------------------
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        self.feature_model.write().overwrite().save(os.path.join(path, "feature_pipeline"))
+        with open(os.path.join(path, "trees.pkl"), "wb") as f:
+            pickle.dump(self.iforest.trees, f)
+        np.savez_compressed(
+            os.path.join(path, "model.npz"),
+            lof_X=self.lof.X_train,
+            lof_kdist=self.lof.kdist_train,
+            lof_lrd=self.lof.lrd_train,
+            recon_W=self.recon.components,
+            recon_mean=self.recon.mean,
+        )
+        meta = {
+            "model_version": MODEL_VERSION,
+            "seed": self.seed,
+            "rule_large_amount": self.rule_large_amount,
+            "high_risk_amount": self.high_risk_amount,
+            "iforest": {
+                "n_estimators": self.iforest.n_estimators,
+                "max_samples": self.iforest.max_samples,
+                "c_psi": self.iforest._c_psi,
+            },
+            "lof_n_neighbors": self.lof.n_neighbors,
+            "recon_k": self.recon.k,
+            "recon_threshold": self.recon.threshold,
+        }
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "AnomalyEnsemble":
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        self = cls(
+            seed=meta["seed"],
+            rule_large_amount=meta["rule_large_amount"],
+            high_risk_amount=meta["high_risk_amount"],
+        )
+        self.feature_model = PipelineModel.load(os.path.join(path, "feature_pipeline"))
+        with open(os.path.join(path, "trees.pkl"), "rb") as f:
+            self.iforest.trees = pickle.load(f)
+        self.iforest.n_estimators = meta["iforest"]["n_estimators"]
+        self.iforest.max_samples = meta["iforest"]["max_samples"]
+        self.iforest._c_psi = meta["iforest"]["c_psi"]
+        blobs = np.load(os.path.join(path, "model.npz"))
+        self.lof.X_train = blobs["lof_X"]
+        self.lof.kdist_train = blobs["lof_kdist"]
+        self.lof.lrd_train = blobs["lof_lrd"]
+        self.lof.n_neighbors = meta["lof_n_neighbors"]
+        self.recon.components = blobs["recon_W"]
+        self.recon.mean = blobs["recon_mean"]
+        self.recon.k = meta["recon_k"]
+        self.recon.threshold = meta["recon_threshold"]
+        return self

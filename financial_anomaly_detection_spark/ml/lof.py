@@ -1,0 +1,108 @@
+"""Local Outlier Factor, novelty mode (SURVEY.md §2.7 M6-M7).
+
+The reference fits ``LocalOutlierFactor(n_neighbors=20,
+contamination=0.01, novelty=True)`` (python_scoring/train.py:75-77) but
+its scoring path has a bug: ``score_lof`` returns the *training-set*
+scores regardless of input (model_wrapper.py:33-42). We implement the
+**intended** novelty semantics (Breunig et al., "LOF: Identifying
+Density-Based Local Outliers", SIGMOD 2000, public):
+
+  * **fit**: a bounded, seeded sample of the training features is
+    collected; k-distances and local reachability densities (lrd) of
+    the reference set are precomputed in numpy.
+  * **score**: the reference set (max_train × d floats) is broadcast;
+    each batch computes distances to it in one BLAS matmul inside an
+    Arrow ``pandas_udf`` — distributed, no shuffle.
+  * The exact-kNN form is O(batch × max_train); the documented 100 TB
+    path swaps the reference set for LSH buckets
+    (BucketedRandomProjectionLSH) with identical downstream math.
+
+Conventions: ``lof`` ≈ 1 for inliers, > 1 for outliers.
+``decision_function`` mirrors sklearn's shape (higher = more normal,
+~0 at the boundary): ``1.5 - lof``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from .iforest import IsolationForestModel
+
+_as_array = IsolationForestModel._as_array
+
+
+class LOFNoveltyModel:
+    def __init__(self, n_neighbors: int = 20, max_train: int = 5000, seed: int = 42):
+        self.n_neighbors = n_neighbors
+        self.max_train = max_train
+        self.seed = seed
+        self.X_train: np.ndarray | None = None
+        self.kdist_train: np.ndarray | None = None
+        self.lrd_train: np.ndarray | None = None
+
+    def fit(self, df: DataFrame, features_col: str = "features") -> "LOFNoveltyModel":
+        arr = _as_array(df, features_col)
+        total = df.count()
+        frac = min(1.0, (self.max_train * 1.2) / max(total, 1))
+        sample = df.select(arr.alias("_x"))
+        if frac < 1.0:
+            sample = sample.sample(fraction=frac, seed=self.seed)
+        X = np.array([r["_x"] for r in sample.limit(self.max_train).collect()], dtype=np.float64)
+        self.X_train = X
+        k = min(self.n_neighbors, len(X) - 1)
+
+        # pairwise distances within the reference set
+        d2 = self._sq_dists(X, X)
+        np.fill_diagonal(d2, np.inf)
+        dists = np.sqrt(np.maximum(d2, 0.0))
+        # k nearest neighbors of each training point
+        nn_idx = np.argpartition(dists, k - 1, axis=1)[:, :k]
+        nn_d = np.take_along_axis(dists, nn_idx, axis=1)
+        self.kdist_train = nn_d.max(axis=1)
+        # reach_dist_k(a, b) = max(kdist(b), d(a, b)); lrd = k / mean reach
+        reach = np.maximum(self.kdist_train[nn_idx], nn_d)
+        self.lrd_train = k / np.maximum(reach.mean(axis=1), 1e-12)
+        return self
+
+    @staticmethod
+    def _sq_dists(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        return (
+            (A * A).sum(axis=1)[:, None]
+            + (B * B).sum(axis=1)[None, :]
+            - 2.0 * (A @ B.T)
+        )
+
+    def lof_col(self, df: DataFrame, features_col: str = "features") -> Column:
+        """LOF of each row vs the training reference set (novelty)."""
+        if self.X_train is None:
+            raise RuntimeError("fit() first")
+        sc = df.sparkSession.sparkContext
+        b = sc.broadcast((self.X_train, self.kdist_train, self.lrd_train))
+        k = min(self.n_neighbors, len(self.X_train) - 1)
+
+        # Self-contained UDF (no references into this package — Python
+        # workers can't import it); distances inlined as one matmul.
+        @F.pandas_udf(T.DoubleType())
+        def _lof(batch: pd.Series) -> pd.Series:
+            Xt, kdist, lrd = b.value
+            X = np.stack(batch.to_numpy())
+            d2 = (
+                (X * X).sum(axis=1)[:, None]
+                + (Xt * Xt).sum(axis=1)[None, :]
+                - 2.0 * (X @ Xt.T)
+            )
+            dists = np.sqrt(np.maximum(d2, 0.0))
+            nn_idx = np.argpartition(dists, k - 1, axis=1)[:, :k]
+            nn_d = np.take_along_axis(dists, nn_idx, axis=1)
+            reach = np.maximum(kdist[nn_idx], nn_d)
+            lrd_x = k / np.maximum(reach.mean(axis=1), 1e-12)
+            lof = lrd[nn_idx].mean(axis=1) / np.maximum(lrd_x, 1e-12)
+            return pd.Series(lof)
+
+        return _lof(_as_array(df, features_col))
+
+    def decision_col(self, df: DataFrame, features_col: str = "features") -> Column:
+        """sklearn-shaped decision score (higher = more normal)."""
+        return F.lit(1.5) - self.lof_col(df, features_col)

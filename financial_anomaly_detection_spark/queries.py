@@ -1112,6 +1112,108 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ML scoring queries (§2.7) — rows-only checks: anomaly scores are not
+# SQL-expressible (driver contract allows omitting the oracle).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_iforest_embeddings",
+    oracle=None,
+    description="M4-M5: from-scratch Isolation Forest (Liu et al. 2008) — "
+    "driver-built trees on a bounded ψ-sample, broadcast + vectorized "
+    "pandas_udf scoring over the embedding vectors. Deterministic (seed 42).",
+    tags=["ml", "iforest"],
+)
+def q_ml_iforest_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ml.iforest import IsolationForestModel
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = IsolationForestModel(n_estimators=100, seed=42).fit(emb, "embedding")
+    return emb.select(
+        F.col("vec_id").cast("long"),
+        sround(model.score_col(emb, "embedding"), 6).alias("iforest_score"),
+    )
+
+
+@register(
+    "ml_lof_embeddings",
+    oracle=None,
+    description="M6-M7: LOF novelty scoring (Breunig et al. 2000) with the "
+    "intended input-dependent semantics (the reference's score_lof ignores "
+    "its input — model_wrapper.py:33-42, bug not replicated). Broadcast "
+    "reference set, BLAS-batch kNN in a pandas_udf.",
+    tags=["ml", "lof"],
+)
+def q_ml_lof_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ml.lof import LOFNoveltyModel
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = LOFNoveltyModel(n_neighbors=20, seed=42).fit(emb, "embedding")
+    return emb.select(
+        F.col("vec_id").cast("long"),
+        sround(model.lof_col(emb, "embedding"), 6).alias("lof"),
+    )
+
+
+@register(
+    "ml_reconstruction_embeddings",
+    oracle=None,
+    description="M8-M10: PCA reconstruction-error scorer (the linear-"
+    "autoencoder engine operator, SURVEY.md M8 option (a)): distributed "
+    "MLlib PCA fit, per-batch matmul scoring, P97.5 threshold (M9).",
+    tags=["ml", "reconstruction"],
+)
+def q_ml_reconstruction_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ml.reconstruction import ReconstructionScorer
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = ReconstructionScorer(k=8).fit(emb, "embedding")
+    return emb.select(
+        F.col("vec_id").cast("long"),
+        sround(model.mse_col(emb, "embedding"), 6).alias("reconstruction_mse"),
+        sround(model.score_col(emb, "embedding"), 6).alias("ae_score"),
+    )
+
+
+@register(
+    "ml_ensemble_scores",
+    oracle=None,
+    description="§3.1 end-to-end: events -> 10-col feature row (M1-M3 MLlib "
+    "pipeline) -> IForest + LOF + reconstruction scores -> rules -> fusion "
+    "(F8-F11) -> risk bucket (F12): the reference's POST /score as one plan.",
+    tags=["ml", "ensemble", "flagship"],
+)
+def q_ml_ensemble_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ml.ensemble import AnomalyEnsemble
+    from .ml.features import prepare_event_features
+
+    ev = load_table(spark, sf_dir, "events")
+    feature_df = prepare_event_features(ev)
+    ens = AnomalyEnsemble(
+        seed=42, rule_large_amount=EV_LARGE_AMOUNT, high_risk_amount=EV_HIGH_RISK_AMOUNT
+    )
+    ens.fit(feature_df)
+    return ens.transform(feature_df, id_col="event_id")
+
+
+@register(
+    "approx_distinct_users",
+    oracle=None,
+    description="approx_count_distinct (HLL++) — the 100 TB substitute for "
+    "exact count-distinct (see distinct_agg_users for the exact twin). "
+    "Rows-only: sketch estimates are engine-specific by design.",
+    tags=["aggregate", "approx"],
+)
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).cast("long").alias("approx_users"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Public accessors (driver contract shape)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,122 @@
+"""ML estimator tests (SURVEY.md §5.2 "ML sanity tests"): ranking
+quality on planted anomalies, determinism under seed, save/load
+roundtrip — not exact-value parity with sklearn (impossible without
+cloning its RNG; see SURVEY.md §7)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from financial_anomaly_detection_spark.ml.ensemble import AnomalyEnsemble
+from financial_anomaly_detection_spark.ml.features import prepare_event_features
+from financial_anomaly_detection_spark.ml.iforest import IsolationForestModel
+from financial_anomaly_detection_spark.ml.lof import LOFNoveltyModel
+from financial_anomaly_detection_spark.ml.reconstruction import ReconstructionScorer
+from financial_anomaly_detection_spark.sources.readers import load_table
+
+N_NORMAL, N_ANOM, DIM = 600, 6, 8
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Gaussian blob + far-out planted anomalies, as an array column."""
+    rng = np.random.default_rng(7)
+    normal = rng.normal(0.0, 1.0, size=(N_NORMAL, DIM))
+    anom = rng.normal(8.0, 0.5, size=(N_ANOM, DIM))
+    rows = [
+        (i, [float(x) for x in v], i >= N_NORMAL)
+        for i, v in enumerate(np.vstack([normal, anom]))
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("vec", T.ArrayType(T.DoubleType())),
+            T.StructField("is_anomaly", T.BooleanType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).cache()
+
+
+def _top_ids(df, score_col, n):
+    return {r["id"] for r in df.orderBy(F.desc(score_col)).limit(n).collect()}
+
+
+def test_iforest_ranks_planted_anomalies(spark, planted):
+    model = IsolationForestModel(n_estimators=100, seed=42).fit(planted, "vec")
+    scored = planted.withColumn("s", model.score_col(planted, "vec"))
+    top = _top_ids(scored, "s", N_ANOM)
+    assert top == set(range(N_NORMAL, N_NORMAL + N_ANOM))
+
+
+def test_iforest_deterministic(spark, planted):
+    m1 = IsolationForestModel(n_estimators=50, seed=42).fit(planted, "vec")
+    m2 = IsolationForestModel(n_estimators=50, seed=42).fit(planted, "vec")
+    s1 = [r["s"] for r in planted.withColumn("s", m1.score_col(planted, "vec")).orderBy("id").collect()]
+    s2 = [r["s"] for r in planted.withColumn("s", m2.score_col(planted, "vec")).orderBy("id").collect()]
+    assert s1 == s2
+
+
+def test_lof_ranks_planted_anomalies(spark, planted):
+    model = LOFNoveltyModel(n_neighbors=20, seed=42).fit(planted, "vec")
+    scored = planted.withColumn("s", model.lof_col(planted, "vec"))
+    top = _top_ids(scored, "s", N_ANOM)
+    assert top == set(range(N_NORMAL, N_NORMAL + N_ANOM))
+    # inliers sit near LOF ~= 1
+    med = scored.filter(~F.col("is_anomaly")).select(
+        F.expr("percentile(s, 0.5)").alias("m")
+    ).first()["m"]
+    assert 0.9 < med < 1.2
+
+
+def test_reconstruction_ranks_planted_anomalies(spark, planted):
+    # rank-2 structure + off-plane anomalies
+    rng = np.random.default_rng(11)
+    basis = rng.normal(size=(2, DIM))
+    coords = rng.normal(size=(N_NORMAL, 2))
+    normal = coords @ basis
+    anom = rng.normal(size=(N_ANOM, DIM)) * 6.0
+    rows = [
+        (i, [float(x) for x in v]) for i, v in enumerate(np.vstack([normal, anom]))
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    model = ReconstructionScorer(k=2).fit(df, "vec")
+    scored = df.withColumn("s", model.mse_col(df, "vec"))
+    top = _top_ids(scored, "s", N_ANOM)
+    assert top == set(range(N_NORMAL, N_NORMAL + N_ANOM))
+    assert model.threshold is not None and model.threshold >= 0
+
+
+def test_ensemble_end_to_end_and_roundtrip(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    features = prepare_event_features(ev)
+    ens = AnomalyEnsemble(seed=42, rule_large_amount=150.0, high_risk_amount=300.0)
+    ens.fit(features)
+    out = ens.transform(features).cache()
+    n = out.count()
+    assert n == ev.count()
+    row = out.first()
+    assert set(out.columns) == {
+        "event_id",
+        "anomaly_score_iforest",
+        "anomaly_score_lof",
+        "anomaly_score_ae",
+        "rule_score",
+        "aggregated_score",
+        "risk_level",
+        "model_version",
+    }
+    levels = {r["risk_level"] for r in out.select("risk_level").distinct().collect()}
+    assert levels <= {"Low", "Medium", "High"}
+    # ae score is clip01'd (F9)
+    mm = out.select(F.min("anomaly_score_ae"), F.max("anomaly_score_ae")).first()
+    assert mm[0] >= 0.0 and mm[1] <= 1.0
+
+    # save/load roundtrip reproduces scores exactly (M12/S6/S7)
+    path = str(tmp_path / "bundle")
+    ens.save(path)
+    loaded = AnomalyEnsemble.load(spark, path)
+    a = out.orderBy("event_id").collect()
+    b = loaded.transform(features).orderBy("event_id").collect()
+    assert a == b
