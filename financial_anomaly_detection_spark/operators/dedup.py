@@ -1,0 +1,193 @@
+"""Deduplication operators (north-star extension, SURVEY.md §2.10).
+
+Four tiers, from exact to fuzzy, all shaped for 100 TB:
+
+  * ``exact_dedup`` — hash-groupBy on a 16-byte content digest: one
+    shuffle keyed by the digest, never by the document body.
+  * ``ngram_jaccard_pairs`` — exact near-dup pairs via shingle
+    explode + self-join; the *oracle-checkable* ground truth the
+    approximate tiers are validated against. Quadratic in the worst
+    case — use on samples / as the verification tier.
+  * ``minhash_near_dup_pairs`` — MinHash LSH (MLlib ``MinHashLSH`` over
+    a ``HashingTF`` shingle vector): candidate pairs come from LSH
+    band buckets, so the join is bucket-local; linear-ish at scale.
+  * ``simhash_signatures`` — 64-bit SimHash (Charikar 2002) computed
+    entirely JVM-side with xxhash64 + bit arithmetic; near-dups are
+    signatures within small Hamming distance.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import HashingTF, MinHashLSH
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def tokens_col(text_col: str = "text"):
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def shingles_col(text_col: str = "text", n: int = 3):
+    """Word n-gram shingles as a distinct array (set semantics for
+    Jaccard). Built with JVM higher-order functions — no UDF."""
+    toks = tokens_col(text_col)
+    k = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    # documents shorter than n words: fall back to the whole text
+    return F.when(k >= 1, F.array_distinct(grams)).otherwise(
+        F.array(F.trim(F.col(text_col)))
+    )
+
+
+def exact_dedup(
+    df: DataFrame, content_cols: list[str], id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Exact dedup keeping one row per content group (§2.10 tier 1)."""
+    digest = F.md5(F.concat_ws("\x00", *content_cols))
+    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    w = Window.partitionBy(digest).orderBy(order)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity over word n-gram shingle sets for every
+    candidate pair sharing >= 1 shingle. Returns (id_a, id_b, jaccard)
+    with id_a < id_b. The shuffle key is the shingle, so co-occurrence
+    counting is distributed; the final divide uses per-doc set sizes.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles_col(text_col, n)).alias("_sh")
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    return (
+        common.join(F.broadcast(sizes).alias("sa"), F.col("id_a") == F.col("sa._id"))
+        .join(F.broadcast(sizes).alias("sb"), F.col("id_b") == F.col("sb._id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_common")
+                / (F.col("sa._sz") + F.col("sb._sz") - F.col("_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+    max_jaccard_distance: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash LSH near-dup candidates (§2.10 tier 3, the scale path):
+    shingles -> HashingTF binary vector -> MinHashLSH approxSimilarityJoin.
+    Returns (id_a, id_b, jaccard_distance estimate from MLlib).
+    """
+    base = df.select(F.col(id_col).alias("_id"), shingles_col(text_col, n).alias("_sh"))
+    tf = HashingTF(inputCol="_sh", outputCol="_vec", numFeatures=num_features, binary=True)
+    vecs = tf.transform(base)
+    mh = MinHashLSH(inputCol="_vec", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed)
+    model = mh.fit(vecs)
+    joined = model.approxSimilarityJoin(vecs, vecs, max_jaccard_distance, distCol="jaccard_distance")
+    return (
+        joined.filter(F.col("datasetA._id") < F.col("datasetB._id"))
+        .select(
+            F.col("datasetA._id").alias("id_a"),
+            F.col("datasetB._id").alias("id_b"),
+            "jaccard_distance",
+        )
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """64-bit SimHash per document (§2.10 tier 4), entirely JVM-side:
+    xxhash64 over n-gram shingles (shingle features discriminate far
+    better than unigrams on small vocabularies), per-bit majority vote
+    folded into one BIGINT with aggregate/bit ops. Returns (id, simhash)."""
+    feats = shingles_col(text_col, n)
+    base = df.select(
+        F.col(id_col), F.transform(feats, lambda t: F.xxhash64(t)).alias("_hashes")
+    )
+    # For each bit b (static Python int — shift amounts must be
+    # literals): majority vote over token hashes, OR into the signature.
+    def _vote_fn(bit_pos: int):
+        # factory closure: the merge lambda must be exactly 2-ary
+        # (PySpark derives lambda variables from the signature)
+        def merge(acc, h):
+            is_set = F.shiftright(h, bit_pos).bitwiseAND(F.lit(1)) == 1
+            return acc + F.when(is_set, F.lit(1)).otherwise(F.lit(-1))
+
+        return merge
+
+    sig: "F.Column" = F.lit(0).cast("long")
+    for b in range(64):
+        vote = F.aggregate(F.col("_hashes"), F.lit(0), _vote_fn(b))
+        bit = F.shiftleft(F.lit(1).cast("long"), b)
+        sig = sig.bitwiseOR(F.when(vote > 0, bit).otherwise(F.lit(0).cast("long")))
+    return base.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dups by SimHash Hamming distance. Candidate generation
+    blocks on 16-bit signature quarters (pigeonhole: any pair within
+    Hamming distance 3 shares at least one of 4 quarters), so the
+    self-join is block-local — no full cross join at scale."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    quarters = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright("simhash", 16 * q)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("qv"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("_blk"),
+    ).select(id_col, "simhash", F.col("_blk.q").alias("q"), F.col("_blk.qv").alias("qv"))
+    a, b = quarters.alias("a"), quarters.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qv") == F.col("b.qv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

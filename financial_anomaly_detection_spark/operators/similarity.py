@@ -1,0 +1,82 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10).
+
+Two tiers:
+  * ``brute_force_topk`` — exact cosine top-k: broadcast query set ×
+    candidate scan; dot products via JVM higher-order functions
+    (no UDF, stays in codegen). The oracle-checkable baseline.
+  * ``lsh_topk`` — BucketedRandomProjectionLSH (euclidean) bucketed
+    approximate kNN: candidates come from matching hash buckets, so
+    cost scales with bucket occupancy, not candidates².
+
+On normalized vectors euclidean-NN order == cosine-NN order
+(‖a−b‖² = 2 − 2·cos), which is why the LSH tier normalizes first.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+from pyspark.ml.functions import array_to_vector
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.vectorfn import cosine_similarity
+
+
+def brute_force_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q")
+    )
+    pairs = candidates.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_similarity("_q", vec_col).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def lsh_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via BRP-LSH over L2-normalized vectors.
+
+    Returns (query_id, neighbor_id, cosine, rn) like brute_force_topk;
+    recall < 1 by construction — tests compare against the exact tier.
+    """
+    def prep(df: DataFrame, out_id: str) -> DataFrame:
+        vec = array_to_vector(F.col(vec_col).cast("array<double>"))
+        with_vec = df.select(F.col(id_col).alias(out_id), vec.alias("_raw"))
+        return Normalizer(inputCol="_raw", outputCol="_v", p=2.0).transform(with_vec)
+
+    cand = prep(candidates, "neighbor_id")
+    qs = prep(queries, "query_id")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_v",
+        outputCol="_h",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(cand)
+    # euclidean distance on unit vectors: d² = 2 − 2 cos  ⇒  cos = 1 − d²/2
+    joined = model.approxSimilarityJoin(qs, cand, 2.0, distCol="_d")
+    pairs = joined.filter(F.col("datasetA.query_id") != F.col("datasetB.neighbor_id")).select(
+        F.col("datasetA.query_id").alias("query_id"),
+        F.col("datasetB.neighbor_id").alias("neighbor_id"),
+        (F.lit(1.0) - F.col("_d") * F.col("_d") / F.lit(2.0)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

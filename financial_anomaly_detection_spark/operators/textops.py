@@ -1,0 +1,95 @@
+"""Text-analysis operators (north-star extension, SURVEY.md §2.10):
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting. All pure Catalyst expressions — the text pipeline
+stays inside whole-stage codegen at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import tokens_col
+
+# Tiny per-language function-word lists for the n-gram/stopword
+# language-ID heuristic. Deliberately small: the operator's job is the
+# distributed shape (per-token set membership + ratio), not NLP quality.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "für"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"],
+    "es": ["el", "la", "los", "las", "es", "no", "por", "que", "una", "para"],
+}
+
+# A BPE-ish tokenizer regex: words, numbers, or single non-space
+# symbols — the usual "count tokens without a tokenizer model" proxy.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_col(text_col))
+
+
+def bpe_ish_token_count(text_col: str = "text") -> Column:
+    """Regex token count approximating a BPE vocab segmentation."""
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+
+
+def stopword_ratio(text_col: str = "text", lang: str = "en") -> Column:
+    """Fraction of tokens that are function words of ``lang``."""
+    toks = tokens_col(text_col)
+    markers = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, F.lower(t))))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def language_id(text_col: str = "text") -> Column:
+    """Heuristic language ID: argmax of per-language marker ratios,
+    'und' (undetermined) when nothing matches."""
+    pairs = [
+        F.struct(stopword_ratio(text_col, lang).alias("score"), F.lit(lang).alias("lang"))
+        for lang in _LANG_MARKERS
+    ]
+    best = F.array_max(F.array(*pairs))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Composite quality score in [0,1]: penalizes very short docs,
+    high punctuation density, and low lexical diversity — the standard
+    cheap pre-filter of a training-data pipeline."""
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    punct = F.length(F.regexp_replace(text_col, r"[A-Za-z0-9\s]", ""))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    diversity = F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1))
+    length_term = F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+    score = length_term * (F.lit(1.0) - punct_ratio) * (F.lit(0.5) + F.lit(0.5) * diversity)
+    return F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0))
+
+
+def rolling_fingerprint(text_col: str = "text", window: int = 8) -> Column:
+    """Document fingerprint: min xxhash64 over character ``window``-gram
+    rolling substrings (winnowing-style minimum sampling, Schleimer et
+    al. 2003). Deterministic, JVM-side."""
+    # dynamic-start substring needs the SQL form (F.substring takes a
+    # literal start; expr's substr accepts the lambda variable)
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {window - 1}, 1)), "
+        f"i -> xxhash64(substr({text_col}, i, {window})))"
+    )
+    return F.array_min(grams)
+
+
+def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One-pass text-analysis profile: counts, quality, language guess,
+    fingerprint."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        quality_score(text_col).alias("quality"),
+        language_id(text_col).alias("lang_guess"),
+        rolling_fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1112,6 +1112,199 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Near-dup dedup / similarity / text / multimodal (north-star §2.10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_jaccard_pairs",
+    # Exact Jaccard over 3-gram word shingles; integers divided by
+    # integers are bit-identical, so only the output needs sround.
+    oracle=r"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   string_split_regex(trim(text), '\s+') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT doc_id AS _id, unnest(list_distinct(
+                CASE WHEN length(toks) >= 3 THEN
+                    list_transform(generate_series(1, length(toks) - 2),
+                                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                ELSE [trim(text)] END)) AS _sh
+            FROM base
+        ), sizes AS (
+            SELECT _id, COUNT(*) AS _sz FROM sh GROUP BY _id
+        ), common AS (
+            SELECT a._id AS id_a, b._id AS id_b, COUNT(*) AS _common
+            FROM sh a JOIN sh b ON a._sh = b._sh AND a._id < b._id
+            GROUP BY 1, 2
+        )
+        SELECT CAST(id_a AS BIGINT) AS id_a,
+               CAST(id_b AS BIGINT) AS id_b,
+               floor((_common * 1.0 / (sa._sz + sb._sz - _common)) * 1e6 + 0.5) / 1e6 AS jaccard
+        FROM common
+        JOIN sizes sa ON id_a = sa._id
+        JOIN sizes sb ON id_b = sb._id
+        WHERE _common * 1.0 / (sa._sz + sb._sz - _common) >= 0.5
+    """,
+    description="Exact n-gram Jaccard near-dup pairs (§2.10 tier 2, the "
+    "oracle-checkable ground truth for the LSH tiers): shingle explode -> "
+    "shingle-keyed co-occurrence join -> set-size normalize. The testdata "
+    "contains planted near-dups (max J ≈ 0.99).",
+    tags=["dedup", "text", "join"],
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return pairs.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        sround(F.col("jaccard"), 6).alias("jaccard"),
+    )
+
+
+@register(
+    "minhash_near_dup",
+    oracle=None,
+    description="MinHash LSH near-dup candidates (§2.10 tier 3, scale path): "
+    "shingles -> HashingTF binary vector -> MinHashLSH approxSimilarityJoin; "
+    "candidates from band buckets, not a cross join. Recall vs the exact "
+    "tier asserted in tests/test_extensions.py.",
+    tags=["dedup", "lsh"],
+)
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, "doc_id", "text", max_jaccard_distance=0.5)
+    return pairs.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        sround(F.col("jaccard_distance"), 6).alias("jaccard_distance"),
+    )
+
+
+@register(
+    "simhash_near_dup",
+    oracle=None,
+    description="SimHash near-dup pairs (§2.10 tier 4): 64-bit signatures "
+    "via xxhash64 token votes (pure JVM bit math), pigeonhole blocking on "
+    "16-bit quarters, Hamming <= 3. Rows-only: hash functions are "
+    "engine-specific.",
+    tags=["dedup", "simhash"],
+)
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("hamming").cast("long"),
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,
+    description="Approximate nearest neighbors via BucketedRandomProjection "
+    "LSH over L2-normalized embeddings (§2.10 scale path; exact twin: "
+    "ann_cosine_topk). Recall vs the exact tier asserted in tests.",
+    tags=["similarity", "lsh", "vector"],
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    out = lsh_topk(emb, queries_df, "vec_id", "embedding", k=10)
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        sround(F.col("cosine"), 6).alias("cosine"),
+        F.col("rn").cast("long"),
+    )
+
+
+_DUCK_BPE = "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')"
+_DUCK_PUNCT = "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))"
+
+
+@register(
+    "text_quality_profile",
+    oracle=rf"""
+        WITH base AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS toks,
+                   length(text) AS n_chars,
+                   length({_DUCK_BPE}) AS n_bpe,
+                   {_DUCK_PUNCT} AS n_punct
+            FROM documents
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(length(toks) AS BIGINT) AS n_tokens,
+               CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
+               floor(LEAST(GREATEST(
+                   LEAST(length(toks) / 20.0, 1.0)
+                   * (1.0 - n_punct * 1.0 / GREATEST(n_chars, 1))
+                   * (0.5 + 0.5 * length(list_distinct(toks)) * 1.0 / GREATEST(length(toks), 1))
+               , 0.0), 1.0) * 1e6 + 0.5) / 1e6 AS quality
+        FROM base
+    """,
+    description="Text quality scoring + BPE-ish token counting (§2.10): "
+    "length/punctuation/lexical-diversity composite, all JVM-side "
+    "expressions, oracle-checked.",
+    tags=["text", "quality"],
+)
+def q_text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textops import bpe_ish_token_count, quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        token_count("text").cast("long").alias("n_tokens"),
+        bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+        sround(quality_score("text"), 6).alias("quality"),
+    )
+
+
+@register(
+    "text_lang_fingerprint",
+    oracle=None,
+    description="Language-ID heuristic (marker-word argmax) + winnowing "
+    "min-hash document fingerprint (§2.10). Rows-only: fingerprints use "
+    "engine-specific xxhash64.",
+    tags=["text", "langid"],
+)
+def q_text_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textops import text_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return text_profile(docs, "doc_id", "text").select(
+        "doc_id", "lang_guess", "fingerprint", "quality"
+    )
+
+
+@register(
+    "multimodal_image_features",
+    oracle=None,
+    description="Multimodal column plumbing (§2.10): opaque binary payload "
+    "+ typed metadata struct -> mapInPandas decode/feature-extract stage. "
+    "Codec STUBBED (PIL absent in container; deterministic fake tagged "
+    "decoder='stub') — schema, Arrow batching, and partitioning are real.",
+    tags=["multimodal", "mapinpandas"],
+)
+def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import attach_fake_payload, decode_image_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_payload(docs, "doc_id", "text")
+    return decode_image_features(media, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
 # ML scoring queries (§2.7) — rows-only checks: anomaly scores are not
 # SQL-expressible (driver contract allows omitting the oracle).
 # ---------------------------------------------------------------------------
