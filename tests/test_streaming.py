@@ -1,0 +1,231 @@
+"""Streaming serving-path tests (SURVEY.md §5.2): micro-batches
+through the scoring plan match the batch plan; stateful profiles
+accumulate across batches; watermark drops late rows (W4, asserted
+divergence from the reference's unbounded lateness)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_anomaly_detection_spark.schemas import TRANSACTION_SCHEMA
+from financial_anomaly_detection_spark.streaming.score_stream import (
+    build_scoring_stream,
+    split_valid_invalid,
+    stateful_user_profiles,
+)
+
+TX = [
+    # tx_id, ts, cust, merch, amount, channel, location
+    ("1001", "2025-05-01T02:10:00Z", "100", "501", 12000.0, "card", "Mutare"),
+    ("1002", "2025-05-01T08:00:00Z", "100", "501", 150.0, "pos", "Harare"),
+    ("1003", "2025-05-01T09:00:00Z", "101", "502", 800.0, "mobile_money", "Gweru"),
+    ("bad!", "2025-05-01T09:30:00Z", "101", "502", 50.0, "pos", "Harare"),
+    ("1004", "garbage-ts", "102", "503", 70.0, "card", "Bulawayo"),
+    ("1005", "2025-05-02T01:00:00Z", "102", "503", -5.0, "pos", "Harare"),
+]
+
+
+def _tx_df(spark, rows):
+    return spark.createDataFrame(
+        [
+            {
+                "timestamp": r[1],
+                "transaction_id": r[0],
+                "customer_id": r[2],
+                "merchant_id": r[3],
+                "amount": r[4],
+                "channel": r[5],
+                "location": r[6],
+            }
+            for r in rows
+        ],
+        TRANSACTION_SCHEMA,
+    )
+
+
+@pytest.fixture()
+def profiles(spark):
+    cust = spark.createDataFrame(
+        [("100", 200.0, 1.5), ("101", 500.0, 0.2)],
+        "customer_id string, cust_avg_amount double, cust_txn_count double",
+    )
+    merch = spark.createDataFrame(
+        [("501", 300.0)], "merchant_id string, merch_avg_amount double"
+    )
+    return cust, merch
+
+
+def test_validity_split(spark):
+    valid, invalid = split_valid_invalid(_tx_df(spark, TX))
+    assert {r["transaction_id"] for r in valid.collect()} == {"1001", "1002", "1003"}
+    errs = {r["transaction_id"]: r["error"] for r in invalid.collect()}
+    assert errs == {
+        "bad!": "invalid_id",
+        "1004": "invalid_timestamp",
+        "1005": "invalid_amount",
+    }
+
+
+def test_stream_scores_match_batch(spark, tmp_path, profiles):
+    cust, merch = profiles
+    # write the transactions as JSON files (the REST-body analog, S5)
+    src = tmp_path / "txs"
+    src.mkdir()
+    for i, r in enumerate(TX[:3]):
+        with open(src / f"{i}.json", "w") as f:
+            json.dump(
+                {
+                    "timestamp": r[1],
+                    "transaction_id": r[0],
+                    "customer_id": r[2],
+                    "merchant_id": r[3],
+                    "amount": r[4],
+                    "channel": r[5],
+                    "location": r[6],
+                },
+                f,
+            )
+
+    stream = (
+        spark.readStream.schema(TRANSACTION_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    scored_stream = build_scoring_stream(stream, cust, merch)
+    q = (
+        scored_stream.writeStream.format("memory")
+        .queryName("scored")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    stream_rows = {
+        r["transaction_id"]: r for r in spark.sql("select * from scored").collect()
+    }
+    batch_rows = {
+        r["transaction_id"]: r
+        for r in build_scoring_stream(_tx_df(spark, TX[:3]), cust, merch).collect()
+    }
+    assert stream_rows.keys() == batch_rows.keys() == {"1001", "1002", "1003"}
+    for k in batch_rows:
+        assert stream_rows[k] == batch_rows[k]
+    # semantic spot checks: high amount override + risk bucket (F11/F12)
+    assert stream_rows["1001"]["aggregated_score"] >= 0.85
+    assert stream_rows["1001"]["risk_level"] == "High"
+    assert stream_rows["1001"]["model_version"] == "unavailable"  # W6 fallback
+
+
+def test_stateful_profiles_accumulate_across_batches(spark, tmp_path):
+    src = tmp_path / "txs2"
+    src.mkdir()
+    # batch 1: two tx for customer 100; batch 2: one more
+    batches = [TX[:2], [("1009", "2025-05-03T04:00:00Z", "100", "501", 300.0, "pos", "Harare")]]
+    for i, rows in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for r in rows:
+                f.write(
+                    json.dumps(
+                        {
+                            "timestamp": r[1],
+                            "transaction_id": r[0],
+                            "customer_id": r[2],
+                            "merchant_id": r[3],
+                            "amount": r[4],
+                            "channel": r[5],
+                            "location": r[6],
+                        }
+                    )
+                    + "\n"
+                )
+
+    stream = (
+        spark.readStream.schema(TRANSACTION_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    profiles = stateful_user_profiles(stream)
+    q = (
+        profiles.writeStream.format("memory")
+        .queryName("profiles")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from profiles").collect()
+    # the LAST emitted row per key carries the accumulated state
+    final = {}
+    for r in rows:
+        final[r["customer_id"]] = r
+    c100 = final["100"]
+    assert c100["cust_txn_count"] == 3
+    assert abs(c100["cust_avg_amount"] - (12000.0 + 150.0 + 300.0) / 3) < 1e-9
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """W4: an event arriving after the (checkpointed) watermark has
+    advanced past it is dropped — the documented divergence from the
+    reference's unbounded-lateness DB lookups. Two availableNow runs
+    over the same checkpoint make the batch boundary deterministic:
+    run 1 advances the watermark to 11:00, run 2 delivers a 01:00 row.
+    """
+    src = tmp_path / "txs3"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt3")
+
+    out_dir = str(tmp_path / "win_out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(TRANSACTION_SCHEMA)
+            .json(str(src))
+            .withColumn("ts", F.try_to_timestamp("timestamp"))
+        )
+        counts = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "customer_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # parquet sink (not memory): supports checkpoint recovery, so
+        # the watermark survives across the two availableNow runs
+        q = (
+            counts.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def write(fname, rows):
+        with open(src / fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    base = {"customer_id": "c", "merchant_id": "m", "amount": 10.0,
+            "channel": "pos", "location": "Harare"}
+    write("a.json", [
+        {**base, "timestamp": "2025-05-01T10:00:00Z", "transaction_id": "1"},
+        {**base, "timestamp": "2025-05-01T12:00:00Z", "transaction_id": "2"},
+    ])
+    run_once()  # watermark -> 12:00 - 1h = 11:00 (checkpointed)
+
+    write("b.json", [{**base, "timestamp": "2025-05-01T01:00:00Z", "transaction_id": "3"}])
+    run_once()
+
+    rows = spark.read.parquet(out_dir).collect()
+    # After run 2 the watermark is >= 11:00, so ANY state for the late
+    # row's window [01:00, 02:00) would have been finalized and emitted.
+    # Its absence proves the 01:00 row was dropped at input.
+    emitted = {(r["win"].start.hour, r["n"]) for r in rows}
+    assert all(h != 1 for h, _ in emitted), f"late window emitted: {emitted}"
+    # the on-time 10:00 window IS finalized and emitted with its count
+    assert (10, 1) in emitted
