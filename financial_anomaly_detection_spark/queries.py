@@ -1111,6 +1111,304 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q17_small_quantity_revenue",
+    # Correlated scalar subquery shape (TPC-H Q17): lineitems under 20%
+    # of their part's average quantity. The per-part avg is an exact
+    # integer-cents sum / count -> bit-identical threshold comparison.
+    oracle="""
+        WITH part_avg AS (
+            SELECT l_partkey,
+                   SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / (100.0 * COUNT(*)) AS avg_qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+               SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 / 7.0 AS avg_yearly
+        FROM lineitem l
+        JOIN part_avg pa ON l.l_partkey = pa.l_partkey
+        WHERE l.l_quantity < 0.2 * pa.avg_qty
+    """,
+    description="TPC-H Q17 shape (correlated scalar subquery -> join-agg "
+    "rewrite): below-average-quantity order revenue. Catalyst plans the "
+    "decorrelated join automatically.",
+    tags=["join", "subquery", "tpch"],
+)
+def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_cents = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.sum(qty_cents) / (F.lit(100.0) * F.count(F.lit(1)))).alias("avg_qty")
+    )
+    price_cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        li.join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            (F.sum(price_cents) / F.lit(100.0) / F.lit(7.0)).alias("avg_yearly"),
+        )
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    oracle="""
+        SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+               c.c_name,
+               SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) / 1e4 AS revenue,
+               n.n_name
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    description="TPC-H Q10 shape: returned-item revenue per customer, "
+    "4-way join, deterministic top-20.",
+    tags=["join", "topk", "tpch"],
+)
+def q_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(_revenue_cents()) / F.lit(1e4)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select(F.col("c_custkey").cast("long"), "c_name", "revenue", "n_name")
+    )
+
+
+@register(
+    "priority_case_pivot",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+               CAST(COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS n_high,
+               CAST(COUNT(*) FILTER (o_orderpriority IN ('3-MEDIUM','4-NOT SPECIFIED')) AS BIGINT) AS n_mid,
+               CAST(COUNT(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS n_low,
+               SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   FILTER (o_orderpriority = '1-URGENT') / 100.0 AS urgent_total
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    description="Conditional aggregation / manual pivot (§2.5 extras): "
+    "per-status priority counts as CASE/FILTER aggregates — the "
+    "shuffle-free pivot form.",
+    tags=["aggregate", "pivot"],
+)
+def q_priority_case_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    price_cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+
+    def cnt(cond) -> Column:
+        return F.count(F.when(cond, 1)).cast("long")
+
+    p = F.col("o_orderpriority")
+    return o.groupBy("o_orderstatus").agg(
+        cnt(p == "1-URGENT").alias("n_urgent"),
+        cnt(p == "2-HIGH").alias("n_high"),
+        cnt(p.isin("3-MEDIUM", "4-NOT SPECIFIED")).alias("n_mid"),
+        cnt(p == "5-LOW").alias("n_low"),
+        (F.sum(F.when(p == "1-URGENT", price_cents)) / F.lit(100.0)).alias("urgent_total"),
+    )
+
+
+@register(
+    "string_functions",
+    oracle="""
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+               upper(c_name) AS name_upper,
+               lower(c_mktsegment) AS seg_lower,
+               substring(c_name, 1, 9) AS name_prefix,
+               CAST(length(c_name) AS BIGINT) AS name_len,
+               concat(c_mktsegment, '#', c_name) AS tagged,
+               replace(c_name, 'Customer', 'Cust') AS renamed,
+               regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+               CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos
+        FROM customer
+    """,
+    description="String function battery (§2.8 extension): upper/lower/"
+    "substring/length/concat/replace/regexp_extract/position.",
+    tags=["functions", "string"],
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").cast("long"),
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 9).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat_ws("#", "c_mktsegment", "c_name").alias("tagged"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("renamed"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.instr(F.col("c_name"), "#").cast("long").alias("hash_pos"),
+    )
+
+
+@register(
+    "date_arithmetic",
+    oracle="""
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+               CAST(quarter(o_orderdate) AS BIGINT) AS q,
+               CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS BIGINT) AS days_to_y2k,
+               strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+               strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    """,
+    description="Date arithmetic battery (§2.8 F4 extension): truncation, "
+    "quarter extract, day diffs, interval add, last_day.",
+    tags=["functions", "time"],
+)
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    d = F.col("o_orderdate")
+    return o.select(
+        F.col("o_orderkey").cast("long"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("order_month"),
+        F.quarter(d).cast("long").alias("q"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date")).cast("long").alias(
+            "days_to_y2k"
+        ),
+        F.date_format(d + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.last_day(d.cast("date")), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+@register(
+    "cube_nation_priority",
+    oracle="""
+        SELECT COALESCE(n.n_name, 'ALL') AS n_name,
+               COALESCE(o.o_orderpriority, 'ALL') AS o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY CUBE (n.n_name, o.o_orderpriority)
+    """,
+    description="CUBE grouping sets over a join (§2.4 extras): order "
+    "volume by nation x priority with all subtotal combinations.",
+    tags=["aggregate", "cube", "join"],
+)
+def q_cube_nation_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    price_cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .cube("n_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (F.sum(price_cents) / F.lit(100.0)).alias("total"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+@register(
+    "union_all_monthly_activity",
+    oracle="""
+        SELECT kind, month, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT 'order' AS kind, strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month
+            FROM orders
+            UNION ALL
+            SELECT 'ship' AS kind, strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month
+            FROM lineitem
+        )
+        GROUP BY kind, month
+    """,
+    description="UNION ALL over heterogeneous sources (§2.5): order and "
+    "shipment monthly activity in one aggregate.",
+    tags=["setop", "aggregate"],
+)
+def q_union_all_monthly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.lit("order").alias("kind"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.lit("ship").alias("kind"),
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("month"),
+    )
+    return o.unionAll(li).groupBy("kind", "month").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+@register(
+    "having_active_users",
+    oracle="""
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+        HAVING COUNT(*) > 5
+    """,
+    description="HAVING post-aggregation filter (§2.4 extras): users with "
+    "more than five purchases.",
+    tags=["aggregate", "having"],
+)
+def q_having_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+        .filter(F.col("n_purchases") > 5)
+    )
+
+
+@register(
+    "scalar_subquery_above_avg",
+    oracle="""
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) / (100.0 * COUNT(*))
+            FROM customer
+        )
+    """,
+    description="Uncorrelated scalar subquery (§2.5 extras): customers "
+    "above the global average balance; threshold computed bit-exactly.",
+    tags=["subquery", "filter"],
+)
+def q_scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    # one plan, no driver round-trip: the 1-row aggregate broadcasts
+    # into a nested-loop join (Catalyst's scalar-subquery shape)
+    avg_df = c.agg((F.sum(cents) / (F.lit(100.0) * F.count(F.lit(1)))).alias("_avg"))
+    return (
+        c.join(F.broadcast(avg_df))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .select(F.col("c_custkey").cast("long"), "c_acctbal")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-dup dedup / similarity / text / multimodal (north-star §2.10)
 # ---------------------------------------------------------------------------
