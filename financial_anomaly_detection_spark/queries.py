@@ -1112,6 +1112,185 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionize_events",
+    # Gap-based sessionization as pure window math: session starts where
+    # the gap to the previous event exceeds 30 min; session id = running
+    # count of starts. Classic lag+cumsum, identical in both engines.
+    # Gap/duration math in exact epoch MICROseconds on both sides:
+    # date_diff('second', ...) counts boundary crossings, not elapsed
+    # time, and diverges from integer-microsecond arithmetic on
+    # sub-second offsets.
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id, event_id, ts,
+                   SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(session_id AS BIGINT) AS session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+    description="Gap-based sessionization (30-min inactivity): lag -> "
+    "session-start marker -> running-sum session ids -> per-session "
+    "stats. One shuffle on user_id; the batch twin of session_window.",
+    tags=["window", "session", "aggregate"],
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_start = F.when(
+        F.lag("ts").over(w).isNull() | (gap_sec > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    sessions = ev.withColumn(
+        "session_id",
+        F.sum(is_start).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_id").cast("long").alias("session_id"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("long")
+        .alias("duration_us"),
+    )
+
+
+@register(
+    "time_range_window_profile",
+    # RANGE frame over event-time: each event's trailing-1-hour same-user
+    # stats — the per-event generalization of the 90-day as-of profile
+    # (W3 evaluated at every row). Cents-exact average.
+    oracle="""
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(COUNT(*) OVER w - 1 AS BIGINT) AS prior_events_1h,
+               floor(COALESCE(
+                   (SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+                        - CAST(floor(value * 100 + 0.5) AS BIGINT))
+                   / (100.0 * NULLIF(COUNT(*) OVER w - 1, 0)), 0.0) * 1e4 + 0.5) / 1e4
+                   AS avg_value_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    description="Event-time RANGE window frame: trailing 1-hour same-user "
+    "count/avg per event (excluding self) — the continuous form of the "
+    "lookback profile (SURVEY.md W3), one shuffle + in-partition sort.",
+    tags=["window", "time", "asof"],
+)
+def q_time_range_window_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    prior_n = F.count(F.lit(1)).over(w) - 1
+    prior_sum = F.sum(cents).over(w) - cents
+    avg_1h = F.coalesce(
+        prior_sum / (F.lit(100.0) * F.nullif(prior_n.cast("double"), F.lit(0.0))),
+        F.lit(0.0),
+    )
+    return ev.select(
+        F.col("event_id").cast("long"),
+        prior_n.cast("long").alias("prior_events_1h"),
+        sround(avg_1h, 4).alias("avg_value_1h"),
+    )
+
+
+@register(
+    "pivot_event_type_daily",
+    oracle="""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+               CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+               CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error
+        FROM events
+        GROUP BY day
+    """,
+    description="Native pivot (explicit value list, so no extra pass to "
+    "discover categories): daily event-type count matrix.",
+    tags=["aggregate", "pivot"],
+)
+def q_pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["purchase", "click", "view", "signup", "error"]
+    out = (
+        ev.withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", kinds)
+        .count()
+        .na.fill(0, subset=kinds)
+    )
+    return out.select("day", *[F.col(k).cast("long").alias(k) for k in kinds])
+
+
+@register(
+    "from_json_props_struct",
+    oracle="""
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(CAST(props AS JSON)->>'$.k' AS BIGINT) AS k,
+               CASE WHEN CAST(CAST(props AS JSON)->>'$.k' AS BIGINT) % 2 = 0
+                    THEN 'even' ELSE 'odd' END AS parity
+        FROM events
+    """,
+    description="from_json into a typed struct (§1.2 engine extension): "
+    "the props JSON payload parsed once with an explicit schema, fields "
+    "consumed as columns.",
+    tags=["json", "functions"],
+)
+def q_from_json_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k BIGINT"))
+    return parsed.select(
+        F.col("event_id").cast("long"),
+        F.col("p.k").alias("k"),
+        F.when(F.col("p.k") % 2 == 0, "even").otherwise("odd").alias("parity"),
+    )
+
+
+@register(
+    "except_all_bag_semantics",
+    oracle="""
+        SELECT CAST(user_id AS BIGINT) AS user_id
+        FROM (
+            SELECT user_id FROM events WHERE event_type IN ('purchase', 'click')
+            EXCEPT ALL
+            SELECT user_id FROM events WHERE event_type = 'error'
+        )
+    """,
+    description="EXCEPT ALL bag semantics (§2.5): per-occurrence set "
+    "difference — each error event cancels ONE purchase/click occurrence "
+    "of the same user.",
+    tags=["setop"],
+)
+def q_except_all_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        F.col("user_id").cast("long").alias("user_id")
+    )
+    b = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").cast("long").alias("user_id")
+    )
+    return a.exceptAll(b)
+
+
+@register(
     "q17_small_quantity_revenue",
     # Correlated scalar subquery shape (TPC-H Q17): lineitems under 20%
     # of their part's average quantity. The per-part avg is an exact

@@ -1,0 +1,111 @@
+"""Property-based tests (SURVEY.md §5.2): invariants of the scoring
+tail (F7-F13, A6) over randomized inputs, evaluated through the real
+Catalyst expressions on one batch DataFrame per case set (hypothesis
+generates the rows; Spark evaluates the columns)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from financial_anomaly_detection_spark.functions.scoring import (
+    clip01,
+    deviation_ratio,
+    fuse_scores,
+    fuse_scores_orchestrator,
+    high_amount_override,
+    inv_sigmoid,
+    risk_level,
+    rule_score,
+)
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+amounts = st.floats(min_value=0.0, max_value=1e6, allow_nan=False, allow_infinity=False)
+
+
+def _eval(spark, rows, schema, cols):
+    df = spark.createDataFrame(rows, schema)
+    return df.select(*cols).collect()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(amounts, st.sampled_from(["card", "pos"]),
+                          st.sampled_from(["Harare", "Mutare"]),
+                          st.integers(0, 23)), min_size=1, max_size=30))
+def test_rule_score_bounds(spark, cases):
+    rows = [(float(a), c, l, h) for a, c, l, h in cases]
+    out = _eval(
+        spark, rows, "amount double, channel string, location string, hour int",
+        [rule_score("amount", "channel", "location", "hour").alias("r")],
+    )
+    for r in out:
+        # A6: weighted rule sum capped at 1.0, never negative
+        assert 0.0 <= r["r"] <= 1.0
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(finite, finite, finite, st.floats(0, 1, allow_nan=False)),
+                min_size=1, max_size=30))
+def test_fusion_bounds_and_floor(spark, cases):
+    rows = [(float(i), float(lo), float(ae), float(ru)) for i, lo, ae, ru in cases]
+    out = _eval(
+        spark, rows, "i double, lo double, ae double, ru double",
+        [
+            fuse_scores("i", "lo", "ae", "ru").alias("agg"),
+            fuse_scores_orchestrator("ru", F.lit(0.0), "i").alias("orch"),
+            F.col("ru"),
+        ],
+    )
+    for r in out:
+        # F10: inv-sigmoid terms in (0,1), ae clipped, rule in [0,1]
+        # -> python_scoring fusion bounded by the weight sum 1.45
+        assert 0.0 <= r["agg"] <= 1.45 + 1e-9
+        # orchestrator variant: floor rule guarantees >= 0.4 whenever
+        # the rule component alone is decisive (api/app.py:184-185)
+        if r["ru"] >= 0.6:
+            assert r["orch"] >= 0.4 - 1e-9
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(finite, min_size=1, max_size=50))
+def test_inv_sigmoid_monotone_decreasing(spark, xs):
+    rows = [(float(x),) for x in sorted(xs)]
+    out = _eval(spark, rows, "x double", [inv_sigmoid("x").alias("s"), F.col("x")])
+    vals = [r["s"] for r in out]
+    # F8: higher decision score (more normal) -> lower anomaly score
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(amounts, st.floats(0, 1e6, allow_nan=False)), min_size=1, max_size=30))
+def test_deviation_and_override(spark, cases):
+    rows = [(float(a), float(avg)) for a, avg in cases]
+    out = _eval(
+        spark, rows, "amount double, avg double",
+        [
+            deviation_ratio("amount", "avg").alias("dev"),
+            high_amount_override(clip01(F.lit(0.1)), "amount").alias("ov"),
+            F.col("amount"), F.col("avg"),
+        ],
+    )
+    for r in out:
+        if r["avg"] <= 0:
+            assert r["dev"] == 0.0  # F7 guard branch
+        # F11: >=10000 forces at least 0.85
+        if r["amount"] >= 10000.0:
+            assert r["ov"] >= 0.85
+        else:
+            assert abs(r["ov"] - 0.1) < 1e-12
+
+
+def test_risk_bucket_boundaries(spark):
+    rows = [(x,) for x in [0.0, 0.3999999, 0.4, 0.699999, 0.7, 1.0, 1.45]]
+    out = _eval(spark, rows, "x double", [F.col("x"), risk_level("x").alias("rl")])
+    got = {r["x"]: r["rl"] for r in out}
+    # F12 boundaries are inclusive at 0.4 and 0.7 (app.py:197-202)
+    assert got[0.0] == "Low" and got[0.3999999] == "Low"
+    assert got[0.4] == "Medium" and got[0.699999] == "Medium"
+    assert got[0.7] == "High" and got[1.0] == "High" and got[1.45] == "High"

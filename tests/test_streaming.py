@@ -229,3 +229,29 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert all(h != 1 for h, _ in emitted), f"late window emitted: {emitted}"
     # the on-time 10:00 window IS finalized and emitted with its count
     assert (10, 1) in emitted
+
+
+def test_session_window_matches_gap_sessionization(spark, sf_dir):
+    """F.session_window (the built-in session operator, batch form) must
+    agree with the lag+cumsum sessionization query on session counts
+    (identical 30-min gap semantics; ties at exactly 1800s are
+    measure-zero with microsecond timestamps)."""
+    from financial_anomaly_detection_spark.queries import REGISTRY
+    from financial_anomaly_detection_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    native = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n_sessions")
+    )
+    manual = (
+        REGISTRY["sessionize_events"].fn(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    a = {r["user_id"]: r["n_sessions"] for r in native.collect()}
+    b = {r["user_id"]: r["n_sessions"] for r in manual.collect()}
+    assert a == b
