@@ -1084,6 +1084,50 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_cosine_near_dup",
+    # Embedding-space near-duplicate pairs (§2.10 "embedding-cosine
+    # near-dup"): all pairs above a cosine threshold. Self-join bounded
+    # by blocking on label (a cheap exact blocker for the oracle tier;
+    # the LSH tier is the scale path).
+    oracle=f"""
+        WITH pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {_DUCK_DOT.format(a='a.embedding', b='b.embedding')}
+                   / (sqrt({_DUCK_DOT.format(a='a.embedding', b='a.embedding')})
+                    * sqrt({_DUCK_DOT.format(a='b.embedding', b='b.embedding')})) AS cos
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+        )
+        SELECT CAST(id_a AS BIGINT) AS id_a,
+               CAST(id_b AS BIGINT) AS id_b,
+               {sround_sql('cos', 6)} AS cosine
+        FROM pairs WHERE cos >= 0.3
+    """,
+    description="Embedding-cosine near-dup pairs (§2.10): same-label "
+    "blocked self-join, exact double cosine, threshold 0.3 (the testdata "
+    "embeddings are near-orthogonal; same-label max cos ~0.5) — the "
+    "exact twin of the LSH near-dup tier.",
+    tags=["dedup", "vector", "similarity"],
+)
+def q_embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label").alias("_lbl"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea")
+    )
+    b = emb.select(
+        F.col("label").alias("_lbl"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb")
+    )
+    pairs = a.join(b, ["_lbl"]).filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", cosine_similarity("_ea", "_eb").alias("cos")
+    )
+    return pairs.filter(F.col("cos") >= 0.3).select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        sround(F.col("cos"), 6).alias("cosine"),
+    )
+
+
+@register(
     "embedding_norm_stats",
     # Norms are bit-identical scalars; quantize to 1e-6 before the group
     # sum so accumulation order can't matter, then divide by count.

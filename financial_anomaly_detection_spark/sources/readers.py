@@ -68,6 +68,39 @@ def read_transactions_csv(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 16,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    properties: dict | None = None,
+) -> DataFrame:
+    """JDBC source (S2/S3 — the reference's MySQL profile scans,
+    python_scoring/app.py:121-135). Engine form reads the table once
+    with partitioned parallelism instead of N+1 point queries; filters
+    composed on the result push down into the remote query (Catalyst
+    JDBC pushdown). Exercised only when a database is reachable — the
+    test container ships none."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    return reader.load()
+
+
 def read_transactions_json_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 1
 ) -> DataFrame:

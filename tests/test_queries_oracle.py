@@ -31,6 +31,9 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert res["rowcount_match"], f"{name}: rows {res['spark_rows']} != {res['oracle_rows']}"
     assert res["schema_match"], f"{name}: cols {res['spark_cols']} != {res['oracle_cols']}"
     assert res["values_match"], f"{name}: first diff {res['first_diff']}"
+    # a 0-row agreement is vacuous evidence — every query must exercise
+    # real rows at every scale factor (caught twice: anti-join, near-dup)
+    assert res["spark_rows"] > 0, f"{name}: query returns no rows at this sf"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
