@@ -377,19 +377,29 @@ def q_profile_join_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["window", "profile"],
 )
 def q_window_transform_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same semantics as the oracle's unbounded partition windows, but as
+    # groupBy-agg + broadcast join-back: the window form sort-shuffles
+    # the FULL fact table once per partition key (2 shuffles of 100 TB);
+    # this form shuffles only map-side partial aggregates (tiny) and
+    # never moves the facts. Integer-cents sums keep group totals ==
+    # window totals bit-exactly.
     ev = load_table(spark, sf_dir, "events")
-    cw = Window.partitionBy("user_id")
-    mw = Window.partitionBy("event_type")
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-    return ev.select(
-        F.col("event_id").cast("long"),
-        sround(F.sum(cents).over(cw) / (F.lit(100.0) * F.count(F.lit(1)).over(cw)), 4).alias(
-            "cust_avg_amount"
-        ),
-        F.count(F.lit(1)).over(cw).cast("long").alias("cust_txn_count"),
-        sround(F.sum(cents).over(mw) / (F.lit(100.0) * F.count(F.lit(1)).over(mw)), 4).alias(
-            "merch_avg_amount"
-        ),
+    cust = ev.groupBy("user_id").agg(
+        F.sum(cents).alias("_cs"), F.count(F.lit(1)).alias("_cn")
+    )
+    merch = ev.groupBy("event_type").agg(
+        F.sum(cents).alias("_ms"), F.count(F.lit(1)).alias("_mn")
+    )
+    return (
+        ev.join(F.broadcast(cust), "user_id")
+        .join(F.broadcast(merch), "event_type")
+        .select(
+            F.col("event_id").cast("long"),
+            sround(F.col("_cs") / (F.lit(100.0) * F.col("_cn")), 4).alias("cust_avg_amount"),
+            F.col("_cn").cast("long").alias("cust_txn_count"),
+            sround(F.col("_ms") / (F.lit(100.0) * F.col("_mn")), 4).alias("merch_avg_amount"),
+        )
     )
 
 

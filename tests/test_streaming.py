@@ -255,3 +255,41 @@ def test_session_window_matches_gap_sessionization(spark, sf_dir):
     a = {r["user_id"]: r["n_sessions"] for r in native.collect()}
     b = {r["user_id"]: r["n_sessions"] for r in manual.collect()}
     assert a == b
+
+
+def test_stream_scoring_with_real_ensemble(spark, sf_dir, tmp_path):
+    """§3.1 full integration: the MLlib feature pipeline + all three
+    model pandas_udfs run per micro-batch on a stream, and the stream's
+    scores are identical to the batch plan's on the same rows."""
+    from financial_anomaly_detection_spark.ml.ensemble import AnomalyEnsemble
+    from financial_anomaly_detection_spark.ml.features import prepare_event_features
+    from financial_anomaly_detection_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    features = prepare_event_features(ev).cache()
+    ens = AnomalyEnsemble(seed=42, rule_large_amount=150.0, high_risk_amount=300.0)
+    ens.fit(features)
+
+    # stream the PRE-COMPUTED feature rows (profile features need batch
+    # history; the streaming form of those is stateful_user_profiles)
+    src = str(tmp_path / "feat_stream")
+    features.limit(200).write.parquet(src)
+    stream = spark.readStream.schema(features.schema).parquet(src)
+    scored_stream = ens.transform(stream, id_col="event_id")
+    q = (
+        scored_stream.writeStream.format("memory")
+        .queryName("ml_scored")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    stream_rows = {r["event_id"]: r for r in spark.sql("select * from ml_scored").collect()}
+    batch_rows = {
+        r["event_id"]: r
+        for r in ens.transform(spark.read.parquet(src), id_col="event_id").collect()
+    }
+    assert stream_rows.keys() == batch_rows.keys()
+    assert len(stream_rows) == 200
+    for k in batch_rows:
+        assert stream_rows[k] == batch_rows[k]
