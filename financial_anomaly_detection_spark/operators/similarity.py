@@ -41,6 +41,73 @@ def brute_force_topk(
     return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k (§2.10 scale path #2): a KMeans
+    coarse quantizer assigns every candidate to one of ``nlist``
+    centroid cells; each query searches only its ``nprobe`` nearest
+    cells. Cost per query drops from O(N) to ~O(N·nprobe/nlist).
+
+    The quantizer fit is distributed (MLlib KMeans); cell assignment is
+    one ``transform``; the probe-cell restriction is a join on cell id —
+    no UDFs anywhere, dot products via JVM higher-order functions.
+    """
+    from pyspark.ml.clustering import KMeans
+
+    vec = array_to_vector(F.col(vec_col).cast("array<double>"))
+    cand = candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e"), vec.alias("_v"))
+    km = KMeans(k=nlist, seed=seed, featuresCol="_v", predictionCol="_cell").fit(cand)
+    cand_cells = km.transform(cand).select("neighbor_id", "_e", "_cell")
+
+    # centroid table is tiny: nlist x d -> broadcast to rank probe cells
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
+    ]
+    cent_df = queries.sparkSession.createDataFrame(
+        centroids, f"_cell int, _centroid array<double>"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q"))
+    # rank cells per query by centroid distance, keep nprobe
+    q_cells = (
+        q.join(F.broadcast(cent_df))
+        .withColumn(
+            "_d2",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_q").cast("array<double>"),
+                    "_centroid",
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .withColumn(
+            "_cell_rank",
+            F.row_number().over(Window.partitionBy("query_id").orderBy("_d2", "_cell")),
+        )
+        .filter(F.col("_cell_rank") <= nprobe)
+        .select("query_id", "_q", "_cell")
+    )
+    pairs = q_cells.join(cand_cells, "_cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity("_q", "_e").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
 def lsh_topk(
     candidates: DataFrame,
     queries: DataFrame,

@@ -1094,6 +1094,45 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    oracle=None,
+    description="IVF-style ANN (§2.10 scale path #2): MLlib KMeans coarse "
+    "quantizer, nprobe nearest cells searched per query — O(N·nprobe/"
+    "nlist) per query, no UDFs. Recall vs the exact tier asserted in "
+    "tests.",
+    tags=["similarity", "ivf", "vector"],
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    out = ivf_topk(emb, qs, "vec_id", "embedding", k=10, nlist=8, nprobe=4)
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        sround(F.col("cosine"), 6).alias("cosine"),
+        F.col("rn").cast("long"),
+    )
+
+
+@register(
+    "ml_lof_distributed",
+    oracle=None,
+    description="Fully-distributed LOF (§2.7 M6 scale form): LSH candidate "
+    "pairs -> k-distance/lrd/LOF as grouped aggregations + self-joins — "
+    "both sides scale out, no broadcast reference set, no UDFs.",
+    tags=["ml", "lof", "lsh"],
+)
+def q_ml_lof_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ml.lof_distributed import distributed_lof
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = distributed_lof(emb, "vec_id", "embedding", n_neighbors=20, bucket_length=2.0)
+    return out.select(F.col("vec_id").cast("long"), sround(F.col("lof"), 6).alias("lof"))
+
+
+@register(
     "embedding_cosine_near_dup",
     # Embedding-space near-duplicate pairs (§2.10 "embedding-cosine
     # near-dup"): all pairs above a cosine threshold. Self-join bounded
@@ -1342,6 +1381,178 @@ def q_except_all_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("long").alias("user_id")
     )
     return a.exceptAll(b)
+
+
+@register(
+    "q7_nation_volume_shipping",
+    oracle="""
+        SELECT supp.n_name AS supp_nation,
+               cust.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+               SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) / 1e4 AS revenue
+        FROM lineitem l
+        JOIN orders o    ON l.l_orderkey = o.o_orderkey
+        JOIN customer c  ON o.o_custkey = c.c_custkey
+        JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+        JOIN nation cust ON c.c_nationkey = cust.n_nationkey
+        JOIN nation supp ON s.s_nationkey = supp.n_nationkey
+        WHERE ((supp.n_nationkey % 2 = 0 AND cust.n_nationkey % 2 = 1)
+            OR (supp.n_nationkey % 2 = 1 AND cust.n_nationkey % 2 = 0))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY supp.n_name, cust.n_name, year(l.l_shipdate)
+    """,
+    description="TPC-H Q7 shape: bidirectional nation-group trade volume "
+    "by ship year — two aliased joins against the same dimension, "
+    "disjunctive pair predicate, year extract in the grouping key.",
+    tags=["join", "tpch"],
+)
+def q_q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cust_n = n.select(F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation"))
+    supp_n = n.select(F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation"))
+    # nation groups by key parity: the bidirectional-pair disjunction of
+    # Q7, generalized so every scale factor has qualifying trade lanes
+    pair = ((F.col("_snk") % 2 == 0) & (F.col("_cnk") % 2 == 1)) | (
+        (F.col("_snk") % 2 == 1) & (F.col("_cnk") % 2 == 0)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("_cnk"))
+        .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("_snk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg((F.sum(_revenue_cents()) / F.lit(1e4)).alias("revenue"))
+    )
+
+
+@register(
+    "q14_promo_revenue_pct",
+    # Percentage of promo-part revenue: ratio of two exact cents sums ->
+    # bit-identical division, sround for the output.
+    oracle=f"""
+        SELECT {sround_sql('''100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
+                   ELSE 0 END)
+               / SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))''', 6)}
+               AS promo_revenue_pct,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """,
+    description="TPC-H Q14 shape: conditional-revenue percentage over a "
+    "broadcast part join — a global ratio aggregate.",
+    tags=["join", "aggregate", "tpch"],
+)
+def q_q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = _revenue_cents()
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            sround(F.lit(100.0) * promo / F.sum(rev), 6).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle="""
+        SELECT SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) / 1e4 AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity >= 5 AND l.l_quantity <= 25)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity >= 10 AND l.l_quantity <= 35)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+               AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+    """,
+    description="TPC-H Q19 shape: disjunction of conjunctive brand/size/"
+    "quantity clauses across the join — exercises complex boolean "
+    "pushdown and join-predicate placement.",
+    tags=["join", "filter", "tpch"],
+)
+def q_q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & sz.between(1, 15) & q.between(5, 25))
+        | ((b == "Brand#2") & sz.between(10, 30) & q.between(10, 35))
+        | ((b == "Brand#3") & sz.between(20, 50) & q.between(20, 50))
+    )
+    return j.filter(cond).agg(
+        (F.sum(_revenue_cents()) / F.lit(1e4)).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    # Q2 shape without a partsupp table: for each part, the supplier(s)
+    # with the minimum account balance among suppliers that shipped it —
+    # correlated-min subquery decorrelated into a grouped min + join.
+    oracle="""
+        WITH ps AS (
+            SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+            FROM lineitem
+        ), min_bal AS (
+            SELECT ps.partkey, MIN(s.s_acctbal) AS min_bal
+            FROM ps JOIN supplier s ON ps.suppkey = s.s_suppkey
+            GROUP BY ps.partkey
+        )
+        SELECT CAST(ps.partkey AS BIGINT) AS p_partkey,
+               CAST(ps.suppkey AS BIGINT) AS s_suppkey,
+               s.s_name,
+               s.s_acctbal
+        FROM ps
+        JOIN supplier s ON ps.suppkey = s.s_suppkey
+        JOIN min_bal m  ON ps.partkey = m.partkey AND s.s_acctbal = m.min_bal
+    """,
+    description="TPC-H Q2 shape (correlated MIN subquery, decorrelated): "
+    "cheapest supplier per part among its actual shippers.",
+    tags=["join", "subquery", "tpch"],
+)
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    ps = li.select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    with_bal = ps.join(F.broadcast(s), ps.suppkey == s.s_suppkey)
+    min_bal = with_bal.groupBy("partkey").agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        with_bal.join(F.broadcast(min_bal), "partkey")
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select(
+            F.col("partkey").cast("long").alias("p_partkey"),
+            F.col("suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "s_acctbal",
+        )
+    )
 
 
 @register(

@@ -98,3 +98,35 @@ def test_multimodal_decode_contract(spark, sf_dir):
     # deterministic: same payload -> same features
     again = decode_image_features(media).collect()
     assert sorted(map(repr, rows)) == sorted(map(repr, again))
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from financial_anomaly_detection_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(emb, qs, "vec_id", "embedding", k=10).collect()
+    approx = ivf_topk(emb, qs, "vec_id", "embedding", k=10, nlist=8, nprobe=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # nprobe/nlist = 1/2 of cells searched -> expect well above half of
+    # true neighbors found (near neighbors concentrate in near cells)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_distributed_lof_ranks_planted_anomalies(spark):
+    import numpy as np
+    from financial_anomaly_detection_spark.ml.lof_distributed import distributed_lof
+
+    rng = np.random.default_rng(5)
+    normal = rng.normal(0.0, 1.0, size=(400, 6))
+    anom = rng.normal(7.0, 0.3, size=(5, 6))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([normal, anom]))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    scored = distributed_lof(df, "vec_id", "embedding", n_neighbors=15, bucket_length=4.0)
+    top = {r["vec_id"] for r in scored.orderBy(F.desc("lof")).limit(5).collect()}
+    assert top == {400, 401, 402, 403, 404}
