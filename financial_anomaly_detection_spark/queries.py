@@ -2112,6 +2112,27 @@ def q_ml_reconstruction_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "ml_autoencoder_embeddings",
+    oracle=None,
+    description="M8 option (b): faithful nonlinear autoencoder (numpy MLP, "
+    "from-scratch Adam, 80/20 split, P97.5 threshold — the reference's "
+    "TF 128-64-32-64-128 shape at engine scale: bounded driver-side fit, "
+    "broadcast-weight pandas_udf scoring). Deterministic under seed 42.",
+    tags=["ml", "autoencoder"],
+)
+def q_ml_autoencoder_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ml.autoencoder import AutoencoderScorer
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = AutoencoderScorer(hidden=(32, 8, 32), epochs=20, seed=42).fit(emb, "embedding")
+    return emb.select(
+        F.col("vec_id").cast("long"),
+        sround(model.mse_col(emb, "embedding"), 6).alias("reconstruction_mse"),
+        sround(model.score_col(emb, "embedding"), 6).alias("ae_score"),
+    )
+
+
+@register(
     "ml_ensemble_scores",
     oracle=None,
     description="§3.1 end-to-end: events -> 10-col feature row (M1-M3 MLlib "

@@ -120,3 +120,38 @@ def test_ensemble_end_to_end_and_roundtrip(spark, sf_dir, tmp_path):
     a = out.orderBy("event_id").collect()
     b = loaded.transform(features).orderBy("event_id").collect()
     assert a == b
+
+
+def test_autoencoder_ranks_planted_anomalies(spark):
+    """M8 option (b): the faithful nonlinear AE learns low-dim structure
+    and flags off-manifold points; deterministic under the seed."""
+    from financial_anomaly_detection_spark.ml.autoencoder import AutoencoderScorer
+
+    rng = np.random.default_rng(13)
+    basis = rng.normal(size=(2, DIM))
+    normal = rng.normal(size=(800, 2)) @ basis
+    # constant offset keeps every anomaly decisively off the rank-2
+    # plane (which passes through the origin)
+    anom = rng.normal(size=(N_ANOM, DIM)) * 2.0 + 10.0
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([normal, anom]))]
+    df = spark.createDataFrame(rows, "id long, vec array<double>").cache()
+
+    model = AutoencoderScorer(hidden=(16, 2, 16), epochs=30, seed=42).fit(df, "vec")
+    scored = df.withColumn("s", model.mse_col(df, "vec"))
+    top = _top_ids(scored, "s", N_ANOM)
+    assert top == set(range(800, 800 + N_ANOM))
+    assert model.threshold is not None and model.threshold >= 0
+
+    # deterministic refit
+    model2 = AutoencoderScorer(hidden=(16, 2, 16), epochs=30, seed=42).fit(df, "vec")
+    s1 = [r["s"] for r in scored.orderBy("id").collect()]
+    s2 = [
+        r["s"]
+        for r in df.withColumn("s", model2.mse_col(df, "vec")).orderBy("id").collect()
+    ]
+    assert s1 == s2
+    # clip01 contract on the serving score (F9)
+    mm = df.select(
+        F.min(model.score_col(df, "vec")), F.max(model.score_col(df, "vec"))
+    ).first()
+    assert mm[0] >= 0.0 and mm[1] <= 1.0
