@@ -47,16 +47,28 @@ class AnomalyEnsemble:
         seed: int = 42,
         rule_large_amount: float = 1000.0,
         high_risk_amount: float = 10000.0,
+        ae_variant: str = "pca",
     ):
+        """``ae_variant``: 'pca' (default — the distributed linear-AE
+        analog, SURVEY.md M8 option (a)) or 'mlp' (the faithful
+        nonlinear numpy autoencoder, option (b))."""
         self.numeric_cols = numeric_cols
         self.categorical_cols = categorical_cols
         self.seed = seed
         self.rule_large_amount = rule_large_amount
         self.high_risk_amount = high_risk_amount
+        self.ae_variant = ae_variant
         self.feature_model: PipelineModel | None = None
         self.iforest = IsolationForestModel(seed=seed)
         self.lof = LOFNoveltyModel(seed=seed)
-        self.recon = ReconstructionScorer()
+        if ae_variant == "mlp":
+            from .autoencoder import AutoencoderScorer
+
+            self.recon = AutoencoderScorer(seed=seed)
+        elif ae_variant == "pca":
+            self.recon = ReconstructionScorer()
+        else:
+            raise ValueError(f"unknown ae_variant {ae_variant!r} (use 'pca' or 'mlp')")
 
     # -- train (§3.2) ------------------------------------------------------
 
@@ -124,26 +136,32 @@ class AnomalyEnsemble:
         self.feature_model.write().overwrite().save(os.path.join(path, "feature_pipeline"))
         with open(os.path.join(path, "trees.pkl"), "wb") as f:
             pickle.dump(self.iforest.trees, f)
-        np.savez_compressed(
-            os.path.join(path, "model.npz"),
-            lof_X=self.lof.X_train,
-            lof_kdist=self.lof.kdist_train,
-            lof_lrd=self.lof.lrd_train,
-            recon_W=self.recon.components,
-            recon_mean=self.recon.mean,
-        )
+        blobs = {
+            "lof_X": self.lof.X_train,
+            "lof_kdist": self.lof.kdist_train,
+            "lof_lrd": self.lof.lrd_train,
+        }
+        if self.ae_variant == "pca":
+            blobs["recon_W"] = self.recon.components
+            blobs["recon_mean"] = self.recon.mean
+        else:  # mlp: flat param list with indexed keys
+            for i, p in enumerate(self.recon.params):
+                blobs[f"ae_param_{i}"] = p
+        np.savez_compressed(os.path.join(path, "model.npz"), **blobs)
         meta = {
             "model_version": MODEL_VERSION,
             "seed": self.seed,
             "rule_large_amount": self.rule_large_amount,
             "high_risk_amount": self.high_risk_amount,
+            "ae_variant": self.ae_variant,
             "iforest": {
                 "n_estimators": self.iforest.n_estimators,
                 "max_samples": self.iforest.max_samples,
                 "c_psi": self.iforest._c_psi,
             },
             "lof_n_neighbors": self.lof.n_neighbors,
-            "recon_k": self.recon.k,
+            "recon_k": getattr(self.recon, "k", None),
+            "ae_n_params": len(self.recon.params) if self.ae_variant == "mlp" else 0,
             "recon_threshold": self.recon.threshold,
         }
         with open(os.path.join(path, "meta.json"), "w") as f:
@@ -157,6 +175,7 @@ class AnomalyEnsemble:
             seed=meta["seed"],
             rule_large_amount=meta["rule_large_amount"],
             high_risk_amount=meta["high_risk_amount"],
+            ae_variant=meta.get("ae_variant", "pca"),
         )
         self.feature_model = PipelineModel.load(os.path.join(path, "feature_pipeline"))
         with open(os.path.join(path, "trees.pkl"), "rb") as f:
@@ -169,8 +188,13 @@ class AnomalyEnsemble:
         self.lof.kdist_train = blobs["lof_kdist"]
         self.lof.lrd_train = blobs["lof_lrd"]
         self.lof.n_neighbors = meta["lof_n_neighbors"]
-        self.recon.components = blobs["recon_W"]
-        self.recon.mean = blobs["recon_mean"]
-        self.recon.k = meta["recon_k"]
+        if self.ae_variant == "pca":
+            self.recon.components = blobs["recon_W"]
+            self.recon.mean = blobs["recon_mean"]
+            self.recon.k = meta["recon_k"]
+        else:
+            self.recon.params = [
+                blobs[f"ae_param_{i}"] for i in range(meta["ae_n_params"])
+            ]
         self.recon.threshold = meta["recon_threshold"]
         return self

@@ -155,3 +155,23 @@ def test_autoencoder_ranks_planted_anomalies(spark):
         F.min(model.score_col(df, "vec")), F.max(model.score_col(df, "vec"))
     ).first()
     assert mm[0] >= 0.0 and mm[1] <= 1.0
+
+
+def test_ensemble_mlp_variant_roundtrip(spark, sf_dir, tmp_path):
+    """M8(b) wired into the ensemble: fit/score/save/load with the
+    nonlinear AE variant."""
+    ev = load_table(spark, sf_dir, "events")
+    features = prepare_event_features(ev).limit(500).cache()
+    ens = AnomalyEnsemble(
+        seed=42, rule_large_amount=150.0, high_risk_amount=300.0, ae_variant="mlp"
+    )
+    ens.fit(features)
+    out = ens.transform(features).cache()
+    assert out.count() == 500
+    path = str(tmp_path / "bundle_mlp")
+    ens.save(path)
+    loaded = AnomalyEnsemble.load(spark, path)
+    assert loaded.ae_variant == "mlp"
+    a = out.orderBy("event_id").collect()
+    b = loaded.transform(features).orderBy("event_id").collect()
+    assert a == b
