@@ -1205,6 +1205,63 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "array_map_functions",
+    # collect_list order is nondeterministic under parallelism — wrap in
+    # sort_array / list_sort on both sides for a stable hash.
+    oracle="""
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               list_sort(list(DISTINCT event_type)) AS types_seen,
+               CAST(length(list(DISTINCT event_type)) AS BIGINT) AS n_types,
+               list_sort(list(event_id)) AS event_ids,
+               CAST(list_sort(list(event_id))[1] AS BIGINT) AS first_event_id
+        FROM events
+        GROUP BY user_id
+    """,
+    description="Array aggregation + functions (§2.8 extras): per-user "
+    "sorted distinct type sets and event-id arrays — collect_list/"
+    "collect_set with deterministic sort_array normalization.",
+    tags=["aggregate", "array"],
+)
+def q_array_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ids_sorted = F.sort_array(F.collect_list(F.col("event_id").cast("long")))
+    return ev.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.sort_array(F.collect_set("event_type")).alias("types_seen"),
+        F.size(F.collect_set("event_type")).cast("long").alias("n_types"),
+        ids_sorted.alias("event_ids"),
+        F.element_at(ids_sorted, 1).cast("long").alias("first_event_id"),
+    )
+
+
+@register(
+    "explode_type_matrix",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               unnest(types) AS event_type,
+               CAST(length(types) AS BIGINT) AS n_types
+        FROM per_user
+    """,
+    description="explode/unnest round-trip (§2.8 extras): aggregate to an "
+    "array, explode back to rows carrying array-level context.",
+    tags=["array", "explode"],
+)
+def q_explode_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types")
+    )
+    return per_user.select(
+        F.col("user_id").cast("long"),
+        F.explode("types").alias("event_type"),
+        F.size("types").cast("long").alias("n_types"),
+    )
+
+
+@register(
     "sessionize_events",
     # Gap-based sessionization as pure window math: session starts where
     # the gap to the previous event exceeds 30 min; session id = running

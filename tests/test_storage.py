@@ -58,3 +58,28 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_salted_aggregation_matches_unsalted(spark, sf_dir):
+    """SCALING.md skew strategy: two-phase salted aggregation (partial
+    per (key, salt), re-aggregated per key) must reproduce the plain
+    groupBy exactly — integer-cents partials compose without float
+    drift."""
+    from financial_anomaly_detection_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+
+    plain = ev.groupBy("event_type").agg(
+        F.sum(cents).alias("total_cents"), F.count(F.lit(1)).alias("n")
+    )
+    salted = (
+        ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(16)))
+        .groupBy("event_type", "_salt")
+        .agg(F.sum(cents).alias("_pc"), F.count(F.lit(1)).alias("_pn"))
+        .groupBy("event_type")
+        .agg(F.sum("_pc").alias("total_cents"), F.sum("_pn").alias("n"))
+    )
+    a = {r["event_type"]: (r["total_cents"], r["n"]) for r in plain.collect()}
+    b = {r["event_type"]: (r["total_cents"], r["n"]) for r in salted.collect()}
+    assert a == b
