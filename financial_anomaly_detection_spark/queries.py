@@ -1493,6 +1493,107 @@ def q_q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REV_CENTS_SQL = (
+    "CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)"
+    " * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))"
+)
+
+
+@register(
+    "q8_market_share",
+    # Market share = ratio of two exact cents sums per year.
+    oracle=f"""
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               {sround_sql(f'''SUM(CASE WHEN supp.n_nationkey % 2 = 0
+                        THEN {_REV_CENTS_SQL} ELSE 0 END)
+                   * 1.0 / SUM({_REV_CENTS_SQL})''', 6)} AS mkt_share
+        FROM lineitem l
+        JOIN orders o    ON l.l_orderkey = o.o_orderkey
+        JOIN customer c  ON o.o_custkey = c.c_custkey
+        JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+        JOIN region r    ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+        JOIN nation supp ON s.s_nationkey = supp.n_nationkey
+        WHERE r.r_name = (SELECT MIN(r_name) FROM region)
+        GROUP BY year(o.o_orderdate)
+    """,
+    description="TPC-H Q8 shape: market share of a supplier-nation group "
+    "within one region's order volume, per year — conditional revenue "
+    "ratio over a 6-table star join.",
+    tags=["join", "aggregate", "tpch"],
+)
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    region = r.orderBy("r_name").limit(1)
+    cust_n = n.select(F.col("n_nationkey").alias("_cnk"), F.col("n_regionkey").alias("_crk"))
+    supp_n = n.select(F.col("n_nationkey").alias("_snk"))
+    rev = _revenue_cents()
+    group_rev = F.sum(F.when(F.col("_snk") % 2 == 0, rev).otherwise(F.lit(0)))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("_cnk"))
+        .join(F.broadcast(region), F.col("_crk") == region.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("_snk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(sround(group_rev * F.lit(1.0) / F.sum(rev), 6).alias("mkt_share"))
+    )
+
+
+@register(
+    "q9_profit_by_nation_year",
+    # No partsupp table in the testdata; cost proxy = 80% of retail
+    # price x quantity, exact in integer 1e-4 units on both sides.
+    oracle="""
+        SELECT supp.n_name AS nation,
+               CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
+                   - CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT) * 80
+                     * CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT) / 100
+                  ) / 1e4 AS profit
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation supp ON s.s_nationkey = supp.n_nationkey
+        GROUP BY supp.n_name, year(o.o_orderdate)
+    """,
+    description="TPC-H Q9 shape: profit (revenue minus a retail-price cost "
+    "proxy; the testdata ships no partsupp) per supplier nation per year.",
+    tags=["join", "aggregate", "tpch"],
+)
+def q_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    retail_cents = F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
+    qty_cents = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    # cost in 1e-4 units: retail_cents * 80 * qty_cents / 100 — qty is
+    # integer-valued so qty_cents is a multiple of 100 and the division
+    # is exact in integers on both engines
+    profit_units = _revenue_cents() - retail_cents * F.lit(80) * qty_cents / F.lit(100)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(profit_units) / F.lit(1e4)).alias("profit"))
+    )
+
+
 @register(
     "q14_promo_revenue_pct",
     # Percentage of promo-part revenue: ratio of two exact cents sums ->
