@@ -82,6 +82,43 @@ def rolling_fingerprint(text_col: str = "text", window: int = 8) -> Column:
     return F.array_min(grams)
 
 
+def chunk_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Overlapping token-window chunking (the training-data pipeline's
+    document → training-example explosion): windows of ``chunk_tokens``
+    whitespace tokens with ``overlap`` tokens of context carry-over.
+    Pure JVM expressions: tokenize once, slice per window, explode.
+
+    Returns (id, chunk_idx, chunk_text, n_chunk_tokens).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    # number of windows: ceil(max(n - overlap, 1) / step)
+    n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(step)), F.lit(1)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, i * step + 1, chunk_tokens)).alias("chunk_text"),
+            F.least(n - i * step, F.lit(chunk_tokens)).alias("n_chunk_tokens"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(chunks).alias("_c")).select(
+        id_col,
+        F.col("_c.chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+        F.col("_c.n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+    )
+
+
 def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One-pass text-analysis profile: counts, quality, language guess,
     fingerprint."""

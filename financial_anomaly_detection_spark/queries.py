@@ -2066,6 +2066,59 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_text_windows",
+    oracle=r"""
+        WITH base AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        ), w AS (
+            SELECT doc_id, toks,
+                   GREATEST(CAST(ceil((length(toks) - 8) / 56.0) AS BIGINT), 1) AS n_chunks
+            FROM base
+        ), ex AS (
+            SELECT doc_id, unnest(list_transform(generate_series(0, n_chunks - 1),
+                i -> {'chunk_idx': i,
+                      'chunk_text': array_to_string(list_slice(toks, i*56 + 1, i*56 + 64), ' '),
+                      'n': LEAST(length(toks) - i*56, 64)})) AS c
+            FROM w
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+               c.chunk_text,
+               CAST(c.n AS BIGINT) AS n_chunk_tokens
+        FROM ex
+    """,
+    description="Overlapping token-window chunking (§2.10 pipeline staple: "
+    "document -> training-example explosion): 64-token windows, 8-token "
+    "overlap, tokenize-once + slice + explode, all JVM-side.",
+    tags=["text", "chunking", "explode"],
+)
+def q_chunk_text_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textops import chunk_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_text(docs, "doc_id", "text", chunk_tokens=64, overlap=8)
+
+
+@register(
+    "near_dup_clusters",
+    oracle=None,
+    description="Near-dup connected components (§2.10 'connected-components "
+    "light'): iterative min-label propagation over the exact Jaccard pair "
+    "list — one join + one agg per round, converges in O(cluster "
+    "diameter). Cluster assignment verified against union-find in tests.",
+    tags=["dedup", "graph"],
+)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import near_dup_clusters, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    return near_dup_clusters(pairs).select(
+        F.col("doc_id").cast("long"), F.col("cluster_id").cast("long")
+    )
+
+
+@register(
     "minhash_near_dup",
     oracle=None,
     description="MinHash LSH near-dup candidates (§2.10 tier 3, scale path): "

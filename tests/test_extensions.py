@@ -130,3 +130,66 @@ def test_distributed_lof_ranks_planted_anomalies(spark):
     scored = distributed_lof(df, "vec_id", "embedding", n_neighbors=15, bucket_length=4.0)
     top = {r["vec_id"] for r in scored.orderBy(F.desc("lof")).limit(5).collect()}
     assert top == {400, 401, 402, 403, 404}
+
+
+def test_near_dup_clusters_match_union_find(docs):
+    """Min-label propagation clusters == ground-truth union-find over
+    the same pair list."""
+    from financial_anomaly_detection_spark.operators.dedup import (
+        near_dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    pairs_df = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    pairs = [(r["id_a"], r["id_b"]) for r in pairs_df.collect()]
+    assert pairs, "need near-dup pairs for a meaningful cluster test"
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+    # normalize: representative = min of component
+    comp = {}
+    for x, r in expected.items():
+        comp.setdefault(find(r), set()).add(x)
+    truth = {x: min(members) for members in comp.values() for x in members}
+
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(pairs_df).collect()
+    }
+    assert got == truth
+
+
+def test_chunk_text_reconstructs_documents(spark, sf_dir):
+    """Chunking invariants: concatenating non-overlap segments restores
+    the token stream; every chunk except possibly the last is full."""
+    from financial_anomaly_detection_spark.operators.textops import chunk_text
+    from financial_anomaly_detection_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    chunks = chunk_text(docs, "doc_id", "text", chunk_tokens=64, overlap=8).collect()
+    originals = {r["doc_id"]: r["text"].strip().split() for r in docs.collect()}
+    by_doc = {}
+    for r in sorted(chunks, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        toks = []
+        for r in rows:
+            ctoks = r["chunk_text"].split()
+            assert len(ctoks) == r["n_chunk_tokens"]
+            toks.extend(ctoks if r["chunk_idx"] == 0 else ctoks[8:])
+        assert toks == originals[doc_id], f"doc {doc_id} not reconstructed"
