@@ -119,6 +119,52 @@ def chunk_text(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+    min_df: int = 2,
+    vocab_size: int = 1 << 16,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms (§2.10 text vectorization:
+    CountVectorizer + IDF). The sparse TF-IDF vector is unpacked via
+    vector_to_array + a broadcast (term_id, term) vocabulary join —
+    extraction stays in DataFrame ops, ranking is a window.
+
+    Returns (id, term, tfidf, rank).
+    """
+    from pyspark.ml.feature import CountVectorizer, IDF
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+    cv_model = CountVectorizer(
+        inputCol="_toks", outputCol="_tf", vocabSize=vocab_size, minDF=float(min_df)
+    ).fit(base)
+    tf = cv_model.transform(base)
+    idf_model = IDF(inputCol="_tf", outputCol="_tfidf").fit(tf)
+    scored = idf_model.transform(tf)
+
+    vocab_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            list(enumerate(cv_model.vocabulary)), "term_id int, term string"
+        )
+    )
+    exploded = (
+        scored.select(F.col(id_col), vector_to_array("_tfidf").alias("_arr"))
+        .select(F.col(id_col), F.posexplode("_arr").alias("term_id", "tfidf"))
+        .filter(F.col("tfidf") > 0)
+        .join(vocab_df, "term_id")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", "tfidf", "rank")
+    )
+
+
 def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One-pass text-analysis profile: counts, quality, language guess,
     fingerprint."""

@@ -2100,6 +2100,28 @@ def q_chunk_text_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_terms",
+    oracle=None,
+    description="Per-document top-3 TF-IDF terms (§2.10 text "
+    "vectorization: CountVectorizer + IDF, sparse vector unpacked via "
+    "posexplode + broadcast vocabulary join). Rows-only: MLlib's IDF "
+    "smoothing constant is engine-specific.",
+    tags=["text", "tfidf", "ml"],
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textops import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, "doc_id", "text", top_k=3)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        "term",
+        sround(F.col("tfidf"), 6).alias("tfidf"),
+        F.col("rank").cast("long"),
+    )
+
+
+@register(
     "near_dup_clusters",
     oracle=None,
     description="Near-dup connected components (§2.10 'connected-components "

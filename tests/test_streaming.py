@@ -293,3 +293,54 @@ def test_stream_scoring_with_real_ensemble(spark, sf_dir, tmp_path):
     assert len(stream_rows) == 200
     for k in batch_rows:
         assert stream_rows[k] == batch_rows[k]
+
+
+def test_session_window_on_stream(spark, tmp_path):
+    """W5: F.session_window in an actual streaming aggregation — two
+    bursts separated by > gap produce two session rows after the
+    watermark closes them."""
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    rows = (
+        # burst 1: 10:00-10:05; burst 2: 12:00 (gap 115 min > 30 min)
+        [{"timestamp": f"2025-05-01T10:0{i}:00Z", "transaction_id": str(i),
+          "customer_id": "c", "merchant_id": "m", "amount": 10.0,
+          "channel": "pos", "location": "Harare"} for i in range(5)]
+        + [{"timestamp": "2025-05-01T12:00:00Z", "transaction_id": "9",
+            "customer_id": "c", "merchant_id": "m", "amount": 10.0,
+            "channel": "pos", "location": "Harare"}]
+        # watermark pusher far in the future so both sessions finalize
+        + [{"timestamp": "2025-05-02T00:00:00Z", "transaction_id": "99",
+            "customer_id": "z", "merchant_id": "m", "amount": 1.0,
+            "channel": "pos", "location": "Harare"}]
+    )
+    with open(src / "a.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema(TRANSACTION_SCHEMA)
+        .json(str(src))
+        .withColumn("ts", F.try_to_timestamp("timestamp"))
+    )
+    sessions = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "customer_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out_dir = str(tmp_path / "sess_out")
+    q = (
+        sessions.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["customer_id"], r["sw"].start.hour, r["n"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert ("c", 10, 5) in got  # burst 1: one session of 5 events
+    assert ("c", 12, 1) in got  # burst 2: separate session
