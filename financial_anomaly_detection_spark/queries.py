@@ -2100,6 +2100,67 @@ def q_chunk_text_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pii_scrub_documents",
+    # DuckDB regexp_replace needs the 'g' flag for all-occurrence
+    # replacement (Spark's replaces all by default).
+    oracle=r"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(length(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                   AS n_email_redacted,
+               CAST(length(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT)
+                   AS n_url_redacted,
+               regexp_replace(regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    'https?://[^\s]+', '<URL>', 'g') AS text_scrubbed
+        FROM documents
+    """,
+    description="PII scrubbing (training-data pipeline stage): email/URL "
+    "redaction with typed placeholders + per-kind counts, pure "
+    "regexp_replace/regexp_count in codegen. (Phone pattern exercised in "
+    "unit tests; the synthetic corpus contains none.)",
+    tags=["text", "pii"],
+)
+def q_pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    email_pat = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url_pat = r"https?://[^\s]+"
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        F.regexp_count("text", F.lit(email_pat)).cast("long").alias("n_email_redacted"),
+        F.regexp_count("text", F.lit(url_pat)).cast("long").alias("n_url_redacted"),
+        F.regexp_replace(
+            F.regexp_replace("text", email_pat, "<EMAIL>"), url_pat, "<URL>"
+        ).alias("text_scrubbed"),
+    )
+
+
+@register(
+    "ntile_distribution_ranks",
+    oracle="""
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(NTILE(10) OVER w AS BIGINT) AS decile,
+               floor(PERCENT_RANK() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+               floor(CUME_DIST() OVER w * 1e6 + 0.5) / 1e6 AS cume
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    description="Distribution-rank windows (§2.5 extras): ntile deciles, "
+    "percent_rank, cume_dist per event type over the value ordering.",
+    tags=["window", "rank"],
+)
+def q_ntile_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        F.col("event_id").cast("long"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        sround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        sround(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
     "tfidf_top_terms",
     oracle=None,
     description="Per-document top-3 TF-IDF terms (§2.10 text "

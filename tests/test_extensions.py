@@ -193,3 +193,24 @@ def test_chunk_text_reconstructs_documents(spark, sf_dir):
             assert len(ctoks) == r["n_chunk_tokens"]
             toks.extend(ctoks if r["chunk_idx"] == 0 else ctoks[8:])
         assert toks == originals[doc_id], f"doc {doc_id} not reconstructed"
+
+
+def test_scrub_pii_redacts_planted_pii(spark):
+    from financial_anomaly_detection_spark.operators.textops import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact alice@example.com or +263 77 123 4567 via https://x.io/a now"),
+            (2, "no pii here at all"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in scrub_pii(df).collect()}
+    s = out[1]["text_scrubbed"]
+    assert "<EMAIL>" in s and "<PHONE>" in s and "<URL>" in s
+    assert "alice@example.com" not in s and "x.io" not in s
+    assert out[1]["n_email_redacted"] == 1
+    assert out[1]["n_phone_redacted"] == 1
+    assert out[1]["n_url_redacted"] == 1
+    assert out[2]["text_scrubbed"] == "no pii here at all"
+    assert out[2]["n_email_redacted"] == 0
