@@ -1205,6 +1205,76 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "time_range_self_join",
+    # Oracle states the semantic as the plain theta join; the Spark
+    # implementation executes the bin-bucketed equi-join form.
+    oracle="""
+        SELECT CAST(a.user_id AS BIGINT) AS user_id,
+               CAST(a.event_id AS BIGINT) AS id_a,
+               CAST(b.event_id AS BIGINT) AS id_b,
+               CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND epoch_us(b.ts) > epoch_us(a.ts)
+         AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000
+    """,
+    description="Interval/range self-join (operator class Spark lacks "
+    "natively): same-user event pairs within a 5-minute window, executed "
+    "as a bin-bucketed equi-join + exact post-filter (hash-partitionable "
+    "at scale) — the oracle states the equivalent theta join.",
+    tags=["join", "range", "time"],
+)
+def q_time_range_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.rangejoin import time_proximity_self_join
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_proximity_self_join(
+        ev, key="user_id", ts="ts", id_col="event_id", window_us=300_000_000
+    ).select(
+        F.col("user_id").cast("long"),
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("gap_us").cast("long"),
+    )
+
+
+@register(
+    "deterministic_split",
+    # md5 is identical across engines, so a hash-based train/val/test
+    # assignment is oracle-checkable AND stable across any cluster
+    # layout — the reproducible-split pipeline staple.
+    oracle="""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CASE
+                   WHEN bucket < 80 THEN 'train'
+                   WHEN bucket < 90 THEN 'val'
+                   ELSE 'test'
+               END AS split
+        FROM (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':split-v1'), 1, 8)) AS BIGINT) % 100 AS bucket
+            FROM documents
+        )
+    """,
+    description="Deterministic content-hash split (training-data pipeline "
+    "staple): md5(doc_id || salt) buckets into 80/10/10 train/val/test — "
+    "reproducible on any cluster layout, no RNG state.",
+    tags=["sampling", "split"],
+)
+def q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split-v1"))), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
     "array_map_functions",
     # collect_list order is nondeterministic under parallelism — wrap in
     # sort_array / list_sort on both sides for a stable hash.
