@@ -17,6 +17,55 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    right_tiebreak: str,
+) -> DataFrame:
+    """Point-in-time (as-of) join: each left row picks the single right
+    row with the greatest ``right_ts <= left_ts`` for its key — the
+    financial-data staple Spark lacks natively.
+
+    Executed with the **union + running last_value** pattern: tag both
+    sides, sort by (key, ts, side), and let each left row inherit the
+    most recent right payload via a running ``last(ignorenulls)`` window
+    — ONE shuffle on the key, no join at all, no per-key explosion.
+    Ties on ``right_ts`` resolve to the greatest ``right_tiebreak``
+    (deterministic). Left rows with no prior right row keep nulls.
+    """
+    from pyspark.sql import Window
+
+    payload = F.struct(*[F.col(c) for c in right_cols])
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),  # right rows sort before left at equal ts
+        F.col(right_tiebreak).alias("_tie"),
+        payload.alias("_payload"),
+    )
+    l = left.withColumn("_row", F.struct(*[F.col(c) for c in left.columns])).select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_tie"].dataType).alias("_tie"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        "_row",
+    )
+    merged = r.withColumn("_row", F.lit(None).cast(l.schema["_row"].dataType)).unionByName(l)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side", "_tie")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged.withColumn("_asof", F.last("_payload", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1).select("_row.*", "_asof.*")
+    return out
+
+
 def time_proximity_self_join(
     df: DataFrame,
     key: str,

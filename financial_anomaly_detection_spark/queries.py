@@ -1239,6 +1239,58 @@ def q_time_range_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_purchase_click",
+    # DuckDB has a native ASOF JOIN; microsecond timestamps make ties
+    # impossible, so both engines' pick is deterministic.
+    oracle="""
+        SELECT CAST(p.event_id AS BIGINT) AS event_id,
+               CAST(p.user_id AS BIGINT) AS user_id,
+               CAST(c.event_id AS BIGINT) AS click_event_id,
+               c.value AS click_value,
+               CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    description="As-of (point-in-time) join between two tables — the "
+    "financial-data staple Spark lacks natively: each purchase picks the "
+    "user's most recent click at-or-before it. Executed as union + "
+    "running last_value over one (key, ts) sort — ONE shuffle, no join "
+    "node at all; the oracle uses DuckDB's native ASOF JOIN.",
+    tags=["join", "asof", "time"],
+)
+def q_asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.rangejoin import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_event_id", "click_value", "click_ts"],
+        right_tiebreak="click_event_id",
+    )
+    return joined.select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        F.col("click_event_id").cast("long"),
+        "click_value",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).cast("long").alias("gap_us"),
+    )
+
+
+@register(
     "deterministic_split",
     # md5 is identical across engines, so a hash-based train/val/test
     # assignment is oracle-checkable AND stable across any cluster
