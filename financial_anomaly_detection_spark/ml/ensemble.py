@@ -78,11 +78,19 @@ class AnomalyEnsemble:
         pipeline = build_feature_pipeline(self.numeric_cols, self.categorical_cols)
         self.feature_model = pipeline.fit(feature_df)
         feats = self.feature_model.transform(feature_df)
-        # 80/20 split for threshold calibration (M11, seed=42 ≙ train.py:83)
-        train, val = feats.randomSplit([0.8, 0.2], seed=self.seed)
-        self.iforest.fit(train)
-        self.lof.fit(train)
-        self.recon.fit(val)  # threshold calibrated on the validation split (M9)
+        # Split discipline mirrors train.py:71-88: IsolationForest and
+        # LOF fit on the FULL feature matrix; the autoencoder analog
+        # trains on the 80% split with its threshold calibrated on the
+        # held-out 20% (M9/M11, seed=42 ≙ train.py:83).
+        self.iforest.fit(feats)
+        self.lof.fit(feats)
+        if self.ae_variant == "mlp":
+            # AutoencoderScorer performs the 80/20 train/val split and
+            # held-out threshold calibration internally.
+            self.recon.fit(feats)
+        else:
+            train, val = feats.randomSplit([0.8, 0.2], seed=self.seed)
+            self.recon.fit(train, val_df=val)
         return self
 
     # -- score (§3.1) ------------------------------------------------------

@@ -49,6 +49,8 @@ class _Tree:
     __slots__ = ("feature", "threshold", "left", "right", "size", "depth")
 
     def __init__(self, X: np.ndarray, rng: np.random.Generator, height_limit: int):
+        if len(X) == 0:
+            raise ValueError("_Tree: empty sample (no rows to fit)")
         cap = 4 * len(X)  # loose upper bound on node count
         self.feature = np.full(cap, -1, dtype=np.int32)
         self.threshold = np.zeros(cap, dtype=np.float64)
@@ -120,6 +122,10 @@ class IsolationForestModel:
 
     def fit(self, df: DataFrame, features_col: str = "features") -> "IsolationForestModel":
         pool = self._collect_pool(df, features_col)
+        if len(pool) == 0:
+            raise ValueError(
+                "IsolationForestModel.fit: no rows to fit (empty sample pool)"
+            )
         rng = np.random.default_rng(self.seed)
         psi = min(self.max_samples, len(pool))
         self._c_psi = _c_factor(psi)

@@ -19,9 +19,88 @@ parity with the exact form. Reference semantics per Breunig et al.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.ml.feature import BucketedRandomProjectionLSH
 from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame, Window, functions as F
+
+
+def estimate_distance_cutoff(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_neighbors: int = 20,
+    sample_size: int = 1024,
+    pct: float = 95.0,
+    factor: float = 2.0,
+    seed: int = 42,
+) -> float:
+    """Sample-estimated candidate-distance cutoff: the ``pct``-th
+    percentile of the sampled k-NN distance, times ``factor``.
+
+    Sampling makes the point cloud sparser, so the sampled k-NN
+    distance OVERestimates the true one — the cutoff errs toward
+    recall. This bounds approxSimilarityJoin fan-out on dense corpora,
+    where an unbounded cutoff would emit every same-bucket pair.
+    Driver cost is O(sample_size² ) on a Gram matrix (≤ ~8 MB), the
+    same bounded-sample discipline as the scorers' fit pools.
+    """
+    rows = (
+        df.select(F.col(vec_col).cast("array<double>").alias("_x"))
+        .filter(F.col("_x").isNotNull())
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r["_x"] for r in rows], dtype=np.float64)
+    if len(X) < 2:
+        return float("inf")
+    sq = (X * X).sum(axis=1)
+    d2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (X @ X.T), 0.0)
+    k = min(n_neighbors, len(X) - 1)
+    kth = np.sqrt(np.partition(d2, k, axis=1)[:, k])  # index 0 is self
+    return float(factor * np.percentile(kth, pct))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_neighbors: int = 20,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+    max_distance: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate neighbor pairs (a, b, _d) from bucket-local LSH joins.
+
+    ``max_distance=None`` estimates a cutoff from a bounded sample
+    (see ``estimate_distance_cutoff``) instead of the old unbounded
+    default, so bucket occupancy is no longer the only fan-out bound.
+    """
+    pts = df.select(
+        F.col(id_col).alias("_id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_v"),
+    )
+    if max_distance is None:
+        max_distance = estimate_distance_cutoff(
+            df, vec_col=vec_col, n_neighbors=n_neighbors, seed=seed
+        )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_v",
+        outputCol="_h",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(pts)
+    return (
+        model.approxSimilarityJoin(pts, pts, max_distance, distCol="_d")
+        .select(
+            F.col("datasetA._id").alias("a"),
+            F.col("datasetB._id").alias("b"),
+            "_d",
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
 
 
 def distributed_lof(
@@ -31,15 +110,29 @@ def distributed_lof(
     n_neighbors: int = 20,
     bucket_length: float = 2.0,
     num_hash_tables: int = 4,
-    max_distance: float = 1e9,
+    max_distance: float | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """LOF score for every row of ``df`` against ``df`` itself
-    (outlier-detection mode). Returns (id, lof)."""
+    (outlier-detection mode). Returns (id, lof).
+
+    Candidate generation is two-phase: (1) a cutoff-bounded LSH join
+    for the dense bulk, then (2) points left with fewer than
+    ``n_neighbors`` candidates — isolated points and micro-clusters
+    smaller than k, i.e. exactly the LOF-positive shapes the cutoff
+    would otherwise blind — escalate to a wide join whose fan-out is
+    bounded by bucket occupancy. The escalated set is small by
+    construction (a dense corpus has few sparse points), so phase 2
+    costs |sparse| x occupancy, not n x occupancy.
+    """
     pts = df.select(
         F.col(id_col).alias("_id"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("_v"),
     )
+    if max_distance is None:
+        max_distance = estimate_distance_cutoff(
+            df, vec_col=vec_col, n_neighbors=n_neighbors, seed=seed
+        )
     lsh = BucketedRandomProjectionLSH(
         inputCol="_v",
         outputCol="_h",
@@ -48,12 +141,31 @@ def distributed_lof(
         seed=seed,
     )
     model = lsh.fit(pts)
-    # candidate pairs from shared buckets; keep k nearest per point
-    joined = model.approxSimilarityJoin(pts, pts, max_distance, distCol="_d").select(
-        F.col("datasetA._id").alias("a"),
-        F.col("datasetB._id").alias("b"),
-        "_d",
-    ).filter(F.col("a") != F.col("b"))
+
+    def _pairs(left, dist):
+        return (
+            model.approxSimilarityJoin(left, pts, dist, distCol="_d")
+            .select(
+                F.col("datasetA._id").alias("a"),
+                F.col("datasetB._id").alias("b"),
+                "_d",
+            )
+            .filter(F.col("a") != F.col("b"))
+        )
+
+    phase1 = _pairs(pts, max_distance)
+    # ids with >= k candidates keep their phase-1 pairs; the rest escalate
+    dense_ids = (
+        phase1.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= n_neighbors)
+        .select("a")
+    )
+    sparse_pts = pts.join(
+        dense_ids.withColumnRenamed("a", "_id"), "_id", "left_anti"
+    )
+    phase2 = _pairs(sparse_pts, 1e12)
+    joined = phase1.join(dense_ids, "a", "left_semi").unionByName(phase2)
     w = Window.partitionBy("a").orderBy("_d", "b")
     knn = joined.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= n_neighbors
@@ -79,4 +191,12 @@ def distributed_lof(
         F.col("a").alias(id_col),
         (F.col("_mean_lrd_b") / F.col("_lrd")).alias("lof"),
     )
-    return out
+    # A point with NO candidate within max_distance is more isolated
+    # than anything the cutoff admitted — i.e. the strongest outlier.
+    # Re-attach such points with lof = +Infinity instead of silently
+    # dropping them (rank-correct for top-k anomaly queries).
+    return (
+        df.select(F.col(id_col))
+        .join(out, id_col, "left")
+        .withColumn("lof", F.coalesce(F.col("lof"), F.lit(float("inf"))))
+    )

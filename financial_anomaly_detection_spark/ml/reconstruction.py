@@ -37,7 +37,15 @@ class ReconstructionScorer:
         self.mean: np.ndarray | None = None  # (d,)
         self.threshold: float | None = None
 
-    def fit(self, df: DataFrame, features_col: str = "features") -> "ReconstructionScorer":
+    def fit(
+        self,
+        df: DataFrame,
+        features_col: str = "features",
+        val_df: DataFrame | None = None,
+    ) -> "ReconstructionScorer":
+        """Fit the rank-k model on ``df``; calibrate the MSE threshold on
+        ``val_df`` when given (the reference's held-out calibration,
+        train.py:83-88) — on ``df`` itself otherwise (in-sample)."""
         arr = _as_array(df, features_col)
         d = len(df.select(arr).first()[0])
         k = min(self.k, d)
@@ -60,8 +68,10 @@ class ReconstructionScorer:
         model = PCA(k=k, inputCol="_v", outputCol="_p").fit(vec_df)
         self.components = model.pc.toArray()  # (d, k)
 
-        # threshold: exact percentile of training MSE (M9/A4)
-        scored = df.withColumn("_mse", self.mse_col(df, features_col))
+        # threshold: exact percentile of MSE (M9/A4), on the held-out
+        # split when provided (train.py:86-88), else in-sample
+        cal_df = val_df if val_df is not None else df
+        scored = cal_df.withColumn("_mse", self.mse_col(cal_df, features_col))
         self.threshold = float(
             scored.select(
                 F.expr(f"percentile(_mse, {self.threshold_quantile})")

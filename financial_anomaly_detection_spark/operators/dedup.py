@@ -57,16 +57,24 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    broadcast_sizes: bool = True,
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-gram shingle sets for every
     candidate pair sharing >= 1 shingle. Returns (id_a, id_b, jaccard)
     with id_a < id_b. The shuffle key is the shingle, so co-occurrence
     counting is distributed; the final divide uses per-doc set sizes.
+
+    This is the sample-scale verification tier (the scale tiers are
+    MinHash/SimHash). The per-doc sizes table is broadcast by default —
+    one row per document, so at web-corpus cardinality pass
+    ``broadcast_sizes=False`` to shuffle-join it instead.
     """
     sh = df.select(
         F.col(id_col).alias("_id"), F.explode(shingles_col(text_col, n)).alias("_sh")
     )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    if broadcast_sizes:
+        sizes = F.broadcast(sizes)
     common = (
         sh.alias("a")
         .join(sh.alias("b"), (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
@@ -74,8 +82,8 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("_common"))
     )
     return (
-        common.join(F.broadcast(sizes).alias("sa"), F.col("id_a") == F.col("sa._id"))
-        .join(F.broadcast(sizes).alias("sb"), F.col("id_b") == F.col("sb._id"))
+        common.join(sizes.alias("sa"), F.col("id_a") == F.col("sa._id"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb._id"))
         .select(
             "id_a",
             "id_b",

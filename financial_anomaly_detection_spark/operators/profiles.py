@@ -71,16 +71,20 @@ def with_profiles(
     merch_profile: DataFrame,
     cust_key: str = "customer_id",
     merch_key: str = "merchant_id",
+    broadcast: bool = True,
 ) -> DataFrame:
     """J1 + J2 — left-join both profiles onto the fact rows, defaulting
     absent profiles to 0.0 (python_scoring/app.py:127-137 fallback).
 
-    Profiles are explicitly broadcast: they are bounded by key
-    cardinality, facts are not.
+    Profiles are broadcast by default: they are bounded by key
+    cardinality, facts are not. At billions of customers the profile
+    side can exceed executor/driver broadcast limits — pass
+    ``broadcast=False`` to degrade to a shuffle (sort-merge) join and
+    let AQE pick the strategy from runtime sizes.
     """
-    out = tx.join(F.broadcast(cust_profile), on=cust_key, how="left").join(
-        F.broadcast(merch_profile), on=merch_key, how="left"
-    )
+    cp = F.broadcast(cust_profile) if broadcast else cust_profile
+    mp = F.broadcast(merch_profile) if broadcast else merch_profile
+    out = tx.join(cp, on=cust_key, how="left").join(mp, on=merch_key, how="left")
     return out.na.fill(
         0.0, subset=["cust_avg_amount", "cust_txn_count", "merch_avg_amount"]
     )

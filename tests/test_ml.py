@@ -175,3 +175,59 @@ def test_ensemble_mlp_variant_roundtrip(spark, sf_dir, tmp_path):
     a = out.orderBy("event_id").collect()
     b = loaded.transform(features).orderBy("event_id").collect()
     assert a == b
+
+
+def test_iforest_empty_fit_raises(spark):
+    """Fitting on an empty pool must fail loudly (ValueError), not with
+    an opaque zero-length-array IndexError."""
+    empty = spark.createDataFrame([], "features array<double>")
+    with pytest.raises(ValueError, match="no rows"):
+        IsolationForestModel(seed=1).fit(empty, "features")
+
+
+def test_distributed_lof_bounded_fanout_at_10x(spark):
+    """10x the original planted-anomaly scale, clustered geometry: the
+    sample-estimated distance cutoff must (a) keep the LSH candidate
+    fan-out well under n^2 — cross-cluster pairs are pruned — and
+    (b) still surface the planted isolated anomalies, which re-attach
+    with lof=+Infinity instead of being dropped by the cutoff."""
+    import numpy as np
+
+    from financial_anomaly_detection_spark.ml.lof_distributed import (
+        distributed_lof,
+        estimate_distance_cutoff,
+        lsh_candidate_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    n_clusters, per_cluster, dim = 20, 200, 6
+    centers = rng.uniform(-50.0, 50.0, size=(n_clusters, dim))
+    blobs = [
+        c + rng.normal(0.0, 0.5, size=(per_cluster, dim)) for c in centers
+    ]
+    X = np.vstack(blobs)  # 4000 normal rows
+    # 10 isolated anomalies, each verified far from every cluster center
+    anom = rng.uniform(-50.0, 50.0, size=(10, dim))
+    while True:
+        d = np.sqrt(((anom[:, None, :] - centers[None, :, :]) ** 2).sum(-1))
+        bad = d.min(axis=1) < 25.0
+        if not bad.any():
+            break
+        anom[bad] = rng.uniform(-50.0, 50.0, size=(int(bad.sum()), dim))
+    n = len(X) + len(anom)
+    rows = [
+        (i, [float(v) for v in x]) for i, x in enumerate(np.vstack([X, anom]))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+    cutoff = estimate_distance_cutoff(df, "embedding", n_neighbors=15)
+    assert np.isfinite(cutoff)
+    pairs = lsh_candidate_pairs(
+        df, "vec_id", "embedding", n_neighbors=15, bucket_length=4.0
+    ).count()
+    assert pairs < n * n / 10, f"fan-out not bounded: {pairs} of {n*n} pairs"
+
+    scored = distributed_lof(df, "vec_id", "embedding", n_neighbors=15, bucket_length=4.0)
+    assert scored.count() == n  # nothing silently dropped
+    top = {r["vec_id"] for r in scored.orderBy(F.desc("lof")).limit(10).collect()}
+    assert top == set(range(len(X), n))

@@ -83,3 +83,112 @@ def test_salted_aggregation_matches_unsalted(spark, sf_dir):
     a = {r["event_type"]: (r["total_cents"], r["n"]) for r in plain.collect()}
     b = {r["event_type"]: (r["total_cents"], r["n"]) for r in salted.collect()}
     assert a == b
+
+
+def test_jdbc_derby_roundtrip(spark, tmp_path):
+    """S2-S4 JDBC form (reference python_scoring/app.py:121-137 read,
+    208-230 insert): round-trip through an embedded Derby database —
+    the Derby jars ship inside Spark's own classpath, so this runs the
+    REAL JDBC code path (DriverRegistry, JdbcRelationProvider,
+    partitioned write) with no external server."""
+    from financial_anomaly_detection_spark.sources.readers import read_jdbc_table
+    from financial_anomaly_detection_spark.sources.sinks import write_scores_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/scoresdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    scores = spark.createDataFrame(
+        [
+            (1001, 0.82, "High"),
+            (1002, 0.11, "Low"),
+            (1003, 0.46, "Medium"),
+        ],
+        "transaction_id long, risk_score double, risk_level string",
+    )
+    write_scores_jdbc(scores, url, table="anomalies_log", properties=props)
+
+    back = read_jdbc_table(spark, url, "anomalies_log", properties=props)
+    # sink stamps a server-side timestamp column (app.py:215 NOW())
+    assert "timestamp" in back.columns
+    got = {
+        (r["TRANSACTION_ID"] if "TRANSACTION_ID" in back.columns else r["transaction_id"],
+         r["risk_level"] if "risk_level" in back.columns else r["RISK_LEVEL"])
+        for r in back.collect()
+    }
+    assert got == {(1001, "High"), (1002, "Low"), (1003, "Medium")}
+
+    # partitioned parallel read path (S2's partitionColumn form)
+    part = read_jdbc_table(
+        spark,
+        url,
+        "anomalies_log",
+        partition_column="transaction_id",
+        num_partitions=2,
+        lower_bound=1001,
+        upper_bound=1004,
+        properties=props,
+    )
+    assert part.rdd.getNumPartitions() == 2
+    assert part.count() == 3
+
+
+def test_with_profiles_broadcast_valve(spark, sf_dir):
+    """The profile-enrichment join broadcasts by default (profiles are
+    key-bounded) but must degrade to a shuffle join on request — at
+    billions of customers the profile side exceeds broadcast limits."""
+    from financial_anomaly_detection_spark.operators.profiles import (
+        customer_profile,
+        merchant_profile,
+        with_profiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("customer_id"),
+        (F.col("user_id") % 5).alias("merchant_id"),
+        F.col("value").alias("amount"),
+        F.col("ts").alias("timestamp"),
+    )
+    anchor = "2024-04-01 00:00:00"
+    cp = customer_profile(ev, anchor=anchor)
+    mp = merchant_profile(ev, anchor=anchor)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bcast = with_profiles(ev, cp, mp)
+        plan_b = bcast._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_b
+
+        shuf = with_profiles(ev, cp, mp, broadcast=False)
+        plan_s = shuf._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_s
+        assert "SortMergeJoin" in plan_s or "ShuffledHashJoin" in plan_s
+
+        # both variants compute identical rows
+        cols = ["customer_id", "merchant_id", "cust_avg_amount", "merch_avg_amount"]
+        assert sorted(map(repr, bcast.select(cols).collect())) == sorted(
+            map(repr, shuf.select(cols).collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_ngram_jaccard_broadcast_valve(spark, sf_dir):
+    """ngram_jaccard_pairs broadcasts the per-doc sizes table by
+    default; broadcast_sizes=False must produce the same pairs via
+    shuffle joins (the web-corpus-cardinality escape hatch)."""
+    from financial_anomaly_detection_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+        b = ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5, broadcast_sizes=False
+        )
+        plan_a = a._jdf.queryExecution().executedPlan().toString()
+        plan_b = b._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_a
+        assert "BroadcastHashJoin" not in plan_b
+        assert sorted(map(repr, a.collect())) == sorted(map(repr, b.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
