@@ -2745,6 +2745,492 @@ def q_ml_fusion_scores_precomputed(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ---------------------------------------------------------------------------
+# TPC-H completion set (round 2). The testdata schema is a TPC-H subset
+# (no partsupp; lineitem lacks commitdate/receiptdate/shipmode; customer
+# lacks phone), so Q4/Q11/Q12/Q22 are adapted to equivalent *plan shapes*
+# on the available columns, and Q16/Q20/Q21 (partsupp- or
+# receiptdate-dependent with no faithful analog) are intentionally out of
+# scope — documented in COVERAGE.md.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+        SELECT SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) / 10000.0
+                   AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    description="TPC-H Q6: pure scan-filter-aggregate revenue forecast. "
+    "The plan to want at 100 TB: predicate pushdown to the parquet scan, "
+    "2-column ReadSchema, map-side partial sum, no shuffle beyond the "
+    "final 1-row combine.",
+    tags=["tpch", "aggregate", "scan"],
+)
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(price * disc) / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q4_priority_exists",
+    oracle="""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+    """,
+    description="TPC-H Q4 shape (correlated EXISTS -> left-semi join): "
+    "orders with at least one line shipped >60 days after order date, "
+    "counted by priority. (Reference schema lacks commit/receipt dates, "
+    "so the late-shipping predicate stands in for commitdate<receiptdate.) "
+    "Catalyst decorrelates to a semi-join; at scale AQE picks "
+    "broadcast vs shuffle side.",
+    tags=["tpch", "semi-join", "subquery"],
+)
+def q_q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, on=late, how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+@register(
+    "q12_priority_linestatus",
+    oracle="""
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_linestatus
+    """,
+    description="TPC-H Q12 shape (conditional aggregation over a join): "
+    "high/low-priority line counts by line status. (Schema lacks "
+    "l_shipmode/l_receiptdate; l_linestatus carries the group.) Filter "
+    "pushed to the lineitem scan; single agg shuffle after the join.",
+    tags=["tpch", "join", "aggregate"],
+)
+def q_q12_priority_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c
+            LEFT OUTER JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """,
+    description="TPC-H Q13: customer order-count distribution via left "
+    "outer join (null-preserving count) + double aggregation. (Priority "
+    "filter stands in for the comment LIKE-exclusion; no comment column.) "
+    "First agg shuffles on c_custkey, second on the tiny c_count domain.",
+    tags=["tpch", "outer-join", "aggregate"],
+)
+def q_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                       AS total_rev_u
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_rev_u / 10000.0 AS total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_rev_u = (SELECT MAX(total_rev_u) FROM revenue)
+    """,
+    description="TPC-H Q15: top supplier by quarterly revenue — reusable "
+    "revenue view + scalar-subquery max, revenue kept in exact integer "
+    "1e-4-dollar units so the max-equality is never a float compare. "
+    "Spark reuses one aggregated DataFrame for both the max and the "
+    "filter (self-referencing view without recompute divergence).",
+    tags=["tpch", "subquery", "aggregate"],
+)
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue_cents()).alias("total_rev_u")
+    )
+    max_rev = revenue.agg(F.max("total_rev_u").alias("max_rev_u"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_rev_u") == F.col("max_rev_u"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_rev_u") / F.lit(10000.0)).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customer",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o.o_totalprice,
+               SUM(l.l_quantity) AS total_qty
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+        )
+        GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+    description="TPC-H Q18: large-volume customers — IN-subquery with "
+    "HAVING (decorrelates to semi-join on an aggregated key set), then "
+    "a 3-way join + regroup. Quantities are integer-valued doubles, so "
+    "sums are exact. The aggregated key set is tiny (top orders) -> "
+    "broadcast semi-join at any scale.",
+    tags=["tpch", "semi-join", "having", "join"],
+)
+def q_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+        WITH pv AS (
+            SELECT l_partkey,
+                   SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                       AS value_u
+            FROM lineitem
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey, value_u / 10000.0 AS part_value
+        FROM pv
+        WHERE value_u * 10000 > (SELECT SUM(value_u) * 6 FROM pv)
+    """,
+    description="TPC-H Q11 shape (group-agg filtered against a global "
+    "scalar aggregate of itself): parts whose revenue share exceeds "
+    "0.06% of total. (No partsupp table; lineitem revenue per part "
+    "stands in for stock value.) The share predicate is integer-exact "
+    "(value*10000 > 6*total). One agg shuffle + broadcast 1-row scalar.",
+    tags=["tpch", "subquery", "having", "aggregate"],
+)
+def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(F.sum(_revenue_cents()).alias("value_u"))
+    total = pv.agg(F.sum("value_u").alias("total_u"))
+    return (
+        pv.join(F.broadcast(total), F.col("value_u") * 10000 > F.col("total_u") * 6)
+        .select("l_partkey", (F.col("value_u") / F.lit(10000.0)).alias("part_value"))
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    oracle="""
+        WITH thr AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS avg_bal
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c.c_nationkey AS nationkey,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               SUM(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0
+                   AS totacctbal
+        FROM customer c, thr
+        WHERE c.c_acctbal > thr.avg_bal
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+          )
+        GROUP BY c.c_nationkey
+    """,
+    description="TPC-H Q22 shape: well-funded customers with no recent "
+    "orders (none since 2000-01-01; every custkey has *some* order in "
+    "this dataset, so dormancy is time-windowed) — scalar-average "
+    "threshold (exact decimal sum / count, bit-identical double) + "
+    "NOT EXISTS anti-join + group count. (No c_phone column; nationkey "
+    "carries the country group.) The anti-join side is a filtered "
+    "orders key projection — the date predicate pushes to the scan.",
+    tags=["tpch", "anti-join", "subquery", "aggregate"],
+)
+def q_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    bal_cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    return (
+        c.join(F.broadcast(thr), F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            (F.sum(bal_cents) / F.lit(100.0)).alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline text signals (round 2): Gopher-style repetition
+# quality rules (Rae et al. 2021, "Scaling Language Models" §A1.1) and
+# deterministic stratified sampling.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_repetition_signals",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, lang,
+                   string_split_regex(trim(text), '\\s+') AS words
+            FROM documents
+        ), b AS (
+            SELECT doc_id, lang, words,
+                   list_transform(
+                       list_zip(words[1:len(words) - 1], words[2:len(words)]),
+                       t -> t[1] || ' ' || t[2]
+                   ) AS bigrams
+            FROM w
+        )
+        SELECT doc_id, lang,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words,
+               floor(CAST(len(list_distinct(words)) AS DOUBLE)
+                     / len(words) * 1000000.0 + 0.5) / 1000000.0
+                   AS distinct_word_ratio,
+               CASE WHEN len(bigrams) = 0 THEN 0.0
+                    ELSE floor((1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                                / len(bigrams)) * 1000000.0 + 0.5) / 1000000.0
+               END AS dup_bigram_fraction
+        FROM b
+    """,
+    description="Gopher-style repetition signals (Rae et al. 2021 A1.1) "
+    "computed entirely with array expressions — distinct-word ratio and "
+    "duplicate-bigram fraction per document. Zero shuffles, zero UDFs: "
+    "a pure codegen map over the documents scan, embarrassingly "
+    "parallel at 100 TB.",
+    tags=["text", "quality", "llm-pipeline"],
+)
+def q_doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    nb = F.size(bigrams)
+    n_distinct = F.size(F.array_distinct(words))
+    dup_bigram = F.when(nb == 0, F.lit(0.0)).otherwise(
+        sround(F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / nb, 6)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n.cast("long").alias("n_words"),
+        n_distinct.cast("long").alias("n_distinct_words"),
+        sround(n_distinct.cast("double") / n, 6).alias("distinct_word_ratio"),
+        dup_bigram.alias("dup_bigram_fraction"),
+    )
+
+
+@register(
+    "top_word_fraction",
+    oracle="""
+        WITH e AS (
+            SELECT doc_id, u.w AS word
+            FROM documents,
+                 unnest(string_split_regex(trim(text), '\\s+')) AS u(w)
+        ), c AS (
+            SELECT doc_id, word, COUNT(*) AS cnt FROM e GROUP BY doc_id, word
+        ), r AS (
+            SELECT doc_id, word, cnt,
+                   SUM(cnt) OVER (PARTITION BY doc_id) AS total,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY cnt DESC, word ASC
+                   ) AS rn
+            FROM c
+        )
+        SELECT doc_id, word AS top_word, CAST(cnt AS BIGINT) AS top_count,
+               floor(CAST(cnt AS DOUBLE) / total * 1000000.0 + 0.5) / 1000000.0
+                   AS top_word_fraction
+        FROM r WHERE rn = 1
+    """,
+    description="Gopher-style top-word-fraction quality rule: most "
+    "frequent token's share of each document (deterministic "
+    "count-desc/word-asc tie-break). Explode -> per-(doc,word) count -> "
+    "window top-1; the shuffle key is (doc_id, word) then doc_id, both "
+    "high-cardinality and skew-free at scale.",
+    tags=["text", "quality", "window", "llm-pipeline"],
+)
+def q_top_word_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    e = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    counts = e.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    wdoc = Window.partitionBy("doc_id")
+    wrank = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("word"))
+    return (
+        counts.withColumn("total", F.sum("cnt").over(wdoc))
+        .withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("word").alias("top_word"),
+            F.col("cnt").cast("long").alias("top_count"),
+            sround(F.col("cnt").cast("double") / F.col("total"), 6).alias(
+                "top_word_fraction"
+            ),
+        )
+    )
+
+
+@register(
+    "stratified_sample_docs",
+    oracle="""
+        SELECT doc_id, lang, source
+        FROM (
+            SELECT doc_id, lang, source,
+                   CAST(('0x' || substring(
+                       md5(CAST(doc_id AS VARCHAR) || ':strat-v1'), 1, 8))
+                       AS BIGINT) % 100 AS bucket
+            FROM documents
+        )
+        WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
+    """,
+    description="Deterministic stratified sampling for training-data "
+    "curation: per-language keep rates (downsample the dominant 'en' "
+    "stratum to 20%, keep 50% elsewhere) via md5 hash buckets — no RNG, "
+    "reproducible across engines/runs/retries, trivially parallel. The "
+    "same hash-bucket idiom as deterministic_split, generalized to "
+    "per-stratum rates.",
+    tags=["sampling", "llm-pipeline"],
+)
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":strat-v1"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", 20).otherwise(50)
+    return d.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
 #
@@ -2771,6 +3257,18 @@ _PRIORITY_R02 = [
     "array_map_functions",
     "ml_recon_mse_threshold",
     "ml_fusion_scores_precomputed",
+    # New in round 2: TPC-H completion set + training-pipeline signals.
+    "q6_forecast_revenue",
+    "q4_priority_exists",
+    "q12_priority_linestatus",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q18_large_volume_customer",
+    "q11_important_parts",
+    "q22_dormant_customers",
+    "doc_repetition_signals",
+    "top_word_fraction",
+    "stratified_sample_docs",
 ]
 
 # Rotated past slot 50 this round — all green in CORRECTNESS_r01.
