@@ -1,3 +1,7 @@
+from .relational import (  # noqa: F401
+    dedup_stream,
+    stream_stream_purchase_click,
+)
 from .score_stream import (  # noqa: F401
     build_scoring_stream,
     split_valid_invalid,

@@ -344,3 +344,128 @@ def test_session_window_on_stream(spark, tmp_path):
     }
     assert ("c", 10, 5) in got  # burst 1: one session of 5 events
     assert ("c", 12, 1) in got  # burst 2: separate session
+
+
+def test_dedup_stream_exactly_once(spark, tmp_path):
+    """W7 extension: at-least-once redelivery within the watermark
+    horizon is suppressed by dropDuplicatesWithinWatermark — each
+    transaction_id survives exactly once across micro-batches."""
+    from financial_anomaly_detection_spark.streaming.relational import dedup_stream
+
+    src = tmp_path / "dup_src"
+    src.mkdir()
+    out_dir = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+
+    base = {"customer_id": "c", "merchant_id": "m", "amount": 10.0,
+            "channel": "pos", "location": "Harare"}
+
+    def write(fname, rows):
+        with open(src / fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(TRANSACTION_SCHEMA)
+            .json(str(src))
+            .withColumn("ts", F.try_to_timestamp("timestamp"))
+        )
+        q = (
+            dedup_stream(stream, keys=["transaction_id"], watermark="1 hour")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: one record + an in-batch duplicate
+    write("a.json", [
+        {**base, "timestamp": "2025-05-01T10:00:00Z", "transaction_id": "1"},
+        {**base, "timestamp": "2025-05-01T10:00:00Z", "transaction_id": "1"},
+        {**base, "timestamp": "2025-05-01T10:05:00Z", "transaction_id": "2"},
+    ])
+    run_once()
+    # batch 2: cross-batch redelivery of tx 1 (within horizon) + new tx 3
+    write("b.json", [
+        {**base, "timestamp": "2025-05-01T10:00:00Z", "transaction_id": "1"},
+        {**base, "timestamp": "2025-05-01T10:20:00Z", "transaction_id": "3"},
+    ])
+    run_once()
+
+    rows = spark.read.parquet(out_dir).collect()
+    ids = sorted(r["transaction_id"] for r in rows)
+    assert ids == ["1", "2", "3"], f"expected exactly-once ids, got {ids}"
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream interval join: each purchase matches
+    the same user's clicks within the 30-minute look-back, across
+    micro-batches, and never outside the interval."""
+    from financial_anomaly_detection_spark.streaming.relational import (
+        stream_stream_purchase_click,
+    )
+
+    psrc = tmp_path / "p_src"
+    csrc = tmp_path / "c_src"
+    psrc.mkdir()
+    csrc.mkdir()
+    out_dir = str(tmp_path / "ssj_out")
+    ckpt = str(tmp_path / "ssj_ckpt")
+
+    def write(d, fname, rows):
+        with open(d / fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def run_once():
+        p = (
+            spark.readStream.schema("user_id STRING, p_id STRING, p_time STRING")
+            .json(str(psrc))
+            .withColumn("p_ts", F.try_to_timestamp("p_time"))
+            .drop("p_time")
+        )
+        c = (
+            spark.readStream.schema("user_id STRING, c_id STRING, c_time STRING")
+            .json(str(csrc))
+            .withColumn("c_ts", F.try_to_timestamp("c_time"))
+            .drop("c_time")
+        )
+        joined = stream_stream_purchase_click(
+            p, c, watermark="1 hour", lookback="30 minutes"
+        )
+        q = (
+            joined.select("user_id", "p_id", "c_id")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # clicks arrive first (one in-interval, one too old, one other user)
+    write(csrc, "c1.json", [
+        {"user_id": "u1", "c_id": "k1", "c_time": "2025-05-01T09:50:00Z"},
+        {"user_id": "u1", "c_id": "k_old", "c_time": "2025-05-01T08:00:00Z"},
+        {"user_id": "u2", "c_id": "k2", "c_time": "2025-05-01T09:55:00Z"},
+    ])
+    write(psrc, "p0.json", [])  # both sources must exist for the join
+    run_once()
+    # purchases arrive in a later micro-batch — the u1 purchase at
+    # 10:00 must still find the 09:50 click from state
+    write(psrc, "p1.json", [
+        {"user_id": "u1", "p_id": "b1", "p_time": "2025-05-01T10:00:00Z"},
+        {"user_id": "u3", "p_id": "b3", "p_time": "2025-05-01T10:00:00Z"},
+    ])
+    run_once()
+
+    rows = spark.read.parquet(out_dir).collect()
+    matches = sorted((r["p_id"], r["c_id"]) for r in rows)
+    assert matches == [("b1", "k1")], (
+        f"expected only the in-interval same-user match, got {matches}"
+    )
