@@ -3078,6 +3078,43 @@ def q_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "grouping_sets_order_status",
+    oracle="""
+        SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+               CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+                    AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+                   AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+    description="Explicit GROUPING SETS with grouping_id (SURVEY §2.4 "
+    "extras beyond rollup/cube): priority-only, status-only, and grand "
+    "totals in one pass — Spark expands the sets in a single Expand+agg "
+    "stage (one shuffle), not three scans. Exercises the spark.sql "
+    "entry path over a registered view.",
+    tags=["aggregate", "grouping-sets", "sql-api"],
+)
+def q_grouping_sets_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+               CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT)
+                   AS gid,
+               CAST(COUNT(1) AS BIGINT) AS n_orders,
+               SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+                   AS total
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-pipeline text signals (round 2): Gopher-style repetition
 # quality rules (Rae et al. 2021, "Scaling Language Models" §A1.1) and
@@ -3266,6 +3303,7 @@ _PRIORITY_R02 = [
     "q18_large_volume_customer",
     "q11_important_parts",
     "q22_dormant_customers",
+    "grouping_sets_order_status",
     "doc_repetition_signals",
     "top_word_fraction",
     "stratified_sample_docs",
