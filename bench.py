@@ -27,6 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from financial_anomaly_detection_spark.queries import REGISTRY  # noqa: E402
 from financial_anomaly_detection_spark.session import get_spark  # noqa: E402
 
+# The round-1 headline set — kept first and summed separately as
+# "headline_sec" so round-over-round totals stay comparable.
 HEADLINE = [
     "rules_fusion_risk",
     "profile_join_deviation",
@@ -41,6 +43,65 @@ HEADLINE = [
     "ann_cosine_topk",
 ]
 
+# Extension tiers (minhash/simhash/IVF/TF-IDF/...) benched since round 2
+# so regressions in the scale paths are visible per-round.
+EXTENDED = [
+    # TPC-H shapes
+    "q2_min_cost_supplier",
+    "q7_nation_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_revenue",
+    "q14_promo_revenue_pct",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q11_important_parts",
+    "q12_priority_linestatus",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q18_large_volume_customer",
+    "q22_dormant_customers",
+    # dedup tiers
+    "dedup_keep_first",
+    "ngram_jaccard_pairs",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "near_dup_clusters",
+    # similarity tiers
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_cosine_near_dup",
+    # text pipeline
+    "lang_token_stats",
+    "text_lang_fingerprint",
+    "text_quality_profile",
+    "chunk_text_windows",
+    "tfidf_top_terms",
+    "pii_scrub_documents",
+    "doc_repetition_signals",
+    "top_word_fraction",
+    "stratified_sample_docs",
+    # windows / sessions / range
+    "rank_windows",
+    "ntile_distribution_ranks",
+    "sessionize_events",
+    "time_range_window_profile",
+    "time_range_self_join",
+    "asof_join_purchase_click",
+    # agg shapes
+    "cube_nation_priority",
+    "pivot_event_type_daily",
+    "union_all_monthly_activity",
+    "approx_distinct_users",
+    "deterministic_split",
+    # ML tiers (fit + score at sf embeddings scale)
+    "ml_iforest_embeddings",
+    "ml_lof_distributed",
+    "ml_reconstruction_embeddings",
+]
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -53,7 +114,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name="fad-spark-bench", master=f"local[{cpus}]")
 
-    names = [n for n in HEADLINE if n in REGISTRY]
+    names = [n for n in HEADLINE + EXTENDED if n in REGISTRY]
     # Warmup: pay JVM/codegen startup outside the measured window.
     force(REGISTRY[names[0]].fn(spark, sf_dir))
 
@@ -63,6 +124,7 @@ def main() -> None:
         force(REGISTRY[name].fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    headline = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -70,6 +132,7 @@ def main() -> None:
                 "metric": "total_sec",
                 "value": total,
                 "unit": "sec",
+                "headline_sec": headline,
                 "queries": timings,
                 "sf": sf,
             }

@@ -51,6 +51,35 @@ def exact_dedup(
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def duplicate_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate chunk detection (exact-substring dedup
+    at word-n-gram granularity, Lee et al. 2021 "Deduplicating Training
+    Data Makes Language Models Better" — the suffix-array pass's
+    distributed analog). Returns (chunk, n_docs) for every n-gram that
+    appears in >= ``min_docs`` distinct documents.
+
+    Scale shape: explode distinct shingles per doc -> groupBy chunk ->
+    countDistinct doc. The shuffle key is the shingle; at 100 TB group
+    by ``xxhash64(chunk)`` instead of the raw string (64-bit keys, no
+    text movement) and join back only the surviving hashes to recover
+    chunk text.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles_col(text_col, n)).alias("chunk")
+    )
+    return (
+        sh.groupBy("chunk")
+        .agg(F.countDistinct("_id").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

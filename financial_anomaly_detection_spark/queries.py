@@ -3117,9 +3117,97 @@ def q_grouping_sets_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Training-pipeline text signals (round 2): Gopher-style repetition
-# quality rules (Rae et al. 2021, "Scaling Language Models" §A1.1) and
-# deterministic stratified sampling.
+# quality rules (Rae et al. 2021, "Scaling Language Models" §A1.1),
+# exact-substring chunk dedup (Lee et al. 2021), source mixing stats,
+# and deterministic stratified sampling.
 # ---------------------------------------------------------------------------
+
+
+@register(
+    "duplicate_chunks_across_docs",
+    oracle=r"""
+        WITH w AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, len(t) - 3),
+                       i -> array_to_string(t[i:i+4], ' ')
+                   )) AS grams
+            FROM w
+        ), e AS (
+            SELECT doc_id, u.chunk FROM g, unnest(grams) AS u(chunk)
+        )
+        SELECT chunk, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM e GROUP BY chunk
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    description="Exact-substring cross-document dedup at 5-gram "
+    "granularity (Lee et al. 2021): every chunk appearing in >=2 "
+    "distinct documents. Distributed analog of the suffix-array pass: "
+    "explode distinct shingles, one shuffle keyed on the chunk, "
+    "countDistinct docs. (All test docs have >=10 words, so the "
+    "short-doc whole-text fallback in shingles_col never fires here.)",
+    tags=["dedup", "text", "llm-pipeline"],
+)
+def q_duplicate_chunks_across_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import duplicate_chunks
+
+    return duplicate_chunks(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=5, min_docs=2
+    )
+
+
+@register(
+    "source_mixing_stats",
+    oracle=r"""
+        WITH t AS (
+            SELECT source,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tok
+            FROM documents
+        ), s AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+            FROM t GROUP BY source
+        )
+        SELECT source, n_docs, total_tokens,
+               floor(CAST(total_tokens AS DOUBLE) / n_docs * 1000000.0 + 0.5)
+                   / 1000000.0 AS avg_tokens,
+               floor(CAST(total_tokens AS DOUBLE)
+                     / SUM(CAST(total_tokens AS DOUBLE)) OVER ()
+                     * 1000000.0 + 0.5) / 1000000.0 AS token_share
+        FROM s
+    """,
+    description="Per-source corpus mixing statistics (doc count, token "
+    "count, token share) — the inputs to training-mixture weighting. "
+    "One agg shuffle on the low-cardinality source key; the global "
+    "total is a window over the tiny aggregated result, not a second "
+    "pass over the corpus.",
+    tags=["text", "aggregate", "llm-pipeline"],
+)
+def q_source_mixing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("total_tokens"),
+    )
+    w_all = Window.partitionBy()
+    return per_source.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        sround(F.col("total_tokens").cast("double") / F.col("n_docs"), 6).alias(
+            "avg_tokens"
+        ),
+        sround(
+            F.col("total_tokens").cast("double")
+            / F.sum(F.col("total_tokens").cast("double")).over(w_all),
+            6,
+        ).alias("token_share"),
+    )
 
 
 @register(
@@ -3307,6 +3395,8 @@ _PRIORITY_R02 = [
     "doc_repetition_signals",
     "top_word_fraction",
     "stratified_sample_docs",
+    "duplicate_chunks_across_docs",
+    "source_mixing_stats",
 ]
 
 # Rotated past slot 50 this round — all green in CORRECTNESS_r01.
