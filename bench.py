@@ -63,6 +63,9 @@ EXTENDED = [
     "q15_top_supplier",
     "q18_large_volume_customer",
     "q22_dormant_customers",
+    "q16_supplier_part_counts",
+    "q20_promo_part_shippers",
+    "q21_waiting_suppliers",
     # dedup tiers
     "dedup_keep_first",
     "ngram_jaccard_pairs",
@@ -100,6 +103,9 @@ EXTENDED = [
     "ml_iforest_embeddings",
     "ml_lof_distributed",
     "ml_reconstruction_embeddings",
+    # multimodal decode tiers (real PNG/WAV codecs via mapInPandas)
+    "multimodal_image_features",
+    "multimodal_audio_features",
 ]
 
 
@@ -116,28 +122,37 @@ def main() -> None:
 
     names = [n for n in HEADLINE + EXTENDED if n in REGISTRY]
     # Warmup: pay JVM/codegen startup outside the measured window.
-    force(REGISTRY[names[0]].fn(spark, sf_dir))
+    try:
+        force(REGISTRY[names[0]].fn(spark, sf_dir))
+    except Exception:
+        pass
 
+    # One failing query must not zero the whole round's bench (round 2
+    # lost every number to a single AnalysisException): record the error
+    # and keep timing the rest.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         t0 = time.perf_counter()
-        force(REGISTRY[name].fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            force(REGISTRY[name].fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
 
     headline = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_sec",
-                "value": total,
-                "unit": "sec",
-                "headline_sec": headline,
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_sec",
+        "value": total,
+        "unit": "sec",
+        "headline_sec": headline,
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -1,13 +1,26 @@
 """Multimodal column support (north-star extension, SURVEY.md §2.10).
 
 Media assets are opaque ``binary`` columns plus a typed metadata
-struct; decode / feature-extract / resize / frame-sample run as Arrow
-``mapInPandas`` stages. The Spark-side plumbing — schemas, batch
-shapes, partition-size control — is real and tested; the actual codec
-calls are STUBBED behind an import-try (PIL / torchaudio / av are not
-in this container): with the libraries absent, a clearly-marked
-deterministic fake derived from the payload bytes is produced instead,
-so the pipeline shape can be exercised end-to-end.
+struct; decode / feature-extract run as Arrow ``mapInPandas`` stages so
+payload bytes never transit the driver and batches stay columnar.
+
+Decoder tiers, best available wins, every row tagged with the tier
+that produced it:
+
+1. ``pil`` — native codec libraries when installed (C-speed; absent in
+   this container).
+2. ``png-purepy`` / ``wav-stdlib`` — REAL decodes via the pure-stdlib
+   codecs in :mod:`.codecs` (zlib chunk inflate + unfilter per the
+   public PNG spec; RIFF PCM via ``wave``). No fake numbers: width,
+   height, channels, intensities and audio stats come from the actual
+   pixels/samples.
+3. ``stub`` — deterministic digest-derived pseudo-features, only for
+   payloads no available decoder understands (e.g. video containers).
+   Clearly tagged so downstream can filter or audit.
+
+At 100 TB the shape is unchanged: binary columns in parquet, decode as
+a mapInPandas stage after a repartition sized so one Arrow batch of
+payloads fits executor memory, features written back columnar.
 """
 
 from __future__ import annotations
@@ -15,8 +28,11 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
+
+from .codecs import PNG_SIGNATURE, decode_png, decode_wav, encode_png, encode_wav
 
 # Typed metadata struct carried alongside every media payload.
 MEDIA_META_SCHEMA = T.StructType(
@@ -36,23 +52,105 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("channels", T.IntegerType()),
         T.StructField("mean_intensity", T.DoubleType()),
         T.StructField("feature_vec", T.ArrayType(T.FloatType())),
-        T.StructField("decoder", T.StringType()),  # 'pil' | 'stub'
+        T.StructField("decoder", T.StringType()),  # 'pil' | 'png-purepy' | 'stub'
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_cross_rate", T.DoubleType()),
+        T.StructField("dominant_freq_hz", T.DoubleType()),
+        T.StructField("decoder", T.StringType()),  # 'wav-stdlib' | 'stub'
     ]
 )
 
 
-def attach_fake_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Demo payload builder: wraps each document's text bytes as an
-    opaque binary column + metadata struct, standing in for a real
-    image/audio asset column in the testdata."""
-    payload = F.encode(F.col(text_col), "UTF-8").cast("binary")
-    meta = F.struct(
-        F.lit("image").alias("media_type"),
-        F.lit("fake").alias("format"),
+def _media_meta(payload: F.Column, media_type: str, fmt: str) -> F.Column:
+    return F.struct(
+        F.lit(media_type).alias("media_type"),
+        F.lit(fmt).alias("format"),
         F.length(payload).cast("long").alias("n_bytes"),
         F.md5(payload).alias("checksum"),
     )
-    return df.select(F.col(id_col), payload.alias("payload"), meta.alias("media_meta"))
+
+
+def attach_fake_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Demo payload builder: wraps each document's text bytes as an
+    opaque binary column + metadata struct (an undecodable payload —
+    exercises the stub tier)."""
+    payload = F.encode(F.col(text_col), "UTF-8").cast("binary")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        _media_meta(payload, "image", "fake").alias("media_meta"),
+    )
+
+
+def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL deterministic PNG payload per row.
+
+    The image content is a pure function of the id (gradient plus
+    id-keyed offsets — no RNG), so any engine/run/retry produces
+    byte-identical payloads and the decode stage is fully testable
+    without external assets.
+    """
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                h, w = 16 + i % 9, 16 + (i // 9) % 9
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [(xx * 3 + yy * 5 + i * 7 + c * 11) % 256 for c in range(3)],
+                    axis=2,
+                ).astype(np.uint8)
+                rows.append((i, encode_png(img)))
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    gen_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    out = df.select(F.col(id_col)).mapInPandas(_gen, schema=gen_schema)
+    return out.select(
+        id_col,
+        "payload",
+        _media_meta(F.col("payload"), "image", "png").alias("media_meta"),
+    )
+
+
+def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL deterministic WAV payload per row: a 1/8-second
+    16 kHz sine whose frequency is keyed by the id."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                freq = 220.0 + (i % 220)
+                t = np.arange(2000) / 16000.0
+                wave_s = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+                rows.append((i, encode_wav(wave_s, 16000)))
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    gen_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    out = df.select(F.col(id_col)).mapInPandas(_gen, schema=gen_schema)
+    return out.select(
+        id_col,
+        "payload",
+        _media_meta(F.col("payload"), "audio", "wav").alias("media_meta"),
+    )
 
 
 def decode_image_features(
@@ -63,17 +161,26 @@ def decode_image_features(
 ) -> DataFrame:
     """Decode + feature-extract over the binary column via mapInPandas.
 
-    With PIL installed the payload is decoded for real; otherwise a
-    STUB produces deterministic pseudo-features from the payload md5
-    (clearly tagged ``decoder='stub'``). Batch shape, output schema and
-    Arrow transfer are identical either way — that is the part that
-    must hold at scale.
+    Tier order per row: PIL (if installed) → pure-stdlib PNG decoder →
+    digest stub for undecodable payloads. The feature vector is the
+    row-mean intensity profile resampled to ``feature_dim`` (decoded
+    tiers) — a stand-in for a real embedding model's output shape.
     """
 
+    def _features(img: np.ndarray) -> tuple[int, int, int, float, list[float]]:
+        arr = np.asarray(img, dtype=float)
+        h, w = arr.shape[:2]
+        ch = 1 if arr.ndim == 2 else arr.shape[2]
+        mean_i = float(arr.mean())
+        profile = arr.mean(axis=tuple(range(1, arr.ndim)))  # per-row mean
+        idx = np.linspace(0, len(profile) - 1, feature_dim)
+        vec = [float(profile[int(round(j))]) / 255.0 for j in idx]
+        return w, h, ch, mean_i, vec
+
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:  # pragma: no cover - codec libs absent in this container
-            from PIL import Image  # noqa: F401
-            import io
+        try:  # pragma: no cover - native codec libs absent in this container
+            from PIL import Image
+            import io as _io
 
             have_pil = True
         except ImportError:
@@ -83,31 +190,31 @@ def decode_image_features(
             out = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload)
-                if have_pil:
+                if have_pil:  # pragma: no cover
                     try:
-                        img = Image.open(io.BytesIO(raw))
-                        import numpy as np
-
-                        arr = np.asarray(img, dtype=float)
-                        h, w = arr.shape[:2]
-                        ch = 1 if arr.ndim == 2 else arr.shape[2]
-                        mean_i = float(arr.mean())
-                        vec = arr.mean(axis=tuple(range(arr.ndim - 1)))[:feature_dim]
-                        vec = list(map(float, vec)) + [0.0] * (feature_dim - len(vec))
+                        img = np.asarray(Image.open(_io.BytesIO(raw)))
+                        w, h, ch, mean_i, vec = _features(img)
                         out.append((doc_id, w, h, ch, mean_i, vec, "pil"))
                         continue
                     except Exception:
                         pass
+                if raw[:8] == PNG_SIGNATURE:
+                    try:
+                        img = decode_png(raw)
+                        w, h, ch, mean_i, vec = _features(img)
+                        out.append((doc_id, w, h, ch, mean_i, vec, "png-purepy"))
+                        continue
+                    except ValueError:
+                        pass  # unsupported PNG variant -> stub
                 # STUB: deterministic pseudo-decode from the digest —
                 # NOT a real decode; tagged so downstream can tell.
                 digest = hashlib.md5(raw).digest()
                 w = 64 + digest[0] % 192
                 h = 64 + digest[1] % 192
-                ch = 3
-                mean_i = digest[2] / 255.0 * 255.0 / 2
+                mean_i = digest[2] / 2.0
                 vec = [float(b) / 255.0 for b in digest[:feature_dim]]
                 vec += [0.0] * (feature_dim - len(vec))
-                out.append((doc_id, w, h, ch, mean_i, vec, "stub"))
+                out.append((doc_id, w, h, 3, mean_i, vec, "stub"))
             yield pd.DataFrame(
                 out,
                 columns=[
@@ -118,4 +225,61 @@ def decode_image_features(
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         _decode, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def decode_audio_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Audio decode + signal stats via mapInPandas.
+
+    WAV payloads decode for real (stdlib ``wave``); anything else gets
+    the tagged digest stub. Dominant frequency comes from an rFFT over
+    the first channel — numpy only, per-batch vectorizable.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                try:
+                    rate, samples = decode_wav(raw)
+                    mono = samples[:, 0].astype(float)
+                    n = len(mono)
+                    rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
+                    zc = (
+                        float(np.mean(np.abs(np.diff(np.signbit(mono)))))
+                        if n > 1
+                        else 0.0
+                    )
+                    if n:
+                        spec = np.abs(np.fft.rfft(mono))
+                        dom = float(np.fft.rfftfreq(n, 1.0 / rate)[int(spec.argmax())])
+                    else:
+                        dom = 0.0
+                    out.append(
+                        (doc_id, rate, n, n / rate, rms, zc, dom, "wav-stdlib")
+                    )
+                    continue
+                except Exception:
+                    pass
+                digest = hashlib.md5(raw).digest()
+                out.append(
+                    (
+                        doc_id, 16000, 0, 0.0,
+                        float(digest[0]), digest[1] / 255.0, float(digest[2]),
+                        "stub",
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "duration_sec",
+                    "rms", "zero_cross_rate", "dominant_freq_hz", "decoder",
+                ],
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _decode, schema=AUDIO_FEATURES_SCHEMA
     )

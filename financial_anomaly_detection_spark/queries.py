@@ -2454,18 +2454,37 @@ def q_text_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_image_features",
     oracle=None,
-    description="Multimodal column plumbing (§2.10): opaque binary payload "
-    "+ typed metadata struct -> mapInPandas decode/feature-extract stage. "
-    "Codec STUBBED (PIL absent in container; deterministic fake tagged "
-    "decoder='stub') — schema, Arrow batching, and partitioning are real.",
+    description="Multimodal image path (§2.10): REAL deterministic PNG "
+    "payloads (binary column + typed metadata struct) decoded by the "
+    "pure-stdlib PNG codec (operators/codecs.py — zlib inflate + "
+    "unfilter per the public spec) in a mapInPandas stage; rows tagged "
+    "decoder='png-purepy'. PIL wins when installed; undecodable bytes "
+    "fall to a tagged stub.",
     tags=["multimodal", "mapinpandas"],
 )
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.multimodal import attach_fake_payload, decode_image_features
+    from .operators.multimodal import attach_png_payload, decode_image_features
 
     docs = load_table(spark, sf_dir, "documents")
-    media = attach_fake_payload(docs, "doc_id", "text")
+    media = attach_png_payload(docs, "doc_id")
     return decode_image_features(media, "doc_id", "payload")
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=None,
+    description="Multimodal audio path (§2.10): REAL WAV payloads decoded "
+    "with the stdlib RIFF/PCM codec in a mapInPandas stage — duration, "
+    "RMS, zero-cross rate, rFFT dominant frequency per asset; rows "
+    "tagged decoder='wav-stdlib'.",
+    tags=["multimodal", "mapinpandas", "audio"],
+)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import attach_wav_payload, decode_audio_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_wav_payload(docs, "doc_id")
+    return decode_audio_features(media, "doc_id", "payload")
 
 
 # ---------------------------------------------------------------------------
@@ -3107,8 +3126,11 @@ def q_grouping_sets_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT)
                    AS gid,
                CAST(COUNT(1) AS BIGINT) AS n_orders,
-               SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
-                   AS total
+               -- 100.0 alone would parse as DECIMAL(4,1) in Spark SQL and
+               -- make `total` a DecimalType; force DOUBLE to match the
+               -- oracle's float output exactly at the hash level.
+               SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   / CAST(100.0 AS DOUBLE) AS total
         FROM orders_v
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """
@@ -3355,6 +3377,168 @@ def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(bucket < rate).select("doc_id", "lang", "source")
 
 
+@register(
+    "q16_supplier_part_counts",
+    # Q16 shape without a partsupp table: supplier-part pairs come from
+    # the lineitem fact (who actually shipped what); the "customer
+    # complaints" NOT IN exclusion becomes negative-balance suppliers
+    # (the schema has no s_comment).
+    oracle="""
+        WITH ps AS (
+            SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+            FROM lineitem
+        )
+        SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+               CAST(COUNT(DISTINCT ps.suppkey) AS BIGINT) AS supplier_cnt
+        FROM ps
+        JOIN part p ON ps.partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#13'
+          AND p.p_type NOT LIKE 'STANDARD%'
+          AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45, 49)
+          AND ps.suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    description="TPC-H Q16 shape (NOT IN anti-join + multi-key distinct "
+    "count): supplier variety per (brand, type, size) excluding "
+    "disqualified suppliers. The exclusion list is tiny -> broadcast "
+    "anti-join; the part dim is broadcast; the only shuffle is the "
+    "final distinct-count agg.",
+    tags=["tpch", "anti-join", "aggregate"],
+)
+def q_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").startswith("STANDARD"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45, 49))
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    ps = li.select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    return (
+        ps.join(F.broadcast(bad_supp), ps.suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_promo_part_shippers",
+    # Q20 shape without partsupp.availqty: a supplier qualifies if it
+    # shipped more than 50 units of any one 'small *' part during 1996
+    # (stands in for availqty > half the year's demand). Nested
+    # IN-subqueries decorrelate to two joins + a HAVING filter + a
+    # semi-join back to supplier.
+    oracle="""
+        SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name, s.s_acctbal
+        FROM supplier s
+        WHERE s.s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+            )
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_suppkey, l_partkey
+            HAVING SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 5000
+        )
+    """,
+    description="TPC-H Q20 shape (nested IN subqueries -> join + "
+    "grouped HAVING + semi-join): suppliers that shipped >50 units of "
+    "any single 'small' part in 1996. Part-key filter is broadcast into "
+    "the lineitem scan; one agg shuffle on (suppkey, partkey); the "
+    "supplier probe is a broadcast semi-join.",
+    tags=["tpch", "semi-join", "subquery", "aggregate"],
+)
+def q_q20_promo_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    small_parts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("small")
+    ).select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier")
+    qty_cents = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    heavy = (
+        li.join(F.broadcast(small_parts), li.l_partkey == small_parts.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(qty_cents).alias("qty_cents"))
+        .filter(F.col("qty_cents") > 5000)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return s.join(
+        F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select(
+        F.col("s_suppkey").cast("long"), "s_name", "s_acctbal"
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    # Q21 shape without receipt/commit dates: "late" = shipped more than
+    # 90 days after the order date. A supplier waits on an order when it
+    # is the ONLY late supplier in a multi-supplier order — the classic
+    # EXISTS (other supplier) + NOT EXISTS (other late supplier) pair,
+    # decorrelated into per-order supplier counts.
+    oracle="""
+        WITH late AS (
+            SELECT DISTINCT l.l_orderkey, l.l_suppkey
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        ), all_pairs AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        ), late_cnt AS (
+            SELECT l_orderkey, COUNT(*) AS n_late FROM late GROUP BY l_orderkey
+        ), supp_cnt AS (
+            SELECT l_orderkey, COUNT(*) AS n_supp FROM all_pairs GROUP BY l_orderkey
+        )
+        SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM late
+        JOIN late_cnt lc ON late.l_orderkey = lc.l_orderkey AND lc.n_late = 1
+        JOIN supp_cnt sc ON late.l_orderkey = sc.l_orderkey AND sc.n_supp >= 2
+        JOIN supplier s  ON late.l_suppkey = s.s_suppkey
+        GROUP BY s.s_name
+    """,
+    description="TPC-H Q21 shape (EXISTS + NOT EXISTS decorrelated): "
+    "orders a supplier alone held up, counted per supplier. Both "
+    "correlated subqueries become per-order counts joined back on "
+    "orderkey — two agg shuffles + orderkey-aligned joins (co-"
+    "partitioned, AQE-coalesced) instead of nested-loop EXISTS probes.",
+    tags=["tpch", "semi-join", "anti-join", "aggregate"],
+)
+def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    late_cnt = late.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_late"))
+    supp_cnt = all_pairs.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_supp"))
+    sole_late = (
+        late.join(late_cnt.filter(F.col("n_late") == 1), "l_orderkey")
+        .join(supp_cnt.filter(F.col("n_supp") >= 2), "l_orderkey")
+    )
+    return (
+        sole_late.join(F.broadcast(s), sole_late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -3366,66 +3550,83 @@ def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exceeds 50, the overflow rotates across rounds: queries rotated out
 # this round all have green hash-match evidence from a previous round.
 
-# Checked first this round: the 9 oracle-backed queries that fell past
-# slot 50 in round 1 (no driver evidence yet), the repaired
-# array_map_functions, and the two new ML-math surrogates.
-_PRIORITY_R02 = [
-    "cube_nation_priority",
-    "union_all_monthly_activity",
-    "having_active_users",
-    "scalar_subquery_above_avg",
-    "ngram_jaccard_pairs",
-    "chunk_text_windows",
-    "pii_scrub_documents",
-    "ntile_distribution_ranks",
-    "text_quality_profile",
-    "array_map_functions",
-    "ml_recon_mse_threshold",
-    "ml_fusion_scores_precomputed",
-    # New in round 2: TPC-H completion set + training-pipeline signals.
-    "q6_forecast_revenue",
-    "q4_priority_exists",
-    "q12_priority_linestatus",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q18_large_volume_customer",
-    "q11_important_parts",
-    "q22_dormant_customers",
+# Round-3 window (stalest-evidence-first rotation): the 3 queries
+# repaired this round (NTZ timestamps / DecimalType literal), the 3 new
+# TPC-H shapes (no driver evidence yet), then every oracle-backed query
+# whose last green check was round 1 (rotated out of the r2 window),
+# then round-2 greens to fill slot 50. Everything past slot 50 has a
+# green hash-match row in CORRECTNESS_r01 or _r02.
+_PRIORITY_R03 = [
+    # repaired (r2: TIMESTAMP_NTZ errors / Decimal-vs-double hash miss)
+    "time_range_self_join",
+    "asof_join_purchase_click",
     "grouping_sets_order_status",
-    "doc_repetition_signals",
-    "top_word_fraction",
-    "stratified_sample_docs",
-    "duplicate_chunks_across_docs",
-    "source_mixing_stats",
-]
-
-# Rotated past slot 50 this round — all green in CORRECTNESS_r01.
-_ROTATE_OUT_R02 = [
+    # new this round (TPC-H 22/22 completion)
+    "q16_supplier_part_counts",
+    "q20_promo_part_shippers",
+    "q21_waiting_suppliers",
+    # last checked in round 1
     "events_scan_filter_project",
     "time_features_extract",
-    "distinct_agg_users",
-    "json_extract_props",
     "customers_without_orders",
     "customers_with_urgent_orders",
     "set_ops_users",
+    "distinct_agg_users",
+    "json_extract_props",
+    "sessionize_events",
+    "time_range_window_profile",
+    "pivot_event_type_daily",
+    "from_json_props_struct",
+    "except_all_bag_semantics",
+    "q7_nation_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q14_promo_revenue_pct",
+    "q19_disjunctive_predicates",
+    "q2_min_cost_supplier",
+    "q17_small_quantity_revenue",
+    "q10_returned_revenue",
+    "priority_case_pivot",
     "string_functions",
     "date_arithmetic",
+    # round-2 greens filling the remaining slots
+    "customer_profile_90d",
+    "merchant_profile_90d",
+    "profile_window_7d",
+    "profile_join_deviation",
+    "window_transform_profile",
+    "asof_profile",
+    "rules_fusion_risk",
+    "percentile_thresholds",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "rank_windows",
+    "rollup_order_volume",
+    "dedup_exact_docs",
+    "dedup_keep_first",
+    "text_quality_stats",
+    "lang_token_stats",
+    "ann_cosine_topk",
+    "embedding_cosine_near_dup",
+    "embedding_norm_stats",
 ]
 
 
 def _ordered_names() -> list[str]:
-    pri = [n for n in _PRIORITY_R02 if n in REGISTRY]
-    pri_set, rot_set = set(pri), set(_ROTATE_OUT_R02)
+    pri = [n for n in _PRIORITY_R03 if n in REGISTRY]
+    pri_set = set(pri)
+    # Oracle-backed overflow (green in r1/r2) precedes rows-only entries,
+    # which yield weaker no_oracle slots if the driver reads past 50.
     mid = [
         n
         for n, spec in REGISTRY.items()
-        if spec.oracle is not None and n not in pri_set and n not in rot_set
+        if spec.oracle is not None and n not in pri_set
     ]
-    rot = [n for n in _ROTATE_OUT_R02 if n in REGISTRY]
     rows_only = [
         n for n, spec in REGISTRY.items() if spec.oracle is None and n not in pri_set
     ]
-    return pri + mid + rot + rows_only
+    return pri + mid + rows_only
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

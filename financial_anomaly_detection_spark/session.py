@@ -27,6 +27,13 @@ RUNTIME_CONFS: dict[str, str] = {
     # vectorized reader rejects; read as long and convert in the reader
     # (sources.readers handles the ns -> timestamp conversion).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Testdata timestamps carry no timezone (isAdjustedToUTC=false);
+    # Spark 4 would infer TIMESTAMP_NTZ, which time arithmetic
+    # (unix_micros, RANGE frames) rejects. Read them as session-local
+    # TIMESTAMP instead — with the UTC session zone above this is
+    # value-identical to DuckDB's naive-timestamp semantics, and keeps
+    # ts predicates pushable into the parquet scan (no cast wrapper).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Arrow for every pandas_udf / toPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }

@@ -39,6 +39,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # ns -> us truncation via integer division: exact, no
             # double-precision round-trip (ns values exceed 2^53).
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    # Fallback if inferTimestampNTZ couldn't be disabled (session.py):
+    # normalize TIMESTAMP_NTZ columns to session-local TIMESTAMP so time
+    # arithmetic (unix_micros, RANGE frames) resolves. UTC session zone
+    # makes the cast value-preserving vs the oracle's naive timestamps.
+    ntz_cols = [
+        f.name for f in df.schema.fields
+        if f.dataType.simpleString() == "timestamp_ntz"
+    ]
+    for col in ntz_cols:
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

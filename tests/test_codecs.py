@@ -1,0 +1,103 @@
+"""Pure-stdlib media codecs + real-decode multimodal tiers.
+
+The container has no PIL/av, so these tests prove the decode path is
+REAL anyway: PNG bytes produced by the in-repo encoder round-trip
+bit-exactly through every PNG filter type, WAV round-trips PCM
+samples, and the Spark mapInPandas stages tag rows with the real
+decoder tier (not 'stub') and recover ground-truth pixel/signal stats.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from financial_anomaly_detection_spark.operators.codecs import (
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+)
+from financial_anomaly_detection_spark.sources.readers import load_table
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter(channels, filter_type):
+    rng = np.random.default_rng(42 + channels)
+    shape = (11, 7) if channels == 1 else (11, 7, channels)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    back = decode_png(encode_png(img, filter_type=filter_type))
+    assert back.shape == img.shape
+    assert (back == img).all()
+
+
+def test_png_rejects_non_png():
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all, definitely text")
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    t = np.arange(4000)
+    mono = (np.sin(t * 0.05) * 20000).astype(np.int16)
+    rate, back = decode_wav(encode_wav(mono, 16000))
+    assert rate == 16000 and (back[:, 0] == mono).all()
+    stereo = np.stack([mono, -mono], axis=1).astype(np.int16)
+    rate, back = decode_wav(encode_wav(stereo, 44100))
+    assert rate == 44100 and (back == stereo).all()
+
+
+def test_image_decode_is_real_not_stub(spark, sf_dir):
+    from financial_anomaly_detection_spark.operators.multimodal import (
+        attach_png_payload,
+        decode_image_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    media = attach_png_payload(docs)
+    feats = decode_image_features(media).collect()
+    assert len(feats) == 40
+    assert all(r["decoder"] == "png-purepy" for r in feats)
+    # ground truth: regenerate one image locally and compare exactly
+    r = next(x for x in feats)
+    i = r["doc_id"]
+    h, w = 16 + i % 9, 16 + (i // 9) % 9
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 3 + yy * 5 + i * 7 + c * 11) % 256 for c in range(3)], axis=2
+    ).astype(float)
+    assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+    assert r["mean_intensity"] == pytest.approx(img.mean(), abs=1e-9)
+
+
+def test_audio_decode_recovers_signal(spark, sf_dir):
+    from financial_anomaly_detection_spark.operators.multimodal import (
+        attach_wav_payload,
+        decode_audio_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    media = attach_wav_payload(docs)
+    feats = decode_audio_features(media).collect()
+    assert len(feats) == 40
+    assert all(r["decoder"] == "wav-stdlib" for r in feats)
+    for r in feats[:5]:
+        expect_freq = 220.0 + (r["doc_id"] % 220)
+        # rFFT bin width at 2000 samples / 16 kHz is 8 Hz
+        assert abs(r["dominant_freq_hz"] - expect_freq) <= 8.0
+        assert r["duration_sec"] == pytest.approx(0.125)
+        # sine RMS = amplitude / sqrt(2)
+        assert r["rms"] == pytest.approx(12000 / np.sqrt(2), rel=0.02)
+
+
+def test_undecodable_payload_falls_to_tagged_stub(spark, sf_dir):
+    from financial_anomaly_detection_spark.operators.multimodal import (
+        attach_fake_payload,
+        decode_image_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = attach_fake_payload(docs)  # text bytes: no decoder understands
+    feats = decode_image_features(media).collect()
+    assert all(r["decoder"] == "stub" for r in feats)
