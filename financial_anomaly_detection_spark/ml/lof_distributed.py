@@ -31,18 +31,30 @@ def estimate_distance_cutoff(
     n_neighbors: int = 20,
     sample_size: int = 1024,
     pct: float = 95.0,
-    factor: float = 2.0,
+    factor: float = 1.0,
+    fanout_per_k: int = 4,
+    n_total: int | None = None,
     seed: int = 42,
 ) -> float:
-    """Sample-estimated candidate-distance cutoff: the ``pct``-th
-    percentile of the sampled k-NN distance, times ``factor``.
+    """Sample-estimated candidate-distance cutoff, fan-out capped.
 
-    Sampling makes the point cloud sparser, so the sampled k-NN
-    distance OVERestimates the true one — the cutoff errs toward
-    recall. This bounds approxSimilarityJoin fan-out on dense corpora,
-    where an unbounded cutoff would emit every same-bucket pair.
-    Driver cost is O(sample_size² ) on a Gram matrix (≤ ~8 MB), the
-    same bounded-sample discipline as the scorers' fit pools.
+    Two estimates, take the smaller:
+
+    1. the ``pct``-th percentile of the sampled k-NN distance × ``factor``
+       (recall: admits each point's true k-NN for ~pct% of points);
+    2. the pairwise-distance quantile at which the EXPECTED candidate
+       count per point is ``fanout_per_k * n_neighbors`` (cost: caps the
+       LSH join output even under high-dimensional distance
+       concentration, where the gap between the k-NN distance and the
+       median pair distance collapses and any padded cutoff admits
+       nearly all n² pairs — measured: factor=2.0 on unit-norm 64-d
+       vectors returned 1871 of 1999 possible candidates per point).
+
+    Points whose true k-NN falls beyond the cutoff escalate to the
+    wide phase-2 join in :func:`distributed_lof`, so tightening the
+    cutoff trades phase-2 size, not correctness. Driver cost is
+    O(sample_size²) on a Gram matrix (≤ ~8 MB), the same
+    bounded-sample discipline as the scorers' fit pools.
     """
     rows = (
         df.select(F.col(vec_col).cast("array<double>").alias("_x"))
@@ -57,7 +69,18 @@ def estimate_distance_cutoff(
     d2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (X @ X.T), 0.0)
     k = min(n_neighbors, len(X) - 1)
     kth = np.sqrt(np.partition(d2, k, axis=1)[:, k])  # index 0 is self
-    return float(factor * np.percentile(kth, pct))
+    recall_cut = float(factor * np.percentile(kth, pct))
+
+    if n_total is None:
+        n_total = df.count()
+    if n_total <= 1:
+        return recall_cut
+    target = min(float(fanout_per_k * n_neighbors), float(n_total - 1))
+    d = np.sqrt(d2)
+    np.fill_diagonal(d, np.inf)
+    offdiag = d[np.isfinite(d)]
+    cap_cut = float(np.quantile(offdiag, min(1.0, target / (n_total - 1))))
+    return min(recall_cut, cap_cut)
 
 
 def lsh_candidate_pairs(
@@ -153,7 +176,12 @@ def distributed_lof(
             .filter(F.col("a") != F.col("b"))
         )
 
-    phase1 = _pairs(pts, max_distance)
+    # Materialize phase-1 candidates ONCE: they feed the dense-id
+    # count, the semi-join back, and (via sparse_pts) the escalation
+    # join — without this the LSH explode+join runs three times. The
+    # candidate list is cutoff-bounded, so it is the small artifact of
+    # the computation, safe to pin.
+    phase1 = _pairs(pts, max_distance).localCheckpoint(eager=True)
     # ids with >= k candidates keep their phase-1 pairs; the rest escalate
     dense_ids = (
         phase1.groupBy("a")
@@ -167,9 +195,11 @@ def distributed_lof(
     phase2 = _pairs(sparse_pts, 1e12)
     joined = phase1.join(dense_ids, "a", "left_semi").unionByName(phase2)
     w = Window.partitionBy("a").orderBy("_d", "b")
+    # knn feeds k-distance, reachability, and the neighbor-lrd join —
+    # pin it (n x k rows) so the top-k window runs once.
     knn = joined.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= n_neighbors
-    )
+    ).localCheckpoint(eager=True)
 
     # k-distance of each point = distance to its k-th kept neighbor
     kdist = knn.groupBy("a").agg(F.max("_d").alias("_kdist"))

@@ -169,11 +169,16 @@ def near_dup_clusters(
     ``pairs`` needs columns (id_a, id_b); returns (doc_id, cluster_id)
     for every node that appears in a pair, cluster_id = min member id.
     """
+    # Materialize the edge list ONCE: ``pairs`` is typically an LSH
+    # candidate join (MinHash/SimHash) — without this every propagation
+    # round (and the convergence probe) would recompute that join from
+    # scratch. The edge list is the bounded near-dup pair set, far
+    # smaller than the corpus.
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -191,7 +196,8 @@ def near_dup_clusters(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-        )
+        ).localCheckpoint(eager=True)  # cut the lineage per round
+        # convergence probe reads the two materialized label frames only
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -199,7 +205,7 @@ def near_dup_clusters(
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # cut the lineage per round
+        labels = new_labels
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
