@@ -86,6 +86,9 @@ EXTENDED = [
     "doc_repetition_signals",
     "top_word_fraction",
     "stratified_sample_docs",
+    "c4_quality_filters",
+    "benchmark_contamination",
+    "source_temperature_weights",
     # windows / sessions / range
     "rank_windows",
     "ntile_distribution_ranks",

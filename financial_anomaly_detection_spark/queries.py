@@ -3539,6 +3539,213 @@ def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "c4_quality_filters",
+    # C4-style heuristic quality gate (Raffel et al. 2020 §2.2),
+    # adapted to the synthetic corpus (no sentence punctuation): every
+    # rule is integer-exact (counts and integer-scaled comparisons,
+    # never float thresholds), so the keep/drop decision is
+    # bit-deterministic across engines.
+    oracle=r"""
+        WITH w AS (
+            SELECT doc_id, source,
+                   string_split_regex(trim(text), '\s+') AS words,
+                   length(replace(trim(text), ' ', '')) AS n_letters
+            FROM documents
+        ), f AS (
+            SELECT doc_id, source,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   n_letters,
+                   (list_contains(words, 'the') OR list_contains(words, 'a'))
+                       AS has_stopword,
+                   CAST(list_max(list_transform(
+                       list_distinct(words),
+                       u -> len(list_filter(words, x -> x = u))
+                   )) AS BIGINT) AS top_word_count
+            FROM w
+        )
+        SELECT doc_id, source, n_words, has_stopword, top_word_count,
+               (n_words >= 20
+                AND has_stopword
+                AND top_word_count * 5 <= n_words
+                AND n_letters * 1 >= n_words * 3
+                AND n_letters * 1 <= n_words * 8) AS keep
+        FROM f
+    """,
+    description="C4-style quality gate (Raffel et al. 2020 §2.2) as one "
+    "codegen map over the scan: min length, stopword presence, "
+    "top-word concentration <=20%, mean word length in [3,8] — all "
+    "integer-scaled comparisons (top*5<=n, 3n<=letters<=8n), no float "
+    "thresholds, so keep/drop is bit-deterministic. Zero shuffles; "
+    "embarrassingly parallel at 100 TB.",
+    tags=["text", "quality", "llm-pipeline"],
+)
+def q_c4_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(words).cast("long")
+    n_letters = F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
+    has_stop = F.array_contains(words, "the") | F.array_contains(words, "a")
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda u: F.size(F.filter(words, lambda x: x == u)),
+        )
+    ).cast("long")
+    keep = (
+        (n >= 20)
+        & has_stop
+        & (top_count * 5 <= n)
+        & (n_letters >= n * 3)
+        & (n_letters <= n * 8)
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        n.alias("n_words"),
+        has_stop.alias("has_stopword"),
+        top_count.alias("top_word_count"),
+        keep.alias("keep"),
+    )
+
+
+@register(
+    "benchmark_contamination",
+    # Train/eval decontamination (GPT-3 appendix C / Brown et al. 2020,
+    # public methodology): n-gram collision between the training corpus
+    # and a benchmark set — here the deterministic pseudo-benchmark is
+    # doc_id % 50 == 0. The distributed shape is the important part:
+    # explode each side's DISTINCT 5-grams, one shuffle keyed on the
+    # gram, aggregate collisions per training doc.
+    oracle=r"""
+        WITH w AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS t
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, len(t) - 3),
+                       i -> array_to_string(t[i:i+4], ' ')
+                   )) AS grams
+            FROM w
+        ), e AS (
+            SELECT doc_id, len(grams) AS n_grams, u.gram
+            FROM g, unnest(grams) AS u(gram)
+        ), bench AS (
+            SELECT DISTINCT gram FROM e WHERE doc_id % 50 = 0
+        ), hits AS (
+            SELECT e.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS contaminated_grams
+            FROM e JOIN bench USING (gram)
+            WHERE e.doc_id % 50 <> 0
+            GROUP BY e.doc_id
+        )
+        SELECT g2.doc_id,
+               CAST(len(g2.grams) AS BIGINT) AS n_grams,
+               COALESCE(h.contaminated_grams, 0) AS contaminated_grams,
+               floor(COALESCE(h.contaminated_grams, 0)
+                     / CAST(len(g2.grams) AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS contamination_ratio
+        FROM g g2 LEFT JOIN hits h ON g2.doc_id = h.doc_id
+        WHERE g2.doc_id % 50 <> 0
+    """,
+    description="Benchmark decontamination (Brown et al. 2020 app. C): "
+    "per training doc, how many of its distinct 5-grams collide with "
+    "the benchmark set's gram inventory. One shuffle keyed on the gram "
+    "(at 100 TB: key on xxhash64 of the gram so the shuffle moves 8-byte "
+    "keys, same collisions), benchmark side is distinct-deduped before "
+    "the join; per-doc ratio from exact integer counts.",
+    tags=["text", "dedup", "llm-pipeline", "join"],
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 5),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 5)),
+        )
+    )
+    g = d.select("doc_id", grams.alias("grams")).withColumn(
+        "n_grams", F.size("grams").cast("long")
+    )
+    e = g.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
+    bench = (
+        e.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
+    )
+    hits = (
+        e.filter(F.col("doc_id") % 50 != 0)
+        .join(bench, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("contaminated_grams"))
+    )
+    train = g.filter(F.col("doc_id") % 50 != 0).select("doc_id", "n_grams")
+    out = train.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("contaminated_grams", F.lit(0)).cast("long").alias(
+            "contaminated_grams"
+        ),
+        sround(
+            F.coalesce("contaminated_grams", F.lit(0)).cast("double")
+            / F.col("n_grams").cast("double"),
+            6,
+        ).alias("contamination_ratio"),
+    )
+    return out
+
+
+@register(
+    "source_temperature_weights",
+    # Temperature-based source mixing (multilingual-sampling staple,
+    # e.g. Conneau & Lample 2019 use p_i^alpha): per-source sampling
+    # weight sqrt(share) and upsampling factor sqrt(1/share) at
+    # alpha = 0.5. sqrt and division are IEEE correctly-rounded in both
+    # engines, and the inputs are exact integer counts — so the floats
+    # are bit-identical with no float-sum ordering anywhere.
+    oracle="""
+        WITH s AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS n_chars
+            FROM documents GROUP BY source
+        ), t AS (
+            SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM s
+        )
+        SELECT s.source, s.n_docs, s.n_chars,
+               floor(sqrt(CAST(s.n_docs AS DOUBLE) / t.total) * 1e6 + 0.5) / 1e6
+                   AS temp_weight,
+               floor(sqrt(CAST(t.total AS DOUBLE) / s.n_docs) * 1e6 + 0.5) / 1e6
+                   AS upsample_factor
+        FROM s, t
+    """,
+    description="Temperature-based source mixing at alpha=0.5: per-source "
+    "sampling weight sqrt(count/total) and upsampling factor "
+    "sqrt(total/count) from exact integer counts (sqrt + division are "
+    "correctly-rounded IEEE ops — bit-identical across engines, no "
+    "float-sum ordering). One agg shuffle + a broadcast scalar total.",
+    tags=["sampling", "llm-pipeline", "aggregate"],
+)
+def q_source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).cast("long").alias("n_chars"),
+    )
+    total = s.agg(F.sum("n_docs").cast("long").alias("total"))
+    return s.join(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        sround(
+            F.sqrt(F.col("n_docs").cast("double") / F.col("total")), 6
+        ).alias("temp_weight"),
+        sround(
+            F.sqrt(F.col("total").cast("double") / F.col("n_docs")), 6
+        ).alias("upsample_factor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
