@@ -3026,21 +3026,31 @@ def q_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT l_partkey, value_u / 10000.0 AS part_value
         FROM pv
-        WHERE value_u * 10000 > (SELECT SUM(value_u) * 6 FROM pv)
+        WHERE value_u * (SELECT CAST(COUNT(*) AS BIGINT) * 10 FROM pv)
+              > (SELECT SUM(value_u) * 12 FROM pv)
     """,
     description="TPC-H Q11 shape (group-agg filtered against a global "
-    "scalar aggregate of itself): parts whose revenue share exceeds "
-    "0.06% of total. (No partsupp table; lineitem revenue per part "
-    "stands in for stock value.) The share predicate is integer-exact "
-    "(value*10000 > 6*total). One agg shuffle + broadcast 1-row scalar.",
+    "scalar aggregate of itself): parts whose revenue exceeds 1.2x the "
+    "average part revenue. (No partsupp table; lineitem revenue per "
+    "part stands in for stock value. Spec Q11 divides its fraction by "
+    "SF; the 1.2x-average form is the scale-invariant equivalent — a "
+    "fixed share threshold empties as the part count grows.) The "
+    "predicate is integer-exact (value*n_parts*10 > 12*total). One agg "
+    "shuffle + broadcast 1-row scalar.",
     tags=["tpch", "subquery", "having", "aggregate"],
 )
 def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pv = li.groupBy("l_partkey").agg(F.sum(_revenue_cents()).alias("value_u"))
-    total = pv.agg(F.sum("value_u").alias("total_u"))
+    total = pv.agg(
+        F.sum("value_u").alias("total_u"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
     return (
-        pv.join(F.broadcast(total), F.col("value_u") * 10000 > F.col("total_u") * 6)
+        pv.join(
+            F.broadcast(total),
+            F.col("value_u") * F.col("n_parts") * 10 > F.col("total_u") * 12,
+        )
         .select("l_partkey", (F.col("value_u") / F.lit(10000.0)).alias("part_value"))
     )
 
@@ -3813,10 +3823,13 @@ _PRIORITY_R03 = [
     "dedup_exact_docs",
     "dedup_keep_first",
     "text_quality_stats",
-    "lang_token_stats",
-    "ann_cosine_topk",
-    "embedding_cosine_near_dup",
-    "embedding_norm_stats",
+    # threshold made scale-invariant in round 3 -> needs fresh evidence
+    "q11_important_parts",
+    # new in round 3 (no driver evidence yet; displace r2-green
+    # unchanged fills embedding_cosine_near_dup / embedding_norm_stats)
+    "c4_quality_filters",
+    "benchmark_contamination",
+    "source_temperature_weights",
 ]
 
 
