@@ -115,8 +115,10 @@ def lsh_candidate_pairs(
         seed=seed,
     )
     model = lsh.fit(pts)
+    # pre-hash once; approxSimilarityJoin reuses the existing hash column
+    hashed = model.transform(pts).localCheckpoint(eager=True)
     return (
-        model.approxSimilarityJoin(pts, pts, max_distance, distCol="_d")
+        model.approxSimilarityJoin(hashed, hashed, max_distance, distCol="_d")
         .select(
             F.col("datasetA._id").alias("a"),
             F.col("datasetB._id").alias("b"),
@@ -164,10 +166,14 @@ def distributed_lof(
         seed=seed,
     )
     model = lsh.fit(pts)
+    # Pre-hash ONCE and pin: approxSimilarityJoin reuses an existing
+    # hash column, so both phases probe the same materialized hashed
+    # set instead of re-running the LSH projection per join side.
+    hashed = model.transform(pts).localCheckpoint(eager=True)
 
     def _pairs(left, dist):
         return (
-            model.approxSimilarityJoin(left, pts, dist, distCol="_d")
+            model.approxSimilarityJoin(left, hashed, dist, distCol="_d")
             .select(
                 F.col("datasetA._id").alias("a"),
                 F.col("datasetB._id").alias("b"),
@@ -181,7 +187,7 @@ def distributed_lof(
     # join — without this the LSH explode+join runs three times. The
     # candidate list is cutoff-bounded, so it is the small artifact of
     # the computation, safe to pin.
-    phase1 = _pairs(pts, max_distance).localCheckpoint(eager=True)
+    phase1 = _pairs(hashed, max_distance).localCheckpoint(eager=True)
     # ids with >= k candidates keep their phase-1 pairs; the rest escalate
     dense_ids = (
         phase1.groupBy("a")
@@ -189,7 +195,7 @@ def distributed_lof(
         .filter(F.col("_n") >= n_neighbors)
         .select("a")
     )
-    sparse_pts = pts.join(
+    sparse_pts = hashed.join(
         dense_ids.withColumnRenamed("a", "_id"), "_id", "left_anti"
     )
     phase2 = _pairs(sparse_pts, 1e12)

@@ -144,7 +144,11 @@ def minhash_near_dup_pairs(
     vecs = tf.transform(base)
     mh = MinHashLSH(inputCol="_vec", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed)
     model = mh.fit(vecs)
-    joined = model.approxSimilarityJoin(vecs, vecs, max_jaccard_distance, distCol="jaccard_distance")
+    # Pre-hash ONCE and pin: approxSimilarityJoin reuses an existing
+    # output column, so shingling + HashingTF + the minhash functions
+    # run one pass instead of once per join side.
+    hashed = model.transform(vecs).localCheckpoint(eager=True)
+    joined = model.approxSimilarityJoin(hashed, hashed, max_jaccard_distance, distCol="jaccard_distance")
     return (
         joined.filter(F.col("datasetA._id") < F.col("datasetB._id"))
         .select(
@@ -248,7 +252,10 @@ def simhash_near_dup_pairs(
     blocks on 16-bit signature quarters (pigeonhole: any pair within
     Hamming distance 3 shares at least one of 4 quarters), so the
     self-join is block-local — no full cross join at scale."""
-    sigs = simhash_signatures(df, id_col, text_col)
+    # Pin the signatures: the 64 per-bit majority-vote aggregates are
+    # the expensive expression, and the block self-join below would
+    # evaluate them on BOTH sides. One row per doc — tiny.
+    sigs = simhash_signatures(df, id_col, text_col).localCheckpoint(eager=True)
     quarters = sigs.select(
         id_col,
         "simhash",

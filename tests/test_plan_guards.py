@@ -52,6 +52,15 @@ EXPECTED = {
 }
 
 
+@pytest.fixture(autouse=True)
+def _fresh_plans(spark):
+    # other test modules cache tables on the shared session; a cached
+    # relation plans as InMemoryTableScan and hides the parquet scan
+    # this module asserts on
+    spark.catalog.clearCache()
+    yield
+
+
 def _plan(spark, name, sf_dir):
     df = REGISTRY[name].fn(spark, sf_dir)
     return df._jdf.queryExecution().explainString(
