@@ -89,6 +89,7 @@ EXTENDED = [
     "c4_quality_filters",
     "benchmark_contamination",
     "source_temperature_weights",
+    "pack_sequences_2048",
     # windows / sessions / range
     "rank_windows",
     "ntile_distribution_ranks",

@@ -29,13 +29,23 @@ def brute_force_topk(
     k: int = 10,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector."""
+    from ..functions.vectorfn import dot, l2_norm
+
+    # Precompute each side's norm before the pair join — same sqrt on
+    # the same dot product (bit-identical to per-pair norms), but O(n)
+    # reductions instead of 2 per pair.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q"),
+        l2_norm(vec_col).alias("_nq"),
     )
-    pairs = candidates.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
+    cand = candidates.select(
+        F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("_nc")
+    )
+    denom = F.col("_nq") * F.col("_nc")
+    pairs = cand.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        cosine_similarity("_q", vec_col).alias("cosine"),
+        F.when(denom > 0, dot("_q", vec_col) / denom).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
@@ -64,7 +74,15 @@ def ivf_topk(
 
     vec = array_to_vector(F.col(vec_col).cast("array<double>"))
     cand = candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e"), vec.alias("_v"))
-    km = KMeans(k=nlist, seed=seed, featuresCol="_v", predictionCol="_cell").fit(cand)
+    # Train the coarse quantizer on a bounded sample (the FAISS-style
+    # IVF discipline: centroid quality saturates long before the full
+    # corpus, and at 100 TB a full-corpus KMeans would dominate the
+    # build). limit() is deterministic for a fixed file layout; cell
+    # ASSIGNMENT still covers every candidate row below.
+    train = cand.limit(25_000).localCheckpoint(eager=True)
+    km = KMeans(
+        k=nlist, seed=seed, maxIter=10, featuresCol="_v", predictionCol="_cell"
+    ).fit(train)
     cand_cells = km.transform(cand).select("neighbor_id", "_e", "_cell")
 
     # centroid table is tiny: nlist x d -> broadcast to rank probe cells

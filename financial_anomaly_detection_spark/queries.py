@@ -1160,15 +1160,24 @@ def q_ml_lof_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["dedup", "vector", "similarity"],
 )
 def q_embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.vectorfn import dot, l2_norm
+
     emb = load_table(spark, sf_dir, "embeddings")
+    # Precompute each row's norm BEFORE the self-join: same sqrt on the
+    # same dot product, so bit-identical to a per-pair norm — but O(n)
+    # higher-order-function reductions instead of O(pairs) x 2.
     a = emb.select(
-        F.col("label").alias("_lbl"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea")
+        F.col("label").alias("_lbl"), F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("_ea"), l2_norm("embedding").alias("_na"),
     )
     b = emb.select(
-        F.col("label").alias("_lbl"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb")
+        F.col("label").alias("_lbl"), F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("_eb"), l2_norm("embedding").alias("_nb"),
     )
+    denom = F.col("_na") * F.col("_nb")
     pairs = a.join(b, ["_lbl"]).filter(F.col("id_a") < F.col("id_b")).select(
-        "id_a", "id_b", cosine_similarity("_ea", "_eb").alias("cos")
+        "id_a", "id_b",
+        F.when(denom > 0, dot("_ea", "_eb") / denom).alias("cos"),
     )
     return pairs.filter(F.col("cos") >= 0.3).select(
         F.col("id_a").cast("long"),
@@ -3677,9 +3686,13 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, 5)),
         )
     )
+    # Pin the per-doc gram table: it feeds the benchmark branch, the
+    # collision join, AND the n_grams denominators — without pinning
+    # the gram construction (sequence+slice+concat per position) runs
+    # once per consumer.
     g = d.select("doc_id", grams.alias("grams")).withColumn(
         "n_grams", F.size("grams").cast("long")
-    )
+    ).localCheckpoint(eager=True)
     e = g.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
     bench = (
         e.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
@@ -3753,6 +3766,56 @@ def q_source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         sround(
             F.sqrt(F.col("total").cast("double") / F.col("n_docs")), 6
         ).alias("upsample_factor"),
+    )
+
+
+@register(
+    "pack_sequences_2048",
+    # Sequence packing for LLM training batches: assign documents to
+    # packs of <= 2048 tokens. The streaming-friendly Spark shape is
+    # running-sum bucketing over a deterministic order (doc_id): a
+    # doc's pack is floor((cumulative tokens before it) / 2048). Packs
+    # can overflow the budget by at most one doc (first-fit's tail
+    # behavior) — the deterministic, shuffle-once approximation of
+    # bin packing; exact first-fit is inherently sequential.
+    oracle=r"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS tok_before
+            FROM t
+        )
+        SELECT doc_id, n_tokens,
+               CAST(tok_before // 2048 AS BIGINT) AS pack_id,
+               CAST(tok_before % 2048 AS BIGINT) AS pack_offset
+        FROM c
+    """,
+    description="LLM batch sequence packing: docs -> <=2048-token packs "
+    "via a running-sum window over a deterministic order — one shuffle "
+    "(the global sort), integer-exact pack ids/offsets. At 100 TB, "
+    "range-partition by doc_id and run the same window per partition "
+    "with per-partition token offsets composed driver-side (the "
+    "two-pass parallel prefix-sum).",
+    tags=["sampling", "window", "llm-pipeline"],
+)
+def q_pack_sequences_2048(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    t = d.select("doc_id", n_tok.alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    c = t.withColumn("tok_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("tok_before div 2048").alias("pack_id"),
+        (F.col("tok_before") % 2048).cast("long").alias("pack_offset"),
     )
 
 

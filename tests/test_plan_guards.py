@@ -44,7 +44,9 @@ EXPECTED = {
     "sessionize_events": (0, {"events": 3}),
     "dedup_exact_docs": (0, {"documents": 2}),
     "ngram_jaccard_pairs": (0, {"documents": 2}),
-    "benchmark_contamination": (0, {"documents": 2}),
+    # gram table is pinned via localCheckpoint: the plan reads the
+    # materialized RDD, so no parquet scan appears downstream
+    "benchmark_contamination": (0, {}),
     "c4_quality_filters": (0, {"documents": 3}),
     "ann_cosine_topk": (1, {"embeddings": 2}),
     "q11_important_parts": (1, {"lineitem": 3}),
@@ -97,6 +99,10 @@ def test_no_unplanned_nested_loop_join(spark, sf_dir, name):
 def test_scans_stay_column_pruned(spark, sf_dir, name):
     plan = _plan(spark, name, sf_dir)
     scans = _scan_cols(plan)
+    if not EXPECTED[name][1]:
+        # plan reads a pinned (checkpointed) intermediate, not parquet
+        assert not scans, f"{name}: unexpected parquet scans {scans}"
+        return
     assert scans, f"{name}: no parquet scans found in plan"
     for table, ncols in scans.items():
         allowed = EXPECTED[name][1].get(table)
