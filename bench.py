@@ -90,6 +90,9 @@ EXTENDED = [
     "benchmark_contamination",
     "source_temperature_weights",
     "pack_sequences_2048",
+    # financial-anomaly analytics
+    "rolling_zscore_events",
+    "benford_first_digit",
     # windows / sessions / range
     "rank_windows",
     "ntile_distribution_ranks",

@@ -3819,6 +3819,117 @@ def q_pack_sequences_2048(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rolling_zscore_events",
+    # Rolling z-score anomaly primitive: each event scored against its
+    # user's trailing-20-event window — the per-event generalization of
+    # the reference's deviation ratio (python_scoring/app.py:142). All
+    # window sums are exact BIGINT cents, variance comes from the
+    # rational identity (n*sum_sq - sum^2)/n^2 on those integers, and
+    # the only float ops are correctly-rounded divide/sqrt — so the
+    # score is bit-identical across engines with no float-sum ordering.
+    oracle="""
+        WITH c AS (
+            SELECT event_id, user_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS s,
+                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       * CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS sq,
+                   COUNT(*) OVER w AS n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(n AS BIGINT) AS n_window,
+               CASE WHEN n * sq > s * s THEN
+                   floor(((cents * n - s) / sqrt(CAST(n * sq - s * s AS DOUBLE) * n))
+                         * 1e6 + 0.5) / 1e6
+               ELSE 0.0 END AS zscore
+        FROM c
+    """,
+    description="Rolling z-score anomaly score: trailing-20-event "
+    "per-user window, variance via the exact integer identity "
+    "(n*sumsq - sum^2) on BIGINT cents, z = (x-mean)/std reduced to "
+    "one correctly-rounded divide+sqrt — bit-deterministic, one "
+    "shuffle. The per-event form of the reference's deviation ratio.",
+    tags=["window", "anomaly", "finance"],
+)
+def q_rolling_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(-19, 0)
+    )
+    s = F.sum(cents).over(w)
+    sq = F.sum(cents * cents).over(w)
+    n = F.count(F.lit(1)).over(w)
+    # z = (x - s/n) / sqrt((n*sq - s^2)/n^2) = (x*n - s) / sqrt((n*sq - s^2)*n)
+    z = F.when(
+        n * sq > s * s,
+        sround(
+            (cents * n - s)
+            / F.sqrt((n * sq - s * s).cast("double") * n),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return ev.select(
+        F.col("event_id").cast("long"),
+        n.cast("long").alias("n_window"),
+        z.alias("zscore"),
+    )
+
+
+@register(
+    "benford_first_digit",
+    # Benford's-law screening (Nigrini 1996, the financial-forensics
+    # classic): observed first-significant-digit distribution of event
+    # values vs the log10(1+1/d) expectation. First digit extracted
+    # from the BIGINT cents' decimal string — engine-identical, no
+    # log/pow on data values anywhere (logs only on the 9 constants).
+    oracle="""
+        WITH d AS (
+            SELECT CAST(substring(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                       AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM events
+            WHERE value >= 0.01
+        ), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM d)
+        SELECT digit,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               floor(COUNT(*) / CAST(t.total AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS observed,
+               floor(log10(1.0 + 1.0 / digit) * 1e6 + 0.5) / 1e6 AS benford
+        FROM d, t
+        GROUP BY digit, t.total
+    """,
+    description="Benford first-digit screening over event values: digit "
+    "from the integer-cents decimal string (identical across engines; "
+    "no log/pow touches data), observed share vs the log10(1+1/d) "
+    "expectation. One agg shuffle + broadcast scalar total.",
+    tags=["aggregate", "anomaly", "finance"],
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") >= 0.01)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    d = ev.select(F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit"))
+    t = d.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .join(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            sround(F.col("n") / F.col("total").cast("double"), 6).alias("observed"),
+            sround(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6).alias(
+                "benford"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
