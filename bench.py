@@ -93,6 +93,7 @@ EXTENDED = [
     # financial-anomaly analytics
     "rolling_zscore_events",
     "benford_first_digit",
+    "lof_exact_quantized",
     # windows / sessions / range
     "rank_windows",
     "ntile_distribution_ranks",

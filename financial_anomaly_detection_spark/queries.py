@@ -3930,6 +3930,105 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lof_exact_quantized",
+    # Hash-level oracle evidence for the LOF math (M6/M7) — the ml_*
+    # scores are otherwise rows-only. Trick: quantize each pairwise
+    # distance to integer micro-units IMMEDIATELY (floor(d*1e6+0.5)),
+    # then k-distance (max), reachability (greatest), their sums, and
+    # lrd ((k*1e12) // sum_reach) are ALL exact integer arithmetic —
+    # no float-sum ordering anywhere — and the final LOF ratio is one
+    # division of exact integers. Fixed 500-vector slice keeps the
+    # exact O(n^2) tier constant-cost at every scale factor; the
+    # distributed LSH form (ml_lof_distributed) is the scale path.
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
+        ), pairs AS (
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   CAST(floor(sqrt(list_sum(list_transform(
+                       list_zip(a.embedding, b.embedding),
+                       x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                            * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                   ))) * 1e6 + 0.5) AS BIGINT) AS d_u
+            FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        ), knn AS (
+            SELECT a, b, d_u FROM pairs
+            QUALIFY row_number() OVER (PARTITION BY a ORDER BY d_u, b) <= 20
+        ), kd AS (
+            SELECT a, MAX(d_u) AS kdist_u, CAST(COUNT(*) AS BIGINT) AS n_k
+            FROM knn GROUP BY a
+        ), reach AS (
+            SELECT knn.a, knn.b,
+                   GREATEST(kb.kdist_u, knn.d_u) AS reach_u
+            FROM knn JOIN kd kb ON knn.b = kb.a
+        ), lrd AS (
+            SELECT reach.a,
+                   (kd.n_k * CAST(1e12 AS BIGINT)) // SUM(reach.reach_u) AS lrd_u
+            FROM reach JOIN kd ON reach.a = kd.a
+            GROUP BY reach.a, kd.n_k
+        )
+        SELECT CAST(knn.a AS BIGINT) AS vec_id,
+               floor(SUM(lb.lrd_u) / CAST(la.lrd_u * CAST(COUNT(*) AS BIGINT) AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS lof
+        FROM knn
+        JOIN lrd lb ON knn.b = lb.a
+        JOIN lrd la ON knn.a = la.a
+        GROUP BY knn.a, la.lrd_u
+    """,
+    description="Exact LOF (Breunig et al. 2000) with hash-level oracle "
+    "parity: pairwise distances quantized to integer micro-units "
+    "up-front, so k-distance/reachability/lrd are pure integer "
+    "arithmetic (lrd = k*1e12 // sum_reach) and the LOF ratio is one "
+    "exact-integer division — bit-deterministic across engines. Fixed "
+    "500-vector slice = constant-cost verification tier; "
+    "ml_lof_distributed is the scale path.",
+    tags=["ml", "lof", "anomaly", "oracle-surrogate"],
+)
+def q_lof_exact_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("_ea"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("_eb"))
+    diff_sq = F.zip_with(
+        "_ea", "_eb",
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    d2 = F.aggregate(diff_sq, F.lit(0.0), lambda acc, v: acc + v)
+    d_u = F.floor(F.sqrt(d2) * 1e6 + F.lit(0.5)).cast("long")
+    pairs = a.join(b, F.col("a") != F.col("b")).select("a", "b", d_u.alias("d_u"))
+    w = Window.partitionBy("a").orderBy("d_u", "b")
+    knn = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
+    kd = knn.groupBy("a").agg(
+        F.max("d_u").alias("kdist_u"), F.count(F.lit(1)).cast("long").alias("n_k")
+    )
+    reach = knn.join(
+        kd.select(F.col("a").alias("b"), F.col("kdist_u").alias("kdist_u_b")), "b"
+    ).withColumn("reach_u", F.greatest("kdist_u_b", "d_u"))
+    lrd = (
+        reach.join(kd.select("a", "n_k"), "a")
+        .groupBy("a", "n_k")
+        .agg(F.sum("reach_u").alias("sum_reach_u"))
+        .select("a", F.expr("n_k * CAST(1e12 AS BIGINT) div sum_reach_u").alias("lrd_u"))
+    )
+    out = (
+        knn.join(lrd.select(F.col("a").alias("b"), F.col("lrd_u").alias("lrd_u_b")), "b")
+        .join(lrd, "a")
+        .groupBy("a", "lrd_u")
+        .agg(
+            F.sum("lrd_u_b").alias("sum_lrd_b"),
+            F.count(F.lit(1)).cast("long").alias("n_k"),
+        )
+        .select(
+            F.col("a").cast("long").alias("vec_id"),
+            sround(
+                F.col("sum_lrd_b") / (F.col("lrd_u") * F.col("n_k")).cast("double"), 6
+            ).alias("lof"),
+        )
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -3993,12 +4092,17 @@ _PRIORITY_R03 = [
     "q3_shipping_priority",
     "q5_region_volume",
     "rank_windows",
-    "rollup_order_volume",
     "dedup_exact_docs",
-    "dedup_keep_first",
-    "text_quality_stats",
     # threshold made scale-invariant in round 3 -> needs fresh evidence
     "q11_important_parts",
+    # hash-level LOF-math evidence (new in round 3)
+    "lof_exact_quantized",
+    # new round-3 pipeline/analytics queries (displace r2-green
+    # unchanged fills dedup_keep_first / text_quality_stats /
+    # embedding_cosine_near_dup / embedding_norm_stats)
+    "pack_sequences_2048",
+    "rolling_zscore_events",
+    "benford_first_digit",
     # new in round 3 (no driver evidence yet; displace r2-green
     # unchanged fills embedding_cosine_near_dup / embedding_norm_stats)
     "c4_quality_filters",

@@ -231,3 +231,21 @@ def test_distributed_lof_bounded_fanout_at_10x(spark):
     assert scored.count() == n  # nothing silently dropped
     top = {r["vec_id"] for r in scored.orderBy(F.desc("lof")).limit(10).collect()}
     assert top == set(range(len(X), n))
+
+
+def test_exact_quantized_lof_agrees_with_distributed(spark, sf_dir):
+    """The hash-parity verification tier (lof_exact_quantized) and the
+    LSH scale tier (distributed_lof) rank the same vectors as most
+    outlying — ties the oracle-checked math to the 100 TB path."""
+    from financial_anomaly_detection_spark.ml.lof_distributed import distributed_lof
+    from financial_anomaly_detection_spark.queries import REGISTRY
+    from financial_anomaly_detection_spark.sources.readers import load_table
+
+    exact = REGISTRY["lof_exact_quantized"].fn(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    approx = distributed_lof(emb, "vec_id", "embedding", n_neighbors=20)
+
+    top_exact = {r["vec_id"] for r in exact.orderBy(F.desc("lof")).limit(20).collect()}
+    top_approx = {r["vec_id"] for r in approx.orderBy(F.desc("lof")).limit(20).collect()}
+    overlap = len(top_exact & top_approx)
+    assert overlap >= 8, f"exact vs distributed top-20 overlap only {overlap}"
