@@ -94,6 +94,7 @@ EXTENDED = [
     "rolling_zscore_events",
     "benford_first_digit",
     "lof_exact_quantized",
+    "curation_pipeline_e2e",
     # windows / sessions / range
     "rank_windows",
     "ntile_distribution_ranks",

@@ -4029,6 +4029,109 @@ def q_lof_exact_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "curation_pipeline_e2e",
+    # Capstone composition: the four curation stages as ONE declarative
+    # plan — C4 quality gate -> exact dedup (keep-first by doc_id) ->
+    # deterministic stratified sample -> sequence packing. Every stage
+    # is integer-exact, so the composed result hash-matches end-to-end.
+    # Catalyst fuses the gate into the scan, plans one shuffle for the
+    # dedup window, none for the hash sample, and one global sort for
+    # the packing window.
+    oracle=r"""
+        WITH w AS (
+            SELECT doc_id, lang, text,
+                   string_split_regex(trim(text), '\s+') AS words,
+                   length(replace(trim(text), ' ', '')) AS n_letters
+            FROM documents
+        ), gated AS (
+            SELECT doc_id, lang, text,
+                   CAST(len(words) AS BIGINT) AS n_tokens
+            FROM w
+            WHERE len(words) >= 20
+              AND (list_contains(words, 'the') OR list_contains(words, 'a'))
+              AND list_max(list_transform(
+                      list_distinct(words),
+                      u -> len(list_filter(words, x -> x = u)))) * 5 <= len(words)
+              AND n_letters >= len(words) * 3
+              AND n_letters <= len(words) * 8
+        ), deduped AS (
+            SELECT doc_id, lang, n_tokens
+            FROM gated
+            QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                       ORDER BY doc_id) = 1
+        ), sampled AS (
+            SELECT doc_id, lang, n_tokens
+            FROM deduped
+            WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                        || ':curate-v1'), 1, 8)) AS BIGINT) % 100
+                  < CASE WHEN lang = 'en' THEN 60 ELSE 90 END
+        ), packed AS (
+            SELECT doc_id, lang, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS tok_before
+            FROM sampled
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(tok_before // 2048 AS BIGINT) AS pack_id
+        FROM packed
+    """,
+    description="End-to-end curation pipeline as one plan: C4 gate -> "
+    "exact dedup (keep-first) -> per-language hash sample (en 60%, "
+    "else 90%) -> 2048-token packing. Shows the curation operators "
+    "compose declaratively; integer-exact at every stage so the "
+    "composition hash-matches. Two shuffles total (dedup window, "
+    "packing sort).",
+    tags=["llm-pipeline", "dedup", "sampling", "window", "composition"],
+)
+def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(words).cast("long")
+    n_letters = F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda u: F.size(F.filter(words, lambda x: x == u)),
+        )
+    ).cast("long")
+    keep = (
+        (n >= 20)
+        & (F.array_contains(words, "the") | F.array_contains(words, "a"))
+        & (top_count * 5 <= n)
+        & (n_letters >= n * 3)
+        & (n_letters <= n * 8)
+    )
+    gated = d.filter(keep).select("doc_id", "lang", "text", n.alias("n_tokens"))
+    wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("_rn", F.row_number().over(wdup))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":curate-v1"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", 60).otherwise(90)
+    sampled = deduped.filter(bucket < rate)
+    wpack = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    packed = sampled.withColumn(
+        "tok_before", F.coalesce(F.sum("n_tokens").over(wpack), F.lit(0))
+    )
+    return packed.select(
+        "doc_id", "lang", "n_tokens", F.expr("tok_before div 2048").alias("pack_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -4082,7 +4185,6 @@ _PRIORITY_R03 = [
     # round-2 greens filling the remaining slots
     "customer_profile_90d",
     "merchant_profile_90d",
-    "profile_window_7d",
     "profile_join_deviation",
     "window_transform_profile",
     "asof_profile",
@@ -4108,6 +4210,7 @@ _PRIORITY_R03 = [
     "c4_quality_filters",
     "benchmark_contamination",
     "source_temperature_weights",
+    "curation_pipeline_e2e",
 ]
 
 
