@@ -204,8 +204,11 @@ def decode_image_features(
                         w, h, ch, mean_i, vec = _features(img)
                         out.append((doc_id, w, h, ch, mean_i, vec, "png-purepy"))
                         continue
-                    except ValueError:
-                        pass  # unsupported PNG variant -> stub
+                    except Exception:
+                        # unsupported variant OR corrupt bytes (truncated
+                        # IDAT raises zlib/struct errors, not just
+                        # ValueError) -> per-record stub, never a dead task
+                        pass
                 # STUB: deterministic pseudo-decode from the digest —
                 # NOT a real decode; tagged so downstream can tell.
                 digest = hashlib.md5(raw).digest()

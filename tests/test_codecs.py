@@ -101,3 +101,22 @@ def test_undecodable_payload_falls_to_tagged_stub(spark, sf_dir):
     media = attach_fake_payload(docs)  # text bytes: no decoder understands
     feats = decode_image_features(media).collect()
     assert all(r["decoder"] == "stub" for r in feats)
+
+
+def test_corrupt_png_payload_falls_to_stub_not_task_death(spark, sf_dir):
+    """A payload with a valid PNG signature but corrupt body must fall
+    to the tagged stub per record — never kill the Spark task (W7
+    per-record error isolation applied to media decode)."""
+    from financial_anomaly_detection_spark.operators.codecs import PNG_SIGNATURE
+    from financial_anomaly_detection_spark.operators.multimodal import (
+        decode_image_features,
+    )
+
+    rows = [
+        (1, PNG_SIGNATURE + b"\x00\x00\x00\x0dIHDR" + b"\x00" * 17),  # truncated
+        (2, PNG_SIGNATURE + b"garbage-after-signature"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    feats = decode_image_features(df).collect()
+    assert len(feats) == 2
+    assert all(r["decoder"] == "stub" for r in feats)
