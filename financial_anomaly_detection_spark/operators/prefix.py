@@ -1,0 +1,114 @@
+"""Distributed prefix sums (two-pass parallel scan).
+
+A running sum over a global order is the classic "looks sequential"
+operator: the naive Spark form — ``Window.orderBy(key)`` with no
+``partitionBy`` — funnels EVERY row through one task (Catalyst plans
+``Exchange SinglePartition`` under the Window), which is correct at
+test scale and a scale-killer at 100 TB.
+
+``ordered_prefix_sum`` computes the identical exclusive running sum as
+a two-pass parallel prefix scan (Blelloch 1990's scan decomposition,
+re-expressed relationally):
+
+  pass 1  assign every row an ORDER-PRESERVING bucket (equal-width
+          ``width_bucket`` over broadcast min/max bounds: bucket i
+          holds strictly smaller keys than bucket i+1), then compute
+          per-bucket subtotals — one partial-agg shuffle of
+          ``n_buckets`` rows;
+  pass 2  derive each bucket's starting offset as the sum of all
+          EARLIER buckets' subtotals via a triangular self-join on the
+          tiny subtotal table (``n_buckets**2`` pairs, broadcast —
+          deliberately NOT a global window, so no single-partition
+          exchange anywhere), broadcast the offsets back, and run the
+          ordinary per-bucket window prefix sum in parallel.
+
+Integer addition is associative and commutative, so the bucketed sum
+is bit-identical to the sequential one — the DuckDB oracle for any
+query built on this operator is still the plain ``SUM(...) OVER
+(ORDER BY key ROWS UNBOUNDED PRECEDING)``.
+
+Scale notes:
+  * the only driver-side data is nothing at all — bounds and offsets
+    stay in (broadcast) DataFrames, so the operator composes lazily;
+  * equal-width bucketing is balanced when keys are roughly uniform
+    (dense ids). For pathologically skewed key spaces swap the bucket
+    expression for quantile boundaries (``approx_percentile``) — the
+    two-pass algebra is unchanged;
+  * keys are compared as doubles inside ``width_bucket`` — exact for
+    integer keys up to 2^53, far beyond any real doc-id space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def ordered_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "prefix_before",
+    n_buckets: int = 64,
+    pin: bool = True,
+) -> DataFrame:
+    """Exclusive running sum of ``value_col`` in ``order_col`` order.
+
+    Returns ``df`` plus ``out_col`` = sum of ``value_col`` over all
+    rows with a strictly smaller ``order_col`` (ties are not allowed:
+    the order key must be unique, as in any deterministic packing).
+    Equivalent to ``SUM(value) OVER (ORDER BY key ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` but with no
+    single-partition exchange in the physical plan.
+
+    ``pin`` materializes the bucketed (key, value, bucket) skeleton
+    once via ``localCheckpoint`` — the scan consumes its input three
+    times (subtotals ×2 via the triangular join, plus the per-bucket
+    window), and without pinning Catalyst would replay the entire
+    upstream subtree (at 100 TB: re-tokenizing the corpus) for each
+    consumer. The skeleton is a few tens of bytes per row regardless
+    of document size. Pass ``pin=False`` to keep the operator fully
+    lazy when the input is already cheap or cached.
+    """
+    bounds = df.agg(
+        F.min(order_col).cast("double").alias("_lo"),
+        F.max(order_col).cast("double").alias("_hi"),
+    )
+    # width_bucket(v, lo, hi+1, n) maps [lo, hi] onto 1..n preserving
+    # order; hi+1 keeps the max key inside bucket n (width_bucket
+    # returns n+1 only for v >= the upper bound).
+    bucketed = df.join(F.broadcast(bounds)).withColumn(
+        "_bucket",
+        F.width_bucket(
+            F.col(order_col).cast("double"),
+            F.col("_lo"),
+            F.col("_hi") + F.lit(1.0),
+            F.lit(n_buckets),
+        ),
+    ).drop("_lo", "_hi")
+    if pin:
+        bucketed = bucketed.localCheckpoint(eager=True)
+
+    sub = bucketed.groupBy("_bucket").agg(F.sum(value_col).alias("_bsum"))
+    # Offset of bucket b = sum of subtotals of buckets < b. A
+    # triangular join on the n_buckets-row table replaces the global
+    # window: O(n_buckets^2) pairs, zero single-partition stages.
+    offsets = (
+        sub.alias("x")
+        .join(F.broadcast(sub.alias("y")), F.col("y._bucket") < F.col("x._bucket"), "left")
+        .groupBy(F.col("x._bucket").alias("_bucket"))
+        .agg(F.coalesce(F.sum("y._bsum"), F.lit(0)).cast("long").alias("_boffset"))
+    )
+
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn(
+        "_local", F.coalesce(F.sum(value_col).over(w), F.lit(0)).cast("long")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bucket")
+        .withColumn(out_col, (F.col("_boffset") + F.col("_local")).cast("long"))
+        .drop("_bucket", "_local", "_boffset")
+    )

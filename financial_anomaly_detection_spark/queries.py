@@ -48,6 +48,7 @@ from .functions.scoring import (
     rule_score,
 )
 from .functions.timefn import dow_pandas, lookback_filter
+from .operators.prefix import ordered_prefix_sum
 from .functions.vectorfn import cosine_similarity, dot, l2_norm
 from .sources.readers import load_table
 
@@ -3798,19 +3799,20 @@ def q_source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c
     """,
     description="LLM batch sequence packing: docs -> <=2048-token packs "
-    "via a running-sum window over a deterministic order — one shuffle "
-    "(the global sort), integer-exact pack ids/offsets. At 100 TB, "
-    "range-partition by doc_id and run the same window per partition "
-    "with per-partition token offsets composed driver-side (the "
-    "two-pass parallel prefix-sum).",
+    "via an exclusive running sum in doc_id order, computed as a "
+    "two-pass parallel prefix sum (operators/prefix.py): ordered "
+    "width_bucket ranges -> per-bucket subtotals -> triangular-join "
+    "offsets -> per-bucket window. Integer addition commutes, so the "
+    "result is bit-identical to the sequential window and the plan has "
+    "NO single-partition exchange under any Window — parallel at "
+    "100 TB.",
     tags=["sampling", "window", "llm-pipeline"],
 )
 def q_pack_sequences_2048(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
     t = d.select("doc_id", n_tok.alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    c = t.withColumn("tok_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    c = ordered_prefix_sum(t, "doc_id", "n_tokens", out_col="tok_before")
     return c.select(
         "doc_id",
         "n_tokens",
@@ -4036,8 +4038,9 @@ def q_lof_exact_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic stratified sample -> sequence packing. Every stage
     # is integer-exact, so the composed result hash-matches end-to-end.
     # Catalyst fuses the gate into the scan, plans one shuffle for the
-    # dedup window, none for the hash sample, and one global sort for
-    # the packing window.
+    # dedup window, none for the hash sample; packing runs the two-pass
+    # parallel prefix sum (operators/prefix.py) — no single-partition
+    # window exchange anywhere in the composed plan.
     oracle=r"""
         WITH w AS (
             SELECT doc_id, lang, text,
@@ -4082,8 +4085,8 @@ def q_lof_exact_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact dedup (keep-first) -> per-language hash sample (en 60%, "
     "else 90%) -> 2048-token packing. Shows the curation operators "
     "compose declaratively; integer-exact at every stage so the "
-    "composition hash-matches. Two shuffles total (dedup window, "
-    "packing sort).",
+    "composition hash-matches. Packing uses the two-pass parallel "
+    "prefix sum — no single-partition exchange under any Window.",
     tags=["llm-pipeline", "dedup", "sampling", "window", "composition"],
 )
 def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4123,10 +4126,7 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rate = F.when(F.col("lang") == "en", 60).otherwise(90)
     sampled = deduped.filter(bucket < rate)
-    wpack = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    packed = sampled.withColumn(
-        "tok_before", F.coalesce(F.sum("n_tokens").over(wpack), F.lit(0))
-    )
+    packed = ordered_prefix_sum(sampled, "doc_id", "n_tokens", out_col="tok_before")
     return packed.select(
         "doc_id", "lang", "n_tokens", F.expr("tok_before div 2048").alias("pack_id")
     )

@@ -5,16 +5,28 @@ change silently de-optimizes one — an unplanned nested-loop join
 appearing, or a scan reading more columns than the query needs
 (pruning lost). Expectations were generated from the current plans
 (tools/plan_report.py logic) and reviewed against SCALING.md's design
-claims. Explain-only: nothing executes.
+claims.
+
+Mostly explain-only, with one caveat: queries that pin an
+intermediate via ``localCheckpoint(eager=True)``
+(benchmark_contamination, pack_sequences_2048, curation_pipeline_e2e)
+execute that pinned prefix as a real Spark job during plan
+construction — their empty-scan expectation below exists precisely
+because the final plan reads the materialized RDD, not parquet.
 """
 
 from __future__ import annotations
 
+import pathlib
 import re
 
 import pytest
 
 from financial_anomaly_detection_spark.queries import REGISTRY
+
+_SRC_ROOT = pathlib.Path(__file__).resolve().parent.parent / (
+    "financial_anomaly_detection_spark"
+)
 
 # name -> (max NLJ/cartesian nodes, {table: max scan columns}).
 # The three queries allowed one NLJ broadcast a single-row/oracle-tier
@@ -47,6 +59,11 @@ EXPECTED = {
     # gram table is pinned via localCheckpoint: the plan reads the
     # materialized RDD, so no parquet scan appears downstream
     "benchmark_contamination": (0, {}),
+    # two-pass parallel prefix sum: input skeleton pinned, the one NLJ
+    # is the intentional triangular join over the <=64-row bucket
+    # subtotal table (operators/prefix.py)
+    "pack_sequences_2048": (1, {}),
+    "curation_pipeline_e2e": (1, {}),
     "c4_quality_filters": (0, {"documents": 3}),
     "ann_cosine_topk": (1, {"embeddings": 2}),
     "q11_important_parts": (1, {"lineitem": 3}),
@@ -95,6 +112,23 @@ def test_no_unplanned_nested_loop_join(spark, sf_dir, name):
     )
 
 
+# Queries whose plans must contain NO single-partition exchange at
+# all: the sequence-packing prefix sum was a global Window.orderBy
+# (every row through ONE task) until round 4; the two-pass parallel
+# form (operators/prefix.py) must not regress.
+NO_SINGLE_PARTITION = ["pack_sequences_2048", "curation_pipeline_e2e"]
+
+
+@pytest.mark.parametrize("name", NO_SINGLE_PARTITION)
+def test_no_single_partition_exchange(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    hits = len(re.findall(r"Exchange SinglePartition", plan))
+    assert hits == 0, (
+        f"{name}: {hits} single-partition exchange(s) — the global "
+        "prefix sum must stay a two-pass parallel scan"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(EXPECTED))
 def test_scans_stay_column_pruned(spark, sf_dir, name):
     plan = _plan(spark, name, sf_dir)
@@ -110,3 +144,42 @@ def test_scans_stay_column_pruned(spark, sf_dir, name):
         assert ncols <= allowed, (
             f"{name}: scan of {table} reads {ncols} cols (pruned max {allowed})"
         )
+
+
+# --- repo-wide global-window source guard ---------------------------------
+#
+# ``Window.orderBy(...)`` with no ``partitionBy`` funnels every row
+# through one task (Exchange SinglePartition). The ONLY legitimate use
+# left is ranking a bounded frame; everything unbounded must go
+# through operators/prefix.py's two-pass parallel scan. Each allowed
+# occurrence is (path suffix, regex the matching line must satisfy).
+_GLOBAL_WINDOW_ALLOWLIST = [
+    # ml_recon_mse_threshold ranks a fixed <=500-row quantized slice —
+    # bounded by construction, documented at the call site
+    ("queries.py", r'F\.desc\("err_scaled"\)'),
+]
+
+
+def test_no_unpartitioned_windows_in_source():
+    violations = []
+    for path in sorted(_SRC_ROOT.rglob("*.py")):
+        for lineno, line in enumerate(
+            path.read_text().splitlines(), start=1
+        ):
+            if "Window.orderBy" not in line:
+                continue
+            # prose mentions (docstrings describing the anti-pattern)
+            # are backtick-quoted; code is not
+            if "``" in line:
+                continue
+            allowed = any(
+                str(path).endswith(suffix) and re.search(rx, line)
+                for suffix, rx in _GLOBAL_WINDOW_ALLOWLIST
+            )
+            if not allowed:
+                violations.append(f"{path}:{lineno}: {line.strip()}")
+    assert not violations, (
+        "global Window.orderBy without partitionBy (single-partition "
+        "exchange at scale) — use operators/prefix.py instead:\n"
+        + "\n".join(violations)
+    )

@@ -1,0 +1,64 @@
+"""Two-pass parallel prefix sum (operators/prefix.py).
+
+The operator must be bit-equivalent to the sequential global-window
+running sum it replaces — on shuffled, non-contiguous, negative-key
+inputs — in both the pinned and fully-lazy forms, and its physical
+plan must contain no single-partition exchange (the whole point).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window, functions as F
+
+from financial_anomaly_detection_spark.operators.prefix import ordered_prefix_sum
+
+
+def _naive(df):
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    return df.withColumn(
+        "prefix_before", F.coalesce(F.sum("v").over(w), F.lit(0)).cast("long")
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select("k", "v", "prefix_before").collect())
+
+
+def test_matches_sequential_window(spark):
+    rng = random.Random(7)
+    # sparse, negative-and-positive, shuffled keys — nothing about the
+    # bucketing may assume density or positivity
+    keys = rng.sample(range(-50_000, 50_000), 3000)
+    data = [(k, rng.randint(0, 500)) for k in keys]
+    df = spark.createDataFrame(data, "k long, v long").repartition(8)
+    got = ordered_prefix_sum(df, "k", "v", n_buckets=17)
+    assert _rows(got) == _rows(_naive(df))
+
+
+def test_unpinned_form_equivalent(spark):
+    rng = random.Random(11)
+    data = [(k, rng.randint(1, 9)) for k in rng.sample(range(10_000), 500)]
+    df = spark.createDataFrame(data, "k long, v long")
+    got = ordered_prefix_sum(df, "k", "v", n_buckets=4, pin=False)
+    assert _rows(got) == _rows(_naive(df))
+
+
+def test_single_row_and_single_bucket(spark):
+    df = spark.createDataFrame([(42, 7)], "k long, v long")
+    got = ordered_prefix_sum(df, "k", "v").collect()
+    assert len(got) == 1 and got[0]["prefix_before"] == 0
+    # all keys equal-width-bucketed into one bucket still works
+    df2 = spark.createDataFrame([(i, 1) for i in range(20)], "k long, v long")
+    got2 = ordered_prefix_sum(df2, "k", "v", n_buckets=1)
+    assert _rows(got2) == _rows(_naive(df2))
+
+
+def test_plan_has_no_single_partition_exchange(spark):
+    df = spark.createDataFrame([(i, 1) for i in range(100)], "k long, v long")
+    out = ordered_prefix_sum(df, "k", "v", n_buckets=8)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange SinglePartition" not in plan
