@@ -77,9 +77,11 @@ def ivf_topk(
     # Train the coarse quantizer on a bounded sample (the FAISS-style
     # IVF discipline: centroid quality saturates long before the full
     # corpus, and at 100 TB a full-corpus KMeans would dominate the
-    # build). limit() is deterministic for a fixed file layout; cell
-    # ASSIGNMENT still covers every candidate row below.
-    train = cand.limit(25_000).localCheckpoint(eager=True)
+    # build). orderBy+limit plans as a distributed top-k
+    # (TakeOrderedAndProject), so the training set is key-determined —
+    # independent of file layout, partition count, and AQE — unlike a
+    # bare limit(). Cell ASSIGNMENT still covers every candidate row.
+    train = cand.orderBy("neighbor_id").limit(25_000).localCheckpoint(eager=True)
     km = KMeans(
         k=nlist, seed=seed, maxIter=10, featuresCol="_v", predictionCol="_cell"
     ).fit(train)

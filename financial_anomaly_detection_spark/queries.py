@@ -3036,8 +3036,9 @@ def q_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT l_partkey, value_u / 10000.0 AS part_value
         FROM pv
-        WHERE value_u * (SELECT CAST(COUNT(*) AS BIGINT) * 10 FROM pv)
-              > (SELECT SUM(value_u) * 12 FROM pv)
+        WHERE CAST(value_u AS HUGEINT)
+              * (SELECT CAST(COUNT(*) AS BIGINT) * 10 FROM pv)
+              > (SELECT CAST(SUM(value_u) AS HUGEINT) * 12 FROM pv)
     """,
     description="TPC-H Q11 shape (group-agg filtered against a global "
     "scalar aggregate of itself): parts whose revenue exceeds 1.2x the "
@@ -3045,8 +3046,11 @@ def q_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "part stands in for stock value. Spec Q11 divides its fraction by "
     "SF; the 1.2x-average form is the scale-invariant equivalent — a "
     "fixed share threshold empties as the part count grows.) The "
-    "predicate is integer-exact (value*n_parts*10 > 12*total). One agg "
-    "shuffle + broadcast 1-row scalar.",
+    "predicate is integer-exact (value*n_parts*10 > 12*total) in "
+    "128-bit arithmetic — Spark DECIMAL(38,0) / DuckDB HUGEINT — "
+    "because value_u*n_parts would overflow int64 around corpus scale "
+    "(value_u ~1e12 per part x billions of parts). One agg shuffle + "
+    "broadcast 1-row scalar.",
     tags=["tpch", "subquery", "having", "aggregate"],
 )
 def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3059,7 +3063,8 @@ def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pv.join(
             F.broadcast(total),
-            F.col("value_u") * F.col("n_parts") * 10 > F.col("total_u") * 12,
+            F.col("value_u").cast("decimal(38,0)") * F.col("n_parts") * 10
+            > F.col("total_u").cast("decimal(38,0)") * 12,
         )
         .select("l_partkey", (F.col("value_u") / F.lit(10000.0)).alias("part_value"))
     )
@@ -3169,14 +3174,17 @@ def q_grouping_sets_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "duplicate_chunks_across_docs",
     oracle=r"""
         WITH w AS (
-            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            SELECT doc_id, trim(text) AS txt,
+                   string_split_regex(trim(text), '\s+') AS t
             FROM documents
         ), g AS (
             SELECT doc_id,
-                   list_distinct(list_transform(
-                       range(1, len(t) - 3),
-                       i -> array_to_string(t[i:i+4], ' ')
-                   )) AS grams
+                   CASE WHEN len(t) >= 5 THEN
+                       list_distinct(list_transform(
+                           range(1, len(t) - 3),
+                           i -> array_to_string(t[i:i+4], ' ')
+                       ))
+                   ELSE [txt] END AS grams
             FROM w
         ), e AS (
             SELECT doc_id, u.chunk FROM g, unnest(grams) AS u(chunk)
@@ -3189,8 +3197,9 @@ def q_grouping_sets_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "granularity (Lee et al. 2021): every chunk appearing in >=2 "
     "distinct documents. Distributed analog of the suffix-array pass: "
     "explode distinct shingles, one shuffle keyed on the chunk, "
-    "countDistinct docs. (All test docs have >=10 words, so the "
-    "short-doc whole-text fallback in shingles_col never fires here.)",
+    "countDistinct docs. The oracle mirrors shingles_col's short-doc "
+    "whole-text fallback, so <5-word documents agree by construction "
+    "even though current testdata has none.",
     tags=["dedup", "text", "llm-pipeline"],
 )
 def q_duplicate_chunks_across_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3644,10 +3653,12 @@ def q_c4_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         ), g AS (
             SELECT doc_id,
-                   list_distinct(list_transform(
-                       range(1, len(t) - 3),
-                       i -> array_to_string(t[i:i+4], ' ')
-                   )) AS grams
+                   CASE WHEN len(t) >= 5 THEN
+                       list_distinct(list_transform(
+                           range(1, len(t) - 3),
+                           i -> array_to_string(t[i:i+4], ' ')
+                       ))
+                   ELSE [] END AS grams
             FROM w
         ), e AS (
             SELECT doc_id, len(grams) AS n_grams, u.gram
@@ -3664,9 +3675,10 @@ def q_c4_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT g2.doc_id,
                CAST(len(g2.grams) AS BIGINT) AS n_grams,
                COALESCE(h.contaminated_grams, 0) AS contaminated_grams,
-               floor(COALESCE(h.contaminated_grams, 0)
-                     / CAST(len(g2.grams) AS DOUBLE) * 1e6 + 0.5) / 1e6
-                   AS contamination_ratio
+               CASE WHEN len(g2.grams) > 0 THEN
+                   floor(COALESCE(h.contaminated_grams, 0)
+                         / CAST(len(g2.grams) AS DOUBLE) * 1e6 + 0.5) / 1e6
+               ELSE 0.0 END AS contamination_ratio
         FROM g g2 LEFT JOIN hits h ON g2.doc_id = h.doc_id
         WHERE g2.doc_id % 50 <> 0
     """,
@@ -3681,12 +3693,18 @@ def q_c4_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = F.split(F.trim(F.col("text")), r"\s+")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - 5),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 5)),
-        )
-    )
+    # <5-word docs: F.sequence(0, size-5) would DESCEND and slice(_, 0, _)
+    # throws — clamp to an empty gram set (same guard as
+    # operators/dedup.py shingles_col; mirrored by the oracle's CASE)
+    grams = F.when(
+        F.size(words) >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - 5),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, 5)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     # Pin the per-doc gram table: it feeds the benchmark branch, the
     # collision join, AND the n_grams denominators — without pinning
     # the gram construction (sequence+slice+concat per position) runs
@@ -3711,11 +3729,14 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("contaminated_grams", F.lit(0)).cast("long").alias(
             "contaminated_grams"
         ),
-        sround(
-            F.coalesce("contaminated_grams", F.lit(0)).cast("double")
-            / F.col("n_grams").cast("double"),
-            6,
-        ).alias("contamination_ratio"),
+        F.when(
+            F.col("n_grams") > 0,
+            sround(
+                F.coalesce("contaminated_grams", F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("contamination_ratio"),
     )
     return out
 

@@ -42,3 +42,49 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     df = spec.fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+# --- short-document robustness -------------------------------------------
+#
+# The driver regenerates testdata between rounds; nothing guarantees
+# every document keeps >=10 words. The n-gram queries must agree with
+# their oracles down to 0-word texts (round-4 guard: F.sequence(0,
+# size-5) DESCENDS for <5-word docs and slice(_, 0, _) throws).
+SHORT_DOC_QUERIES = ["benchmark_contamination", "duplicate_chunks_across_docs"]
+
+
+@pytest.fixture(scope="module")
+def short_doc_dir(sf_dir, tmp_path_factory):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = str(tmp_path_factory.mktemp("shortdocs"))
+    rows = [(i, ("w%d " % (i % 11)) * (i % 7), "en", "s") for i in range(200)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": [r[1] for r in rows],
+            "lang": [r[2] for r in rows],
+            "source": [r[3] for r in rows],
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp, "documents.parquet"))
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        os.symlink(f"{sf_dir}/{t}.parquet", os.path.join(tmp, f"{t}.parquet"))
+    return tmp
+
+
+@pytest.mark.parametrize("name", SHORT_DOC_QUERIES)
+def test_ngram_queries_survive_short_docs(spark, short_doc_dir, name):
+    spec = REGISTRY[name]
+    con = duck_connection(short_doc_dir)
+    try:
+        res = compare(spec.fn(spark, short_doc_dir), con, spec.oracle)
+    finally:
+        con.close()
+    assert res["values_match"], f"{name}: first diff {res['first_diff']}"
+    assert res["spark_rows"] > 0
