@@ -80,6 +80,47 @@ def duplicate_chunks(
     )
 
 
+def jaccard_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing >= 1 shingle, optionally
+    dropping "hot" shingles whose document frequency exceeds
+    ``max_shingle_df`` before the self-join.
+
+    The cap is the at-scale guard for the exact tier (SCALING.md): a
+    shingle in d documents contributes d*(d-1)/2 candidate pairs, so
+    one boilerplate phrase in a million docs alone produces ~5e11
+    pairs. A shingle that common carries no Jaccard discrimination —
+    any pair it links either shares rarer shingles too (still found)
+    or has near-zero similarity. With the cap the join's fan-out is
+    bounded by max_shingle_df**2 per shingle group.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles_col(text_col, n)).alias("_sh")
+    )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("_sh")
+        )
+        sh = sh.join(hot, "_sh", "left_anti")
+    return (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -87,6 +128,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     broadcast_sizes: bool = True,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-gram shingle sets for every
     candidate pair sharing >= 1 shingle. Returns (id_a, id_b, jaccard)
@@ -97,7 +139,41 @@ def ngram_jaccard_pairs(
     MinHash/SimHash). The per-doc sizes table is broadcast by default —
     one row per document, so at web-corpus cardinality pass
     ``broadcast_sizes=False`` to shuffle-join it instead.
+
+    ``max_shingle_df`` enables the hot-shingle cap: candidates come
+    only from shingles with document frequency <= cap (bounding the
+    self-join fan-out — see ``jaccard_candidates``), but the Jaccard
+    value for every surviving pair is still EXACT, recomputed from the
+    full shingle sets via ``array_intersect``. Results are identical
+    to the uncapped tier for every pair sharing at least one sub-cap
+    shingle; pairs linked ONLY by boilerplate hotter than the cap are
+    the (intended) pruning.
     """
+    if max_shingle_df is not None:
+        cand = jaccard_candidates(df, id_col, text_col, n, max_shingle_df)
+        arrs = df.select(
+            F.col(id_col).alias("_id"), shingles_col(text_col, n).alias("_arr")
+        )
+        return (
+            cand.join(
+                arrs.select(F.col("_id").alias("id_a"), F.col("_arr").alias("_aa")),
+                "id_a",
+            )
+            .join(
+                arrs.select(F.col("_id").alias("id_b"), F.col("_arr").alias("_ab")),
+                "id_b",
+            )
+            .withColumn("_common", F.size(F.array_intersect("_aa", "_ab")))
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("_common")
+                    / (F.size("_aa") + F.size("_ab") - F.col("_common"))
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
     sh = df.select(
         F.col(id_col).alias("_id"), F.explode(shingles_col(text_col, n)).alias("_sh")
     )

@@ -4053,6 +4053,107 @@ def q_lof_exact_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_exact_quantized",
+    # Hash-level oracle evidence for the ANN top-k math — the LSH/IVF
+    # tiers are rows-only by nature (LSH buckets / KMeans cells aren't
+    # SQL-expressible), so this anchors their recall baselines the way
+    # lof_exact_quantized anchors the LOF tiers. Trick: quantize each
+    # coordinate to integer milli-units up-front; dot products and
+    # squared norms are then EXACT int64 arithmetic (|x|<=1, dim 64 ->
+    # norm <= 6.4e7, norm product <= 4.1e15 < 2^63), and the cosine is
+    # one division of an exact integer by the correctly-rounded sqrt
+    # of an exact integer — bit-identical across engines, so both the
+    # VALUES and the top-10 RANKING agree at the hash level.
+    oracle="""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                                 AS BIGINT)) AS q
+            FROM embeddings WHERE vec_id < 500
+        ), n AS (
+            SELECT vec_id, q,
+                   CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
+                       AS norm_u
+            FROM e
+        ), p AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   CAST(list_sum(list_transform(
+                       list_zip(a.q, b.q), x -> x[1] * x[2])) AS BIGINT)
+                       AS dot_u,
+                   CAST(CAST(list_sum(list_transform(
+                           list_zip(a.q, b.q), x -> x[1] * x[2]))
+                        AS BIGINT) AS DOUBLE)
+                   / sqrt(CAST(a.norm_u * b.norm_u AS DOUBLE)) AS cos_exact
+            FROM n a JOIN n b
+              ON a.vec_id < 50 AND a.vec_id <> b.vec_id
+        )
+        SELECT query_id, neighbor_id, dot_u,
+               floor(cos_exact * 1e6 + 0.5) / 1e6 AS cosine_q,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos_exact DESC, neighbor_id
+               ) AS BIGINT) AS rn
+        FROM p
+        QUALIFY rn <= 10
+    """,
+    description="Exact quantized-integer cosine top-10 on a fixed "
+    "500-vector slice (50 query vectors): coordinates quantized to "
+    "milli-units, dot products and norms in exact int64, cosine = one "
+    "division by a correctly-rounded sqrt — bit-deterministic ranking "
+    "AND values, giving the ANN tiers (ann_lsh_topk / ann_ivf_topk) an "
+    "oracle-anchored ground truth alongside their recall pytests. "
+    "Constant-cost verification tier; the bucketed/celled tiers are "
+    "the scale path.",
+    tags=["similarity", "ann", "oracle-surrogate"],
+)
+def q_ann_exact_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    quant = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+    )
+    norm = F.aggregate(
+        F.transform("q", lambda x: x * x), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    base = emb.select("vec_id", quant.alias("q")).withColumn("norm_u", norm)
+    a = base.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("_qa"),
+        F.col("norm_u").alias("_na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("_qb"),
+        F.col("norm_u").alias("_nb"),
+    )
+    dot_u = F.aggregate(
+        F.zip_with("_qa", "_qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        b.join(F.broadcast(a), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dot_u", dot_u)
+        .withColumn(
+            "cos_exact",
+            F.col("dot_u").cast("double")
+            / F.sqrt((F.col("_na") * F.col("_nb")).cast("double")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_exact"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "dot_u",
+            sround(F.col("cos_exact"), 6).alias("cosine_q"),
+            "rn",
+        )
+    )
+
+
+@register(
     "curation_pipeline_e2e",
     # Capstone composition: the four curation stages as ONE declarative
     # plan — C4 quality gate -> exact dedup (keep-first by doc_id) ->
@@ -4164,12 +4265,73 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exceeds 50, the overflow rotates across rounds: queries rotated out
 # this round all have green hash-match evidence from a previous round.
 
-# Round-3 window (stalest-evidence-first rotation): the 3 queries
-# repaired this round (NTZ timestamps / DecimalType literal), the 3 new
-# TPC-H shapes (no driver evidence yet), then every oracle-backed query
-# whose last green check was round 1 (rotated out of the r2 window),
-# then round-2 greens to fill slot 50. Everything past slot 50 has a
-# green hash-match row in CORRECTNESS_r01 or _r02.
+# Round-4 window (stalest-evidence-first rotation): the 5 queries whose
+# code or oracle changed this round (two-pass prefix sum, short-doc
+# clamps, 128-bit Q11 predicate), the new ann_exact_quantized (no
+# driver evidence yet), then EVERY oracle-backed query absent from
+# CORRECTNESS_r03 (last green r1/r2 — after this window no
+# oracle-backed query's freshest green is >1 round old), then r3-green
+# unchanged fills to slot 50. Everything past slot 50 has a green
+# hash-match row in CORRECTNESS_r03.
+_PRIORITY_R04 = [
+    # changed in round 4 -> needs fresh evidence
+    "pack_sequences_2048",
+    "curation_pipeline_e2e",
+    "benchmark_contamination",
+    "duplicate_chunks_across_docs",
+    "q11_important_parts",
+    # new in round 4 (never driver-checked)
+    "ann_exact_quantized",
+    # oracle-backed, last green in r1/r2 (rotated out of the r3 window)
+    "profile_window_7d",
+    "rollup_order_volume",
+    "dedup_keep_first",
+    "text_quality_stats",
+    "lang_token_stats",
+    "ann_cosine_topk",
+    "embedding_cosine_near_dup",
+    "embedding_norm_stats",
+    "deterministic_split",
+    "array_map_functions",
+    "explode_type_matrix",
+    "cube_nation_priority",
+    "union_all_monthly_activity",
+    "having_active_users",
+    "scalar_subquery_above_avg",
+    "ngram_jaccard_pairs",
+    "chunk_text_windows",
+    "pii_scrub_documents",
+    "ntile_distribution_ranks",
+    "text_quality_profile",
+    "ml_recon_mse_threshold",
+    "ml_fusion_scores_precomputed",
+    "q6_forecast_revenue",
+    "q4_priority_exists",
+    "q12_priority_linestatus",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q18_large_volume_customer",
+    "q22_dormant_customers",
+    "source_mixing_stats",
+    "doc_repetition_signals",
+    "top_word_fraction",
+    "stratified_sample_docs",
+    # r3-green unchanged fills (freshest evidence, lowest priority)
+    "lof_exact_quantized",
+    "rolling_zscore_events",
+    "benford_first_digit",
+    "c4_quality_filters",
+    "source_temperature_weights",
+    "time_range_self_join",
+    "asof_join_purchase_click",
+    "grouping_sets_order_status",
+    "sessionize_events",
+    "rules_fusion_risk",
+    "profile_join_deviation",
+]
+
+# Round-3 window kept for provenance (CORRECTNESS_r03 was exactly the
+# first 50 of this ordering).
 _PRIORITY_R03 = [
     # repaired (r2: TIMESTAMP_NTZ errors / Decimal-vs-double hash miss)
     "time_range_self_join",
@@ -4236,7 +4398,7 @@ _PRIORITY_R03 = [
 
 
 def _ordered_names() -> list[str]:
-    pri = [n for n in _PRIORITY_R03 if n in REGISTRY]
+    pri = [n for n in _PRIORITY_R04 if n in REGISTRY]
     pri_set = set(pri)
     # Oracle-backed overflow (green in r1/r2) precedes rows-only entries,
     # which yield weaker no_oracle slots if the driver reads past 50.

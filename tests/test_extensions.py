@@ -214,3 +214,80 @@ def test_scrub_pii_redacts_planted_pii(spark):
     assert out[1]["n_url_redacted"] == 1
     assert out[2]["text_scrubbed"] == "no pii here at all"
     assert out[2]["n_email_redacted"] == 0
+
+
+# --- hot-shingle document-frequency cap (round 4) -------------------------
+
+
+def test_capped_jaccard_identical_on_corpus(docs, exact_pairs):
+    # with a cap comfortably above the corpus's near-dup link DFs, the
+    # capped tier must return the EXACT same (pair, jaccard) results —
+    # values recomputed from full shingle sets, not the capped subset
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=20
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == exact_pairs
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    for r in capped:
+        assert uncapped[(r["id_a"], r["id_b"])] == r["jaccard"]
+
+
+def test_cap_bounds_hot_shingle_join(spark):
+    from financial_anomaly_detection_spark.operators.dedup import jaccard_candidates
+
+    # 100 docs all sharing one boilerplate phrase + unique filler, plus
+    # one genuine near-dup pair that also shares non-hot shingles
+    boiler = "all rights reserved by the site"
+    rows = [(i, f"{boiler} unique filler words number {i} here") for i in range(100)]
+    rows += [(200, "the quick brown fox jumps high"), (201, "the quick brown fox jumps higher")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = jaccard_candidates(df, "doc_id", "text", n=3).count()
+    capped = jaccard_candidates(df, "doc_id", "text", n=3, max_shingle_df=10)
+    capped_rows = capped.collect()
+    # boilerplate alone links 100*99/2 pairs; the cap removes them all
+    assert uncapped >= 100 * 99 // 2
+    assert len(capped_rows) < 100
+    assert (200, 201) in {(r["id_a"], r["id_b"]) for r in capped_rows}
+
+    # and the capped FULL tier still scores the genuine pair exactly
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=10
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    assert got[(200, 201)] == exact[(200, 201)]
+
+
+def test_quantized_ann_surrogate_anchors_exact_tier(spark, sf_dir):
+    # chain of evidence: DuckDB oracle == ann_exact_quantized (driver
+    # hash gate) and ann_exact_quantized ~~ brute_force_topk (this
+    # test), so the float exact tier the LSH/IVF recall tests compare
+    # against is itself oracle-anchored. Milli-unit quantization can
+    # only flip neighbors within ~1e-3 cosine of each other, so top-10
+    # overlap stays near-perfect (measured 0.996 mean / 0.9 min).
+    from collections import defaultdict
+
+    from financial_anomaly_detection_spark.queries import REGISTRY
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    qs = emb.filter(F.col("vec_id") < 50)
+    exact = brute_force_topk(emb, qs, k=10).collect()
+    quant = REGISTRY["ann_exact_quantized"].fn(spark, sf_dir).collect()
+    e, q = defaultdict(set), defaultdict(set)
+    for r in exact:
+        e[r["query_id"]].add(r["neighbor_id"])
+    for r in quant:
+        q[r["query_id"]].add(r["neighbor_id"])
+    overlaps = [len(e[k] & q[k]) / 10 for k in e]
+    assert len(overlaps) == 50
+    assert sum(overlaps) / len(overlaps) >= 0.95
+    assert min(overlaps) >= 0.8
