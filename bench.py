@@ -1,12 +1,21 @@
 #!/usr/bin/env python
 """Benchmark harness (driver contract).
 
-Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line::
+Runs EVERY registered batch query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.
+
+Output protocol (round 4): the driver's capture keeps the TAIL of
+stdout, and round 3 lost its headline number because the single huge
+JSON line got its head truncated. So the LAST line printed is now a
+SHORT summary the driver can always parse::
 
     {"metric": "total_sec", "value": N, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+     "headline_sec": H, "sf": 0.1, "n_queries": K, "queries": {...}}
+
+with the short line's ``queries`` map containing ONLY the headline
+set. The full per-query timing map is printed on its own JSON line
+immediately before the summary AND written to ``BENCH_FULL.json``
+next to this script.
 
 Each query is forced end-to-end with the ``noop`` datasource sink
 (full JVM-side computation, no collect-to-driver bottleneck, no
@@ -43,80 +52,6 @@ HEADLINE = [
     "ann_cosine_topk",
 ]
 
-# Extension tiers (minhash/simhash/IVF/TF-IDF/...) benched since round 2
-# so regressions in the scale paths are visible per-round.
-EXTENDED = [
-    # TPC-H shapes
-    "q2_min_cost_supplier",
-    "q7_nation_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q10_returned_revenue",
-    "q14_promo_revenue_pct",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q4_priority_exists",
-    "q6_forecast_revenue",
-    "q11_important_parts",
-    "q12_priority_linestatus",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q18_large_volume_customer",
-    "q22_dormant_customers",
-    "q16_supplier_part_counts",
-    "q20_promo_part_shippers",
-    "q21_waiting_suppliers",
-    # dedup tiers
-    "dedup_keep_first",
-    "ngram_jaccard_pairs",
-    "minhash_near_dup",
-    "simhash_near_dup",
-    "near_dup_clusters",
-    # similarity tiers
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_cosine_near_dup",
-    # text pipeline
-    "lang_token_stats",
-    "text_lang_fingerprint",
-    "text_quality_profile",
-    "chunk_text_windows",
-    "tfidf_top_terms",
-    "pii_scrub_documents",
-    "doc_repetition_signals",
-    "top_word_fraction",
-    "stratified_sample_docs",
-    "c4_quality_filters",
-    "benchmark_contamination",
-    "source_temperature_weights",
-    "pack_sequences_2048",
-    # financial-anomaly analytics
-    "rolling_zscore_events",
-    "benford_first_digit",
-    "lof_exact_quantized",
-    "curation_pipeline_e2e",
-    # windows / sessions / range
-    "rank_windows",
-    "ntile_distribution_ranks",
-    "sessionize_events",
-    "time_range_window_profile",
-    "time_range_self_join",
-    "asof_join_purchase_click",
-    # agg shapes
-    "cube_nation_priority",
-    "pivot_event_type_daily",
-    "union_all_monthly_activity",
-    "approx_distinct_users",
-    "deterministic_split",
-    # ML tiers (fit + score at sf embeddings scale)
-    "ml_iforest_embeddings",
-    "ml_lof_distributed",
-    "ml_reconstruction_embeddings",
-    # multimodal decode tiers (real PNG/WAV codecs via mapInPandas)
-    "multimodal_image_features",
-    "multimodal_audio_features",
-]
-
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -129,7 +64,12 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name="fad-spark-bench", master=f"local[{cpus}]")
 
-    names = [n for n in HEADLINE + EXTENDED if n in REGISTRY]
+    # Headline set first (round-over-round comparability), then every
+    # other registered query — full registry coverage so each operator
+    # has a per-round perf trace.
+    names = [n for n in HEADLINE if n in REGISTRY]
+    names += [n for n in REGISTRY if n not in names]
+
     # Warmup: pay JVM/codegen startup outside the measured window.
     try:
         force(REGISTRY[names[0]].fn(spark, sf_dir))
@@ -151,7 +91,7 @@ def main() -> None:
 
     headline = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
     total = round(sum(timings.values()), 3)
-    out = {
+    full = {
         "metric": "total_sec",
         "value": total,
         "unit": "sec",
@@ -160,8 +100,24 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        full["errors"] = errors
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    # full map first (head may be truncated by the capture), short
+    # summary LAST so the tail parse always succeeds
+    print(json.dumps(full))
+    summary = {
+        "metric": "total_sec",
+        "value": total,
+        "unit": "sec",
+        "headline_sec": headline,
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries": {n: timings[n] for n in HEADLINE if n in timings},
+    }
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -77,7 +77,11 @@ class AnomalyEnsemble:
         (schemas.FEATURE_COLS shape)."""
         pipeline = build_feature_pipeline(self.numeric_cols, self.categorical_cols)
         self.feature_model = pipeline.fit(feature_df)
-        feats = self.feature_model.transform(feature_df)
+        # Pin the transformed features once: the three scorer fits (plus
+        # the 80/20 split) each trigger their own bounded-sample collect,
+        # and without pinning every one replays the full MLlib transform
+        # over the corpus. One materialization, four cheap consumers.
+        feats = self.feature_model.transform(feature_df).localCheckpoint(eager=True)
         # Split discipline mirrors train.py:71-88: IsolationForest and
         # LOF fit on the FULL feature matrix; the autoencoder analog
         # trains on the 80% split with its threshold calibrated on the

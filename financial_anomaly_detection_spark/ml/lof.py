@@ -84,22 +84,32 @@ class LOFNoveltyModel:
 
         # Self-contained UDF (no references into this package — Python
         # workers can't import it); distances inlined as one matmul.
+        # kNN selection happens on SQUARED distances (sqrt is monotone,
+        # so the neighbor set is identical) and sqrt is applied only to
+        # the k selected columns; rows are processed in sub-chunks so
+        # the chunk × reference-set distance matrix stays ~80 MB even
+        # at the default 10k-row Arrow batch (the full-batch form
+        # allocated ~400 MB of temps per batch × one per core).
         @F.pandas_udf(T.DoubleType())
         def _lof(batch: pd.Series) -> pd.Series:
             Xt, kdist, lrd = b.value
             X = np.stack(batch.to_numpy())
-            d2 = (
-                (X * X).sum(axis=1)[:, None]
-                + (Xt * Xt).sum(axis=1)[None, :]
-                - 2.0 * (X @ Xt.T)
-            )
-            dists = np.sqrt(np.maximum(d2, 0.0))
-            nn_idx = np.argpartition(dists, k - 1, axis=1)[:, :k]
-            nn_d = np.take_along_axis(dists, nn_idx, axis=1)
-            reach = np.maximum(kdist[nn_idx], nn_d)
-            lrd_x = k / np.maximum(reach.mean(axis=1), 1e-12)
-            lof = lrd[nn_idx].mean(axis=1) / np.maximum(lrd_x, 1e-12)
-            return pd.Series(lof)
+            Xt_sq = (Xt * Xt).sum(axis=1)[None, :]
+            out = np.empty(len(X), dtype=np.float64)
+            step = 2048
+            for i in range(0, len(X), step):
+                xb = X[i : i + step]
+                d2 = (xb * xb).sum(axis=1)[:, None] + Xt_sq - 2.0 * (xb @ Xt.T)
+                nn_idx = np.argpartition(d2, k - 1, axis=1)[:, :k]
+                nn_d = np.sqrt(
+                    np.maximum(np.take_along_axis(d2, nn_idx, axis=1), 0.0)
+                )
+                reach = np.maximum(kdist[nn_idx], nn_d)
+                lrd_x = k / np.maximum(reach.mean(axis=1), 1e-12)
+                out[i : i + step] = lrd[nn_idx].mean(axis=1) / np.maximum(
+                    lrd_x, 1e-12
+                )
+            return pd.Series(out)
 
         return _lof(_as_array(df, features_col))
 
