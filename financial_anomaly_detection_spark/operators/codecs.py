@@ -11,6 +11,12 @@ multimodal decode tier can be REAL rather than stubbed:
   exists so tests can round-trip arbitrary arrays through real bytes.
 - **WAV** (RIFF PCM): stdlib ``wave`` handles the container; samples
   decode to int16 numpy arrays.
+- **AVI** (RIFF 'AVI ' form, Microsoft AVI RIFF File Reference —
+  public): chunk walker + MainAVIHeader/BITMAPINFOHEADER parsing +
+  uncompressed 24-bit DIB frame decode ('00db' chunks, BGR rows
+  stored bottom-up, 4-byte row padding). Compressed streams raise
+  ValueError so callers fall through to the stub tier — honest about
+  what a stdlib-only decoder can do.
 
 These run inside Arrow ``mapInPandas`` batches (operators/multimodal.py).
 They are the *fallback* tier: when native codec libs are present they
@@ -203,3 +209,126 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
         w.setframerate(sample_rate)
         w.writeframes(arr.tobytes())
     return buf.getvalue()
+
+
+# --- AVI (RIFF video container) -------------------------------------------
+
+RIFF_SIGNATURE = b"RIFF"
+
+
+def _walk_riff(raw: bytes, pos: int, end: int):
+    """Yield (fourcc, list_type_or_None, data_start, data_len) for each
+    chunk in [pos, end); RIFF chunks are word-aligned (odd lengths get
+    one pad byte)."""
+    while pos + 8 <= end:
+        fourcc = raw[pos : pos + 4]
+        (length,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        data_start = pos + 8
+        if data_start + length > len(raw):
+            raise ValueError("truncated RIFF chunk")
+        if fourcc in (b"LIST", b"RIFF"):
+            yield fourcc, raw[data_start : data_start + 4], data_start + 4, length - 4
+        else:
+            yield fourcc, None, data_start, length
+        pos = data_start + length + (length & 1)
+
+
+def decode_avi(raw: bytes) -> tuple[float, np.ndarray]:
+    """Decode an uncompressed-DIB AVI to (fps, frames).
+
+    ``frames`` is uint8 of shape (n_frames, H, W, 3) in RGB order.
+    Raises ValueError on non-AVI bytes, compressed video streams, or
+    bit depths other than 24 — callers fall through to the next
+    decoder tier, exactly like :func:`decode_png`.
+    """
+    if raw[:4] != RIFF_SIGNATURE or raw[8:12] != b"AVI ":
+        raise ValueError("not an AVI: bad RIFF signature/form")
+    width = height = None
+    usec_per_frame = 0
+    bit_count = compression = None
+    frames_raw: list[bytes] = []
+
+    def _scan(pos: int, end: int) -> None:
+        nonlocal width, height, usec_per_frame, bit_count, compression
+        for fourcc, ltype, dstart, dlen in _walk_riff(raw, pos, end):
+            if fourcc == b"LIST":
+                _scan(dstart, dstart + dlen)
+            elif fourcc == b"avih" and dlen >= 40:
+                vals = struct.unpack("<10I", raw[dstart : dstart + 40])
+                usec_per_frame = vals[0]
+                width, height = vals[8], vals[9]
+            elif fourcc == b"strf" and dlen >= 20:
+                # BITMAPINFOHEADER: biSize, biWidth, biHeight, planes/
+                # bitcount (u16 x2), biCompression
+                _, _bw, _bh, _pl, bc, comp = struct.unpack(
+                    "<iiiHHI", raw[dstart : dstart + 20]
+                )
+                bit_count, compression = bc, comp
+            elif len(fourcc) == 4 and fourcc[2:4] in (b"db", b"dc"):
+                frames_raw.append(raw[dstart : dstart + dlen])
+
+    _scan(12, len(raw))
+    if width is None or not frames_raw:
+        raise ValueError("no avih header / no frame chunks")
+    if compression not in (0, None):
+        raise ValueError(f"compressed AVI stream (biCompression={compression})")
+    if bit_count not in (24, None):
+        raise ValueError(f"unsupported bit depth {bit_count}")
+    stride = (width * 3 + 3) & ~3  # DIB rows pad to 4 bytes
+    frames = np.empty((len(frames_raw), height, width, 3), dtype=np.uint8)
+    for i, fb in enumerate(frames_raw):
+        if len(fb) < stride * height:
+            raise ValueError("truncated frame chunk")
+        rows = np.frombuffer(fb[: stride * height], dtype=np.uint8).reshape(
+            height, stride
+        )
+        bgr = rows[:, : width * 3].reshape(height, width, 3)
+        frames[i] = bgr[::-1, :, ::-1]  # bottom-up rows, BGR -> RGB
+    fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
+    return fps, frames
+
+
+def encode_avi(frames: np.ndarray, fps: float = 8.0) -> bytes:
+    """Encode uint8 RGB frames (n, H, W, 3) as a real uncompressed AVI
+    ('DIB ' fourcc, 24-bit BI_RGB, bottom-up BGR rows, 4-byte row
+    padding) so tests can round-trip arbitrary arrays through real
+    container bytes."""
+    arr = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, height, width, _ = arr.shape
+    stride = (width * 3 + 3) & ~3
+    usec = int(round(1e6 / fps))
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def list_chunk(ltype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", ltype + data)
+
+    frame_bytes = []
+    for f in arr:
+        bgr_bottom_up = f[::-1, :, ::-1]
+        rows = np.zeros((height, stride), dtype=np.uint8)
+        rows[:, : width * 3] = bgr_bottom_up.reshape(height, width * 3)
+        frame_bytes.append(rows.tobytes())
+    frame_size = stride * height
+
+    avih = struct.pack(
+        "<10I16x",
+        usec, frame_size * int(fps), 0, 0x10, n, 0, 1, frame_size, width, height,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, int(fps), 0, n, frame_size, -1, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<iiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 0, 0, 0, 0
+    )
+    hdrl = list_chunk(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = list_chunk(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -15,8 +15,12 @@ that produced it:
    height, channels, intensities and audio stats come from the actual
    pixels/samples.
 3. ``stub`` — deterministic digest-derived pseudo-features, only for
-   payloads no available decoder understands (e.g. video containers).
-   Clearly tagged so downstream can filter or audit.
+   payloads no available decoder understands (e.g. compressed video
+   codecs). Clearly tagged so downstream can filter or audit.
+
+Video is REAL for uncompressed-DIB AVI since round 4 (from-scratch
+RIFF container parser in :mod:`.codecs`); compressed codecs (H.264
+etc.) still fall to the tagged stub — no stdlib decoder exists.
 
 At 100 TB the shape is unchanged: binary columns in parquet, decode as
 a mapInPandas stage after a repartition sized so one Arrow batch of
@@ -32,7 +36,15 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from .codecs import PNG_SIGNATURE, decode_png, decode_wav, encode_png, encode_wav
+from .codecs import (
+    PNG_SIGNATURE,
+    decode_avi,
+    decode_png,
+    decode_wav,
+    encode_avi,
+    encode_png,
+    encode_wav,
+)
 
 # Typed metadata struct carried alongside every media payload.
 MEDIA_META_SCHEMA = T.StructType(
@@ -53,6 +65,21 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("mean_intensity", T.DoubleType()),
         T.StructField("feature_vec", T.ArrayType(T.FloatType())),
         T.StructField("decoder", T.StringType()),  # 'pil' | 'png-purepy' | 'stub'
+    ]
+)
+
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+        T.StructField("motion_score", T.DoubleType()),   # mean |frame delta|
+        T.StructField("sampled_means", T.ArrayType(T.FloatType())),
+        T.StructField("decoder", T.StringType()),  # 'avi-purepy' | 'stub'
     ]
 )
 
@@ -285,4 +312,111 @@ def decode_audio_features(
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         _decode, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def attach_avi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL deterministic AVI payload per row: 6 frames of a
+    12x16 gradient translating by one pixel per frame (id-keyed phase),
+    encoded through the from-scratch RIFF/DIB writer — byte-identical
+    across engines/runs/retries, like the PNG/WAV builders."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                h, w, n = 12, 16, 6
+                yy, xx = np.mgrid[0:h, 0:w]
+                frames = np.stack(
+                    [
+                        np.stack(
+                            [
+                                (xx * 5 + yy * 3 + i * 7 + f * 9 + c * 11) % 256
+                                for c in range(3)
+                            ],
+                            axis=2,
+                        )
+                        for f in range(n)
+                    ]
+                ).astype(np.uint8)
+                rows.append((i, encode_avi(frames, fps=8.0)))
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    gen_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    out = df.select(F.col(id_col)).mapInPandas(_gen, schema=gen_schema)
+    return out.select(
+        id_col,
+        "payload",
+        _media_meta(F.col("payload"), "video", "avi").alias("media_meta"),
+    )
+
+
+def decode_video_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    sample_frames: int = 4,
+) -> DataFrame:
+    """Video decode + frame-sample + feature-extract via mapInPandas.
+
+    Uncompressed-DIB AVI decodes for REAL (pure-stdlib RIFF parser);
+    compressed codecs get the tagged digest stub. ``sampled_means`` is
+    the per-frame mean intensity at ``sample_frames`` evenly-spaced
+    frame indices (the frame-sampling primitive a training pipeline
+    feeds to a vision encoder); ``motion_score`` is the mean absolute
+    inter-frame delta — a cheap cut/static detector.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                try:
+                    fps, frames = decode_avi(raw)
+                    n, h, w = frames.shape[:3]
+                    arr = frames.astype(np.float64)
+                    idx = np.linspace(0, n - 1, min(sample_frames, n))
+                    sampled = [
+                        float(arr[int(round(j))].mean()) / 255.0 for j in idx
+                    ]
+                    motion = (
+                        float(np.abs(np.diff(arr, axis=0)).mean()) if n > 1 else 0.0
+                    )
+                    out.append(
+                        (
+                            doc_id, n, w, h, fps,
+                            n / fps if fps else 0.0,
+                            float(arr.mean()), motion, sampled, "avi-purepy",
+                        )
+                    )
+                    continue
+                except Exception:
+                    # compressed codec OR corrupt container -> per-record
+                    # stub, never a dead task (same isolation contract as
+                    # the image tier)
+                    pass
+                digest = hashlib.md5(raw).digest()
+                out.append(
+                    (
+                        doc_id, 0, 64 + digest[0] % 192, 64 + digest[1] % 192,
+                        0.0, 0.0, digest[2] / 2.0, 0.0,
+                        [float(b) / 255.0 for b in digest[:sample_frames]],
+                        "stub",
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_frames", "width", "height", "fps",
+                    "duration_sec", "mean_intensity", "motion_score",
+                    "sampled_means", "decoder",
+                ],
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _decode, schema=VIDEO_FEATURES_SCHEMA
     )

@@ -2497,6 +2497,25 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio_features(media, "doc_id", "payload")
 
 
+@register(
+    "multimodal_video_features",
+    oracle=None,
+    description="Multimodal video path (§2.10): REAL uncompressed-DIB AVI "
+    "payloads decoded by the from-scratch RIFF container parser "
+    "(operators/codecs.py, public AVI RIFF File Reference) in a "
+    "mapInPandas stage — frame count, fps, duration, frame-sampled "
+    "intensities, inter-frame motion score; rows tagged "
+    "decoder='avi-purepy'. Compressed codecs fall to the tagged stub.",
+    tags=["multimodal", "mapinpandas", "video"],
+)
+def q_multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import attach_avi_payload, decode_video_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_avi_payload(docs, "doc_id")
+    return decode_video_features(media, "doc_id", "payload")
+
+
 # ---------------------------------------------------------------------------
 # ML scoring queries (§2.7) — rows-only checks: anomaly scores are not
 # SQL-expressible (driver contract allows omitting the oracle).
