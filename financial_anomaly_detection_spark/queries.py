@@ -4274,6 +4274,203 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Product/financial analytics shapes (round 4): cohort retention,
+# funnel conversion, exponentially-weighted trailing averages — the
+# standard event-analytics companions to the anomaly spine, all in
+# exact integer math so they hash-match.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_retention",
+    # Weekly cohort retention matrix. ALL date math is integer
+    # arithmetic on epoch days (unix_micros div 86400e6) — no engine
+    # date/timezone semantics anywhere, so the matrix is hash-exact.
+    oracle="""
+        WITH d AS (
+            SELECT user_id,
+                   epoch_us(ts) // 86400000000 AS day_idx
+            FROM events
+        ), f AS (
+            SELECT user_id, MIN(day_idx) AS first_day
+            FROM d GROUP BY user_id
+        )
+        SELECT CAST(f.first_day // 7 AS BIGINT) AS cohort_week,
+               CAST((d.day_idx - f.first_day) // 7 AS BIGINT) AS week_offset,
+               CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
+        FROM d JOIN f USING (user_id)
+        GROUP BY 1, 2
+    """,
+    description="Weekly cohort retention: users bucketed by first-seen "
+    "week, activity counted per (cohort, weeks-since-first) cell — the "
+    "standard retention matrix. Epoch-day integer arithmetic only (no "
+    "date/tz semantics), two shuffles (first-seen agg keyed on user; "
+    "matrix agg), first-seen side is key-bounded so it broadcasts.",
+    tags=["analytics", "aggregate", "join"],
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    d = ev.select("user_id", day.alias("day_idx"))
+    f = d.groupBy("user_id").agg(F.min("day_idx").alias("first_day"))
+    return (
+        d.join(F.broadcast(f), "user_id")
+        .groupBy(
+            F.expr("first_day div 7").cast("long").alias("cohort_week"),
+            F.expr("(day_idx - first_day) div 7").cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+@register(
+    "funnel_conversion",
+    # Strict-ordering funnel: first view -> first click AFTER that
+    # view -> first purchase AFTER that click, per user. Timestamps
+    # compared as exact integer micros; output is 3 counting rows.
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        ), v AS (
+            SELECT user_id, MIN(us) AS v_us FROM e
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, MIN(e.us) AS c_us
+            FROM e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.us > v.v_us
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, MIN(e.us) AS p_us
+            FROM e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.us > c.c_us
+            GROUP BY e.user_id
+        )
+        SELECT * FROM (
+            SELECT 1 AS stage, 'view' AS event_type,
+                   CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+            UNION ALL
+            SELECT 2, 'click_after_view',
+                   CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+            UNION ALL
+            SELECT 3, 'purchase_after_click',
+                   CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+        )
+    """,
+    description="Strict-ordering conversion funnel (view -> click after "
+    "first view -> purchase after that click) counted per stage. Each "
+    "stage is a key-grouped MIN over integer micros joined to the "
+    "previous stage's bounded per-user frontier (broadcastable at any "
+    "corpus size: one row per surviving user).",
+    tags=["analytics", "funnel", "join"],
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("us") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("us") > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+
+    def stage(n: int, label: str, frontier: DataFrame) -> DataFrame:
+        return frontier.agg(
+            F.lit(n).alias("stage"),
+            F.lit(label).alias("event_type"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+
+    return (
+        stage(1, "view", v)
+        .unionAll(stage(2, "click_after_view", c))
+        .unionAll(stage(3, "purchase_after_click", p))
+    )
+
+
+# EWMA weights: floor(0.8^j * 1e6), j = lag position 0..15. Computed
+# once in Python and embedded as LITERALS in both engines' queries, so
+# the weighted sum is pure integer arithmetic.
+_EWMA_W = [int((0.8**j) * 1_000_000) for j in range(16)]
+
+
+def _ewma_oracle() -> str:
+    lags = ",\n                   ".join(
+        f"lag(cents, {j}) OVER w AS l{j}" for j in range(16)
+    )
+    num = " + ".join(f"COALESCE(l{j} * {w}, 0)" for j, w in enumerate(_EWMA_W))
+    den = " + ".join(
+        f"CASE WHEN l{j} IS NOT NULL THEN {w} ELSE 0 END"
+        for j, w in enumerate(_EWMA_W)
+    )
+    return f"""
+        WITH c AS (
+            SELECT event_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                   user_id, ts FROM events
+        ), l AS (
+            SELECT event_id, cents,
+                   {lags}
+            FROM c
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        )
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               floor(({num}) / CAST(({den}) AS DOUBLE) * 1e4 + 0.5) / 1e4
+                   AS ewma_cents
+        FROM l
+    """
+
+
+@register(
+    "ewma_amounts",
+    # Trailing exponentially-weighted average with integer-quantized
+    # weights: w_j = floor(0.8^j * 1e6) over the 16 most recent events
+    # per user. Numerator/denominator are exact int64 sums (cents <=
+    # 5e4, weight <= 1e6, 16 terms -> < 8e11), the EWMA is one
+    # division of exact integers — bit-identical across engines.
+    oracle=_ewma_oracle(),
+    description="Per-user trailing EWMA of amounts (16-lag, decay 0.8) "
+    "with integer-quantized weights so the weighted sum is exact int64 "
+    "on both engines — the exponential-decay companion to the "
+    "rolling-zscore primitive. One shuffle (the per-user window).",
+    tags=["analytics", "window", "finance"],
+)
+def q_ewma_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    base = ev.select("event_id", cents.alias("cents"), "user_id", "ts")
+    lagged = base.select(
+        "event_id",
+        *[F.lag("cents", j).over(w).alias(f"l{j}") for j in range(16)],
+    )
+    num = None
+    den = None
+    for j, wt in enumerate(_EWMA_W):
+        term = F.coalesce(F.col(f"l{j}") * F.lit(wt), F.lit(0))
+        dterm = F.when(F.col(f"l{j}").isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    return lagged.select(
+        F.col("event_id").cast("long"),
+        sround(num / den.cast("double"), 4).alias("ewma_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
 #
@@ -4301,6 +4498,9 @@ _PRIORITY_R04 = [
     "q11_important_parts",
     # new in round 4 (never driver-checked)
     "ann_exact_quantized",
+    "cohort_retention",
+    "funnel_conversion",
+    "ewma_amounts",
     # oracle-backed, last green in r1/r2 (rotated out of the r3 window)
     "profile_window_7d",
     "rollup_order_volume",
@@ -4343,10 +4543,6 @@ _PRIORITY_R04 = [
     "source_temperature_weights",
     "time_range_self_join",
     "asof_join_purchase_click",
-    "grouping_sets_order_status",
-    "sessionize_events",
-    "rules_fusion_risk",
-    "profile_join_deviation",
 ]
 
 # Round-3 window kept for provenance (CORRECTNESS_r03 was exactly the
