@@ -109,3 +109,34 @@ def test_risk_bucket_boundaries(spark):
     assert got[0.0] == "Low" and got[0.3999999] == "Low"
     assert got[0.4] == "Medium" and got[0.699999] == "Medium"
     assert got[0.7] == "High" and got[1.0] == "High" and got[1.45] == "High"
+
+
+# --- two-pass parallel prefix sum (round 4) -------------------------------
+
+_kv = st.lists(
+    st.tuples(st.integers(-10_000, 10_000), st.integers(0, 1_000)),
+    min_size=1,
+    max_size=120,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_kv)
+def test_prefix_sum_matches_sequential_reference(spark, kv):
+    """ordered_prefix_sum == the plain Python running sum for ANY set
+    of unique keys (negative, sparse, unordered) and values — the
+    bucketing/offset algebra may not depend on key distribution."""
+    from financial_anomaly_detection_spark.operators.prefix import (
+        ordered_prefix_sum,
+    )
+
+    df = spark.createDataFrame(kv, "k long, v long")
+    got = {
+        r["k"]: r["prefix_before"]
+        for r in ordered_prefix_sum(df, "k", "v", n_buckets=7, pin=False).collect()
+    }
+    acc = 0
+    for k, v in sorted(kv):
+        assert got[k] == acc, f"key {k}: {got[k]} != {acc}"
+        acc += v
