@@ -39,6 +39,24 @@ from .reconstruction import ReconstructionScorer
 MODEL_VERSION = "spark-ensemble-v1"
 
 
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster before the Arrow
+    scoring stages. A small parquet table arrives as one or two file
+    partitions, which would serialize the pandas_udf kernels onto as
+    many cores; at real scale the scan is already wide and this is a
+    no-op. Row-level parallelism is safe — every kernel is row-wise.
+
+    Streaming frames pass through untouched: micro-batch partitioning
+    is the source's concern, and a streaming plan cannot be probed via
+    .rdd anyway."""
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 class AnomalyEnsemble:
     def __init__(
         self,
@@ -80,8 +98,11 @@ class AnomalyEnsemble:
         # Pin the transformed features once: the three scorer fits (plus
         # the 80/20 split) each trigger their own bounded-sample collect,
         # and without pinning every one replays the full MLlib transform
-        # over the corpus. One materialization, four cheap consumers.
-        feats = self.feature_model.transform(feature_df).localCheckpoint(eager=True)
+        # over the corpus. One materialization, four cheap consumers —
+        # spread wide first so the fit kernels use every core.
+        feats = _parallelize(
+            self.feature_model.transform(feature_df)
+        ).localCheckpoint(eager=True)
         # Split discipline mirrors train.py:71-88: IsolationForest and
         # LOF fit on the FULL feature matrix; the autoencoder analog
         # trains on the 80% split with its threshold calibrated on the
@@ -104,7 +125,7 @@ class AnomalyEnsemble:
         fusion -> risk bucket. Returns the ScoreOut shape."""
         if self.feature_model is None:
             raise RuntimeError("fit() first")
-        feats = self.feature_model.transform(feature_df)
+        feats = _parallelize(self.feature_model.transform(feature_df))
         scored = (
             feats.withColumn("anomaly_score_iforest", self.iforest.decision_col(feats))
             .withColumn("anomaly_score_lof", self.lof.decision_col(feats))
