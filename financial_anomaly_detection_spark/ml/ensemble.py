@@ -39,22 +39,9 @@ from .reconstruction import ReconstructionScorer
 MODEL_VERSION = "spark-ensemble-v1"
 
 
-def _parallelize(df: DataFrame) -> DataFrame:
-    """Spread a narrow input across the cluster before the Arrow
-    scoring stages. A small parquet table arrives as one or two file
-    partitions, which would serialize the pandas_udf kernels onto as
-    many cores; at real scale the scan is already wide and this is a
-    no-op. Row-level parallelism is safe — every kernel is row-wise.
-
-    Streaming frames pass through untouched: micro-batch partitioning
-    is the source's concern, and a streaming plan cannot be probed via
-    .rdd anyway."""
-    if df.isStreaming:
-        return df
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# Row-level parallelism is safe in every kernel here (all row-wise);
+# see operators/partitioning.py for why narrow inputs must be spread.
+from ..operators.partitioning import spread_narrow as _parallelize  # noqa: E402
 
 
 class AnomalyEnsemble:

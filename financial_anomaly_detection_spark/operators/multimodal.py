@@ -45,6 +45,7 @@ from .codecs import (
     encode_png,
     encode_wav,
 )
+from .partitioning import spread_narrow
 
 # Typed metadata struct carried alongside every media payload.
 MEDIA_META_SCHEMA = T.StructType(
@@ -146,7 +147,7 @@ def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     gen_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    out = df.select(F.col(id_col)).mapInPandas(_gen, schema=gen_schema)
+    out = spread_narrow(df.select(F.col(id_col))).mapInPandas(_gen, schema=gen_schema)
     return out.select(
         id_col,
         "payload",
@@ -172,7 +173,7 @@ def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     gen_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    out = df.select(F.col(id_col)).mapInPandas(_gen, schema=gen_schema)
+    out = spread_narrow(df.select(F.col(id_col))).mapInPandas(_gen, schema=gen_schema)
     return out.select(
         id_col,
         "payload",
@@ -253,7 +254,7 @@ def decode_image_features(
                 ],
             )
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+    return spread_narrow(df.select(F.col(id_col), F.col(payload_col))).mapInPandas(
         _decode, schema=IMAGE_FEATURES_SCHEMA
     )
 
@@ -310,7 +311,7 @@ def decode_audio_features(
                 ],
             )
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+    return spread_narrow(df.select(F.col(id_col), F.col(payload_col))).mapInPandas(
         _decode, schema=AUDIO_FEATURES_SCHEMA
     )
 
@@ -346,7 +347,7 @@ def attach_avi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     gen_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    out = df.select(F.col(id_col)).mapInPandas(_gen, schema=gen_schema)
+    out = spread_narrow(df.select(F.col(id_col))).mapInPandas(_gen, schema=gen_schema)
     return out.select(
         id_col,
         "payload",
@@ -417,6 +418,6 @@ def decode_video_features(
                 ],
             )
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+    return spread_narrow(df.select(F.col(id_col), F.col(payload_col))).mapInPandas(
         _decode, schema=VIDEO_FEATURES_SCHEMA
     )
