@@ -80,29 +80,42 @@ class AnomalyEnsemble:
     def fit(self, feature_df: DataFrame) -> "AnomalyEnsemble":
         """feature_df must carry the 10 feature columns
         (schemas.FEATURE_COLS shape)."""
+        # Pin the raw feature frame: the MLlib pipeline fit runs one job
+        # per stage (two StringIndexer distincts + the scaler stats
+        # pass), each of which would otherwise replay the upstream
+        # feature prep. persist (not localCheckpoint) so the blocks are
+        # RELEASED when fit returns — all model state lives driver-side
+        # after fitting, and leaked pins slowly squeeze execution memory
+        # in long sessions.
+        feature_df = _parallelize(feature_df).persist()
         pipeline = build_feature_pipeline(self.numeric_cols, self.categorical_cols)
-        self.feature_model = pipeline.fit(feature_df)
-        # Pin the transformed features once: the three scorer fits (plus
-        # the 80/20 split) each trigger their own bounded-sample collect,
-        # and without pinning every one replays the full MLlib transform
-        # over the corpus. One materialization, four cheap consumers —
-        # spread wide first so the fit kernels use every core.
-        feats = _parallelize(
-            self.feature_model.transform(feature_df)
-        ).localCheckpoint(eager=True)
-        # Split discipline mirrors train.py:71-88: IsolationForest and
-        # LOF fit on the FULL feature matrix; the autoencoder analog
-        # trains on the 80% split with its threshold calibrated on the
-        # held-out 20% (M9/M11, seed=42 ≙ train.py:83).
-        self.iforest.fit(feats)
-        self.lof.fit(feats)
-        if self.ae_variant == "mlp":
-            # AutoencoderScorer performs the 80/20 train/val split and
-            # held-out threshold calibration internally.
-            self.recon.fit(feats)
-        else:
-            train, val = feats.randomSplit([0.8, 0.2], seed=self.seed)
-            self.recon.fit(train, val_df=val)
+        try:
+            self.feature_model = pipeline.fit(feature_df)
+            # Pin the transformed features once too: the three scorer
+            # fits (plus the 80/20 split) each trigger their own
+            # bounded-sample collect, and without pinning every one
+            # replays the full MLlib transform over the corpus.
+            feats = self.feature_model.transform(feature_df).persist()
+            # Split discipline mirrors train.py:71-88: IsolationForest
+            # and LOF fit on the FULL feature matrix; the autoencoder
+            # analog trains on the 80% split with its threshold
+            # calibrated on the held-out 20% (M9/M11, seed=42 ≙
+            # train.py:83).
+            try:
+                self.iforest.fit(feats)
+                self.lof.fit(feats)
+                if self.ae_variant == "mlp":
+                    # AutoencoderScorer performs the 80/20 train/val
+                    # split and held-out threshold calibration
+                    # internally.
+                    self.recon.fit(feats)
+                else:
+                    train, val = feats.randomSplit([0.8, 0.2], seed=self.seed)
+                    self.recon.fit(train, val_df=val)
+            finally:
+                feats.unpersist()
+        finally:
+            feature_df.unpersist()
         return self
 
     # -- score (§3.1) ------------------------------------------------------
