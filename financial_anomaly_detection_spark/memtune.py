@@ -21,15 +21,21 @@ Three standard, documented knobs fix this:
 * ``M_TOP_PAD`` 256 MiB — each sbrk grows the arena in large steps,
   amortizing the (slow) fault-in.
 
-Two env-var companions (start-time only, so they are exported before
-the Spark JVM launches and are inherited by every Python worker the
-JVM forks):
+Scope — Python processes ONLY, never the JVM. Two approaches were
+measured and rejected for the JVM side of the same host:
 
-* ``MALLOC_*_`` variants of the same three knobs (mallopt cannot run
-  before interpreter start in the workers);
-* ``GLIBC_TUNABLES=glibc.malloc.hugetlb=1`` (glibc >= 2.35) — malloc
-  madvises ``MADV_HUGEPAGE``; with THP in ``madvise`` mode the kernel
-  populates 2 MiB pages, measured ~4x faster first-touch.
+* ``GLIBC_TUNABLES=glibc.malloc.hugetlb=1`` in the JVM's environment
+  made JVM-side queries 3-5x slower (even warm);
+* ``-XX:+UseTransparentHugePages`` slowed a cached materialization
+  ~1.6x.
+
+Because env vars exported before ``getOrCreate()`` are inherited by
+the JVM and everything it forks, this module does NOT export any —
+the driver is tuned via a direct ``mallopt`` call
+(``session.get_spark``), and each worker-side kernel closure carries a
+three-line inline mallopt preamble (the closures are deliberately
+self-contained — workers never import this package — so they cannot
+call :func:`tune_malloc` by reference).
 
 Everything here is a no-op on non-glibc platforms (the ctypes lookup
 is wrapped) and is idempotent. On a multi-tenant cluster these values
@@ -79,24 +85,17 @@ def tune_malloc() -> bool:
     return _tuned
 
 
-def export_worker_env() -> None:
-    """Export the start-time allocator env vars so that a Spark JVM
-    launched AFTER this call passes them down to the Python workers it
-    forks (driver python -> JVM -> pyspark.daemon -> workers).
-
-    Must run BEFORE ``SparkSession.builder...getOrCreate()`` first
-    creates the gateway; harmless (but ineffective for workers) after.
-    """
-    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(MMAP_THRESHOLD))
-    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(TRIM_THRESHOLD))
-    os.environ.setdefault("MALLOC_TOP_PAD_", str(TOP_PAD))
-    tunables = os.environ.get("GLIBC_TUNABLES", "")
-    if "glibc.malloc.hugetlb" not in tunables:
-        os.environ["GLIBC_TUNABLES"] = (
-            f"{tunables}:glibc.malloc.hugetlb=1" if tunables else "glibc.malloc.hugetlb=1"
-        )
-    # Deliberately NOT set: -XX:+UseTransparentHugePages for the JVM.
-    # Measured here it *slows* the executor JVM (~1.6x on a cached
-    # materialization) — khugepaged collapse stalls under this host's
-    # fault handler outweigh the fewer faults. Python-side tuning is
-    # where the win is.
+KERNEL_PREAMBLE = """\
+import ctypes
+try:
+    _lc = ctypes.CDLL(None)
+    _lc.mallopt(-3, 1 << 29), _lc.mallopt(-1, 1 << 30), _lc.mallopt(-2, 1 << 28)
+except Exception:
+    pass
+"""
+# ^ Documentation of the inline snippet each self-contained worker
+# kernel embeds (ml/lof.py, ml/iforest.py, ...). Kept here as the
+# single written-down source so the copies stay in sync; the constants
+# are (M_MMAP_THRESHOLD 512 MiB, M_TRIM_THRESHOLD 1 GiB,
+# M_TOP_PAD 256 MiB) as above — mallopt takes c_int, so the shifted
+# literals stay below 2**31.

@@ -143,6 +143,14 @@ class AutoencoderScorer:
         # self-contained UDF: only numpy + broadcast arrays cross the wire
         @F.pandas_udf(T.DoubleType())
         def _mse(batch: pd.Series) -> pd.Series:
+            # allocator preamble (memtune.KERNEL_PREAMBLE rationale)
+            import ctypes
+
+            try:
+                _lc = ctypes.CDLL(None)
+                _lc.mallopt(-3, 1 << 29), _lc.mallopt(-1, 1 << 30), _lc.mallopt(-2, 1 << 28)
+            except Exception:
+                pass
             params = b.value
             X = np.stack(batch.to_numpy())
             h = X

@@ -96,29 +96,67 @@ class AnomalyEnsemble:
             # bounded-sample collect, and without pinning every one
             # replays the full MLlib transform over the corpus.
             feats = self.feature_model.transform(feature_df).persist()
-            # Split discipline mirrors train.py:71-88: IsolationForest
-            # and LOF fit on the FULL feature matrix; the autoencoder
-            # analog trains on the 80% split with its threshold
-            # calibrated on the held-out 20% (M9/M11, seed=42 ≙
-            # train.py:83).
             try:
-                self.iforest.fit(feats)
-                self.lof.fit(feats)
-                if self.ae_variant == "mlp":
-                    # AutoencoderScorer performs the 80/20 train/val
-                    # split and held-out threshold calibration
-                    # internally.
-                    self.recon.fit(feats)
-                else:
-                    train, val = feats.randomSplit([0.8, 0.2], seed=self.seed)
-                    self.recon.fit(train, val_df=val)
+                self._fit_scorers(feats)
             finally:
                 feats.unpersist()
         finally:
             feature_df.unpersist()
         return self
 
+    def _fit_scorers(self, feats: DataFrame) -> None:
+        # Split discipline mirrors train.py:71-88: IsolationForest
+        # and LOF fit on the FULL feature matrix; the autoencoder
+        # analog trains with its threshold calibrated on the held-out
+        # 20% split (M9/M11, seed=42 ≙ train.py:83).
+        #
+        # ONE bounded sample pool (O(max_pool) rows, the only fit-time
+        # data movement) is collected and shared by all three scorers —
+        # the engine analog of the reference loading its training frame
+        # once (train.py:40-57): IForest subsamples trees from it, LOF
+        # takes a seeded reference subset, the linear-AE estimates its
+        # subspace from the pool's covariance. Only the AE threshold
+        # still runs distributed (exact percentile on the held-out
+        # split).
+        pool = self.iforest._collect_pool(feats, "features")
+        self.iforest.fit_pool(pool)
+        self.lof.fit_pool(pool)
+        if self.ae_variant == "mlp":
+            # AutoencoderScorer performs the 80/20 train/val
+            # split and held-out threshold calibration internally.
+            self.recon.fit(feats)
+        else:
+            train, val = feats.randomSplit([0.8, 0.2], seed=self.seed)
+            self.recon.fit(train, val_df=val, pool=pool)
+
     # -- score (§3.1) ------------------------------------------------------
+
+    def fit_transform(self, feature_df: DataFrame, id_col: str = "event_id") -> DataFrame:
+        """fit() + transform() sharing ONE pinned feature frame.
+
+        ``fit`` alone must release its cache pins when it returns (the
+        model state is driver-side), which forces a separate
+        ``transform`` call to recompute the feature prep + MLlib
+        transform from the raw input. When the caller wants scores for
+        the SAME frame it fit on (the reference's train-then-score
+        flow, train.py:71-101), this method scores off the still-pinned
+        features and materializes the result via an eager
+        ``localCheckpoint`` so every pin can be released before
+        returning — the caller gets a computed, lineage-free frame
+        (bounded: one ScoreOut row per input row).
+        """
+        feature_df = _parallelize(feature_df).persist()
+        pipeline = build_feature_pipeline(self.numeric_cols, self.categorical_cols)
+        try:
+            self.feature_model = pipeline.fit(feature_df)
+            feats = self.feature_model.transform(feature_df).persist()
+            try:
+                self._fit_scorers(feats)
+                return self._score_plan(feats, id_col).localCheckpoint(eager=True)
+            finally:
+                feats.unpersist()
+        finally:
+            feature_df.unpersist()
 
     def transform(self, feature_df: DataFrame, id_col: str = "event_id") -> DataFrame:
         """Full scoring plan: features -> 3 model scores -> rules ->
@@ -126,6 +164,9 @@ class AnomalyEnsemble:
         if self.feature_model is None:
             raise RuntimeError("fit() first")
         feats = _parallelize(self.feature_model.transform(feature_df))
+        return self._score_plan(feats, id_col)
+
+    def _score_plan(self, feats: DataFrame, id_col: str) -> DataFrame:
         scored = (
             feats.withColumn("anomaly_score_iforest", self.iforest.decision_col(feats))
             .withColumn("anomaly_score_lof", self.lof.decision_col(feats))

@@ -121,7 +121,11 @@ class IsolationForestModel:
     # -- fit ---------------------------------------------------------------
 
     def fit(self, df: DataFrame, features_col: str = "features") -> "IsolationForestModel":
-        pool = self._collect_pool(df, features_col)
+        return self.fit_pool(self._collect_pool(df, features_col))
+
+    def fit_pool(self, pool: np.ndarray) -> "IsolationForestModel":
+        """Build the forest from an already-collected sample pool —
+        lets the ensemble share one pool collect across scorers."""
         if len(pool) == 0:
             raise ValueError(
                 "IsolationForestModel.fit: no rows to fit (empty sample pool)"
@@ -179,6 +183,14 @@ class IsolationForestModel:
         # import this package (they run with arbitrary cwd/sys.path).
         @F.pandas_udf(T.DoubleType())
         def _score(batch: pd.Series) -> pd.Series:
+            # allocator preamble (memtune.KERNEL_PREAMBLE rationale)
+            import ctypes
+
+            try:
+                _lc = ctypes.CDLL(None)
+                _lc.mallopt(-3, 1 << 29), _lc.mallopt(-1, 1 << 30), _lc.mallopt(-2, 1 << 28)
+            except Exception:
+                pass
             X = np.stack(batch.to_numpy())
             total = np.zeros(len(X), dtype=np.float64)
             for feature, threshold, left, right, leaf_value in b_trees.value:

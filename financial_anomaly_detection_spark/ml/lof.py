@@ -50,25 +50,48 @@ class LOFNoveltyModel:
         if frac < 1.0:
             sample = sample.sample(fraction=frac, seed=self.seed)
         X = np.array([r["_x"] for r in sample.limit(self.max_train).collect()], dtype=np.float64)
+        return self._fit_reference(X)
+
+    def fit_pool(self, pool: np.ndarray) -> "LOFNoveltyModel":
+        """Fit from an already-collected sample pool (shared with the
+        other scorers by the ensemble): a seeded uniform subset of at
+        most ``max_train`` rows becomes the reference set."""
+        if len(pool) > self.max_train:
+            rng = np.random.default_rng(self.seed)
+            idx = np.sort(rng.choice(len(pool), size=self.max_train, replace=False))
+            pool = pool[idx]
+        return self._fit_reference(np.asarray(pool, dtype=np.float64))
+
+    def _fit_reference(self, X: np.ndarray) -> "LOFNoveltyModel":
         self.X_train = X
         k = min(self.n_neighbors, len(X) - 1)
 
-        # pairwise distances within the reference set, computed IN
-        # PLACE on a single (n, n) buffer: on hosts where first-touch
-        # page faults are slow (memtune.py), the naive expression's
-        # four ~n²-sized temporaries dominated fit time (measured 43 s
-        # for n=5000; this form plus allocator tuning: well under 2 s).
-        dists = X @ X.T  # the one (n, n) allocation
+        # kNN of the reference set against itself, computed in row
+        # chunks with in-place ops: on hosts where first-touch page
+        # faults are slow (memtune.py), the naive full-matrix
+        # expression's four ~n²-sized temporaries dominated fit time
+        # (measured 43 s for n=5000). Chunking keeps the unique
+        # first-touch footprint to ONE (step, n) buffer that the tuned
+        # allocator serves warm from the second chunk on (<1 s).
+        # Chunking is value-identical: each row's kNN is computed from
+        # the same full distance row either way.
+        n = len(X)
         n2 = np.einsum("ij,ij->i", X, X)
-        dists *= -2.0
-        dists += n2[:, None]
-        dists += n2[None, :]
-        np.fill_diagonal(dists, np.inf)
-        np.maximum(dists, 0.0, out=dists)
-        np.sqrt(dists, out=dists)
-        # k nearest neighbors of each training point
-        nn_idx = np.argpartition(dists, k - 1, axis=1)[:, :k]
-        nn_d = np.take_along_axis(dists, nn_idx, axis=1)
+        nn_idx = np.empty((n, k), dtype=np.int64)
+        nn_d = np.empty((n, k), dtype=np.float64)
+        step = 512
+        for i in range(0, n, step):
+            xb = X[i : i + step]
+            d = xb @ X.T  # (chunk, n) — arena-recycled after chunk 1
+            d *= -2.0
+            d += n2[i : i + step, None]
+            d += n2[None, :]
+            d[np.arange(len(xb)), np.arange(i, i + len(xb))] = np.inf
+            np.maximum(d, 0.0, out=d)
+            np.sqrt(d, out=d)
+            idx = np.argpartition(d, k - 1, axis=1)[:, :k]
+            nn_idx[i : i + len(xb)] = idx
+            nn_d[i : i + len(xb)] = np.take_along_axis(d, idx, axis=1)
         self.kdist_train = nn_d.max(axis=1)
         # reach_dist_k(a, b) = max(kdist(b), d(a, b)); lrd = k / mean reach
         reach = np.maximum(self.kdist_train[nn_idx], nn_d)
@@ -115,7 +138,12 @@ class LOFNoveltyModel:
             X = np.stack(batch.to_numpy())
             Xt_sq = (Xt * Xt).sum(axis=1)[None, :]
             out = np.empty(len(X), dtype=np.float64)
-            step = 2048
+            # Small chunks on purpose: the (step, |ref|) temporaries are
+            # the kernel's entire allocation footprint, and on
+            # slow-first-touch hosts (memtune.py) every worker pays the
+            # fault cost once per unique buffer size — 256 rows keeps
+            # that under ~15 MB/worker while staying BLAS-efficient.
+            step = 256
             for i in range(0, len(X), step):
                 xb = X[i : i + step]
                 d2 = (xb * xb).sum(axis=1)[:, None] + Xt_sq - 2.0 * (xb @ Xt.T)

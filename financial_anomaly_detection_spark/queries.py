@@ -2623,8 +2623,10 @@ def q_ml_ensemble_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ens = AnomalyEnsemble(
         seed=42, rule_large_amount=EV_LARGE_AMOUNT, high_risk_amount=EV_HIGH_RISK_AMOUNT
     )
-    ens.fit(feature_df)
-    return ens.transform(feature_df, id_col="event_id")
+    # fit_transform scores off the pinned feature frame (no recompute
+    # of the window features + MLlib transform) and returns an eagerly
+    # checkpointed result with every pin released.
+    return ens.fit_transform(feature_df, id_col="event_id")
 
 
 @register(

@@ -11,7 +11,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-from .memtune import export_worker_env, tune_malloc
+from .memtune import tune_malloc
 
 # Confs that must be in effect for the engine's plans to behave as
 # designed. All of these are runtime-settable SQL confs, so they can
@@ -67,11 +67,11 @@ def get_spark(
     bench harness; on a real cluster, pass ``None`` and submit with the
     cluster's own master config.
     """
-    # Allocator tuning (memtune.py): the driver process via mallopt,
-    # the to-be-forked Python workers via env vars the JVM inherits.
-    # Must precede gateway creation to reach the workers.
+    # Allocator tuning (memtune.py) for the DRIVER process only —
+    # worker-side kernels carry their own inline mallopt preamble, and
+    # the JVM is deliberately left untouched (see memtune.py for the
+    # measured reasons).
     tune_malloc()
-    export_worker_env()
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
