@@ -4179,6 +4179,137 @@ def q_ann_exact_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "minhash_exact_md5",
+    # Hash-level oracle surrogate for the MinHash tier's signature math
+    # (operators/dedup.py:minhash_near_dup — the MLlib hash family is
+    # engine-specific, so the production tier is rows-only). Here the
+    # hash family is md5-derived: H_i(s) = first 8 hex chars of
+    # md5(s || ':' || i) as an unsigned 32-bit int — both engines
+    # compute identical md5 over identical UTF-8 bytes, and the min
+    # over a doc's shingle set is pure integer math. Same 3-gram
+    # shingle construction (set semantics) as ngram_jaccard_pairs.
+    oracle=r"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   string_split_regex(trim(text), '\s+') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT doc_id AS _id, unnest(list_distinct(
+                CASE WHEN length(toks) >= 3 THEN
+                    list_transform(generate_series(1, length(toks) - 2),
+                                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                ELSE [trim(text)] END)) AS _sh
+            FROM base
+        )
+        SELECT CAST(_id AS BIGINT) AS doc_id,
+               MIN(('0x' || substr(md5(_sh || ':0'), 1, 8))::BIGINT) AS sig_0,
+               MIN(('0x' || substr(md5(_sh || ':1'), 1, 8))::BIGINT) AS sig_1,
+               MIN(('0x' || substr(md5(_sh || ':2'), 1, 8))::BIGINT) AS sig_2,
+               MIN(('0x' || substr(md5(_sh || ':3'), 1, 8))::BIGINT) AS sig_3,
+               MIN(('0x' || substr(md5(_sh || ':4'), 1, 8))::BIGINT) AS sig_4,
+               MIN(('0x' || substr(md5(_sh || ':5'), 1, 8))::BIGINT) AS sig_5,
+               MIN(('0x' || substr(md5(_sh || ':6'), 1, 8))::BIGINT) AS sig_6,
+               MIN(('0x' || substr(md5(_sh || ':7'), 1, 8))::BIGINT) AS sig_7,
+               MIN(('0x' || substr(md5(_sh || ':8'), 1, 8))::BIGINT) AS sig_8,
+               MIN(('0x' || substr(md5(_sh || ':9'), 1, 8))::BIGINT) AS sig_9,
+               MIN(('0x' || substr(md5(_sh || ':10'), 1, 8))::BIGINT) AS sig_10,
+               MIN(('0x' || substr(md5(_sh || ':11'), 1, 8))::BIGINT) AS sig_11,
+               MIN(('0x' || substr(md5(_sh || ':12'), 1, 8))::BIGINT) AS sig_12,
+               MIN(('0x' || substr(md5(_sh || ':13'), 1, 8))::BIGINT) AS sig_13,
+               MIN(('0x' || substr(md5(_sh || ':14'), 1, 8))::BIGINT) AS sig_14,
+               MIN(('0x' || substr(md5(_sh || ':15'), 1, 8))::BIGINT) AS sig_15
+        FROM sh
+        GROUP BY _id
+    """,
+    description="MinHash signature math with hash-level oracle parity "
+    "(§2.10): 16 md5-derived hash permutations, min over each doc's "
+    "3-gram shingle set — integer-exact ground truth anchoring the "
+    "rows-only MLlib MinHashLSH tier (Broder 1997 resemblance "
+    "estimation; one shingle-keyed explode + grouped min, no joins).",
+    tags=["dedup", "minhash", "oracle-surrogate"],
+)
+def q_minhash_exact_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import shingles_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(shingles_col("text", 3)).alias("sh"),
+    )
+
+    def h(i: int):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.col("sh"), F.lit(f":{i}"))), 1, 8), 16, 10
+        ).cast("long")
+
+    return sh.groupBy("doc_id").agg(
+        *[F.min(h(i)).alias(f"sig_{i}") for i in range(16)]
+    )
+
+
+@register(
+    "simhash_exact_md5",
+    # Hash-level oracle surrogate for the SimHash tier's signature math
+    # (operators/dedup.py — production tier keys on xxhash64, which
+    # DuckDB lacks). Charikar 2002 bit-vote construction over the
+    # distinct token set with a 32-bit md5-derived token hash: per bit,
+    # sum +1/-1 votes; the signature sets bits with positive votes.
+    # All-integer both sides.
+    oracle=r"""
+        WITH base AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents
+        ), tok AS (
+            SELECT doc_id AS _id, unnest(list_distinct(toks)) AS tok FROM base
+        ), hv AS (
+            SELECT _id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM tok
+        ), votes AS (
+            SELECT _id,
+                   {votes}
+            FROM hv GROUP BY _id
+        )
+        SELECT CAST(_id AS BIGINT) AS doc_id,
+               CAST({sig} AS BIGINT) AS simhash32
+        FROM votes
+    """.format(
+        votes=",\n                   ".join(
+            f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+            for b in range(32)
+        ),
+        sig=" + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)),
+    ),
+    description="SimHash signature math with hash-level oracle parity "
+    "(§2.10): Charikar 2002 bit votes over md5-derived 32-bit token "
+    "hashes, grouped conditional sums (the same vote formulation as the "
+    "production tier) — integer-exact ground truth for the rows-only "
+    "xxhash64 SimHash near-dup tier.",
+    tags=["dedup", "simhash", "oracle-surrogate"],
+)
+def q_simhash_exact_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.array_distinct(tokens_col("text"))).alias("tok"),
+    )
+    hv = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    votes = tok.select("doc_id", hv.alias("hv")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(32)
+        ]
+    )
+    sig = None
+    for b in range(32):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.cast("long").alias("simhash32"))
+
+
+@register(
     "curation_pipeline_e2e",
     # Capstone composition: the four curation stages as ONE declarative
     # plan — C4 quality gate -> exact dedup (keep-first by doc_id) ->
@@ -4504,6 +4635,8 @@ _PRIORITY_R04 = [
     "q11_important_parts",
     # new in round 4 (never driver-checked)
     "ann_exact_quantized",
+    "minhash_exact_md5",
+    "simhash_exact_md5",
     "cohort_retention",
     "funnel_conversion",
     "ewma_amounts",
