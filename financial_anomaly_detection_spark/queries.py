@@ -4229,22 +4229,7 @@ def q_ann_exact_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["dedup", "minhash", "oracle-surrogate"],
 )
 def q_minhash_exact_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import shingles_col
-
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(shingles_col("text", 3)).alias("sh"),
-    )
-
-    def h(i: int):
-        return F.conv(
-            F.substring(F.md5(F.concat(F.col("sh"), F.lit(f":{i}"))), 1, 8), 16, 10
-        ).cast("long")
-
-    return sh.groupBy("doc_id").agg(
-        *[F.min(h(i)).alias(f"sig_{i}") for i in range(16)]
-    )
+    return _md5_minhash_sigs(spark, sf_dir)
 
 
 @register(
@@ -4307,6 +4292,193 @@ def q_simhash_exact_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return votes.select("doc_id", sig.cast("long").alias("simhash32"))
+
+
+def _md5_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig_0..sig_15): the md5-family MinHash signatures shared
+    by q_minhash_exact_md5 and q_minhash_band_pairs_md5."""
+    from .operators.dedup import shingles_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(shingles_col("text", 3)).alias("sh"),
+    )
+
+    def h(i: int):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.col("sh"), F.lit(f":{i}"))), 1, 8), 16, 10
+        ).cast("long")
+
+    return sh.groupBy("doc_id").agg(
+        *[F.min(h(i)).alias(f"sig_{i}") for i in range(16)]
+    )
+
+
+_MINHASH_SIG_SQL = r"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   string_split_regex(trim(text), '\s+') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT doc_id AS _id, unnest(list_distinct(
+                CASE WHEN length(toks) >= 3 THEN
+                    list_transform(generate_series(1, length(toks) - 2),
+                                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                ELSE [trim(text)] END)) AS _sh
+            FROM base
+        ), sig AS (
+            SELECT CAST(_id AS BIGINT) AS doc_id,
+                   {mins}
+            FROM sh
+            GROUP BY _id
+        )
+""".format(
+    mins=",\n                   ".join(
+        f"MIN(('0x' || substr(md5(_sh || ':{i}'), 1, 8))::BIGINT) AS sig_{i}"
+        for i in range(16)
+    )
+)
+
+
+@register(
+    "minhash_band_pairs_md5",
+    # Extends minhash_exact_md5's hash parity to the LSH BANDING step
+    # (the candidate-generation structure the production tier uses):
+    # 16 signatures -> 4 bands of 4 -> docs sharing any band key become
+    # a candidate pair. Banding is the at-scale trick — the join is
+    # band-key-local (one shuffle on the band key), never all-pairs.
+    oracle=_MINHASH_SIG_SQL
+    + r"""
+        , bands AS (
+            SELECT doc_id, band_idx,
+                   CASE band_idx
+                        WHEN 0 THEN CAST(sig_0 AS VARCHAR) || '-' || CAST(sig_1 AS VARCHAR)
+                             || '-' || CAST(sig_2 AS VARCHAR) || '-' || CAST(sig_3 AS VARCHAR)
+                        WHEN 1 THEN CAST(sig_4 AS VARCHAR) || '-' || CAST(sig_5 AS VARCHAR)
+                             || '-' || CAST(sig_6 AS VARCHAR) || '-' || CAST(sig_7 AS VARCHAR)
+                        WHEN 2 THEN CAST(sig_8 AS VARCHAR) || '-' || CAST(sig_9 AS VARCHAR)
+                             || '-' || CAST(sig_10 AS VARCHAR) || '-' || CAST(sig_11 AS VARCHAR)
+                        ELSE CAST(sig_12 AS VARCHAR) || '-' || CAST(sig_13 AS VARCHAR)
+                             || '-' || CAST(sig_14 AS VARCHAR) || '-' || CAST(sig_15 AS VARCHAR)
+                   END AS band_key
+            FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_idx)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx
+                    AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """,
+    description="MinHash LSH banding with hash-level oracle parity "
+    "(§2.10): 4 bands of 4 md5-family signatures; candidate pairs share "
+    "at least one full band (Leskovec/Rajaraman/Ullman banding "
+    "construction). The join keys on the band value — bucket-local, "
+    "the same candidate-generation shape the production MinHashLSH "
+    "tier relies on at scale.",
+    tags=["dedup", "minhash", "oracle-surrogate"],
+)
+def q_minhash_band_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _md5_minhash_sigs(spark, sf_dir)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "-", *[F.col(f"sig_{4 * b + j}").cast("string") for j in range(4)]
+            )
+            for b in range(4)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+@register(
+    "int8_quantize_embeddings",
+    # Scalar int8 quantization of the embedding column — the standard
+    # vector-store compression (absmax scaling, symmetric int8): per
+    # vector, scale = max |x_i|, q_i = round(x_i / scale * 127). The
+    # quantized integers and their moments are exact; the
+    # reconstruction error sums IEEE-identical terms left-to-right on
+    # both engines (the zip_with+aggregate ≙ list_sum(list_transform(
+    # list_zip)) equivalence the ANN queries rely on).
+    oracle=r"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+            FROM embeddings
+        ), s AS (
+            SELECT vec_id, xd,
+                   list_max(list_transform(xd, x -> abs(x))) AS scale
+            FROM e
+        ), q AS (
+            SELECT vec_id, xd, scale,
+                   list_transform(
+                       xd, x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT)
+                   ) AS qv
+            FROM s WHERE scale > 0
+        )
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               floor(scale * 1e6 + 0.5) / 1e6 AS qmax,
+               CAST(list_sum(qv) AS BIGINT) AS sum_q,
+               CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS sum_q2,
+               floor(list_sum(list_transform(
+                   list_zip(xd, qv),
+                   p -> (p[1] - p[2] * scale / 127) * (p[1] - p[2] * scale / 127)
+               )) * 1e6 + 0.5) / 1e6 AS qerr
+        FROM q
+    """,
+    description="Symmetric absmax int8 quantization of embeddings "
+    "(§2.10 similarity-search storage path): per-vector scale, exact "
+    "integer quantized moments, and the float reconstruction error — "
+    "the compression step a 100 TB vector store applies before ANN. "
+    "Pure higher-order-function Catalyst; no UDFs, no shuffle beyond "
+    "the scan.",
+    tags=["similarity", "embeddings", "quantization"],
+)
+def q_int8_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), xd.alias("xd"))
+    scale = F.array_max(F.transform("xd", lambda x: F.abs(x)))
+    s = base.withColumn("scale", scale).filter(F.col("scale") > 0)
+    qv = F.transform(
+        "xd", lambda x: F.floor(x / F.col("scale") * 127 + F.lit(0.5)).cast("long")
+    )
+    q = s.withColumn("qv", qv)
+    long0 = F.lit(0).cast("long")
+    sum_q = F.aggregate("qv", long0, lambda a, v: a + v)
+    sum_q2 = F.aggregate(
+        F.transform("qv", lambda x: x * x), long0, lambda a, v: a + v
+    )
+    err_terms = F.zip_with(
+        "xd",
+        "qv",
+        lambda x, v: (x - v * F.col("scale") / 127) * (x - v * F.col("scale") / 127),
+    )
+    qerr = F.aggregate(err_terms, F.lit(0.0), lambda a, v: a + v)
+    return q.select(
+        "vec_id",
+        sround(F.col("scale"), 6).alias("qmax"),
+        sum_q.alias("sum_q"),
+        sum_q2.alias("sum_q2"),
+        sround(qerr, 6).alias("qerr"),
+    )
 
 
 @register(
@@ -4637,6 +4809,8 @@ _PRIORITY_R04 = [
     "ann_exact_quantized",
     "minhash_exact_md5",
     "simhash_exact_md5",
+    "minhash_band_pairs_md5",
+    "int8_quantize_embeddings",
     "cohort_retention",
     "funnel_conversion",
     "ewma_amounts",
