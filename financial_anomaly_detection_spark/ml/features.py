@@ -72,17 +72,29 @@ def prepare_event_features(ev: DataFrame) -> DataFrame:
     features (as-of running stats — the leakage-free J3 analog) + 2
     categoricals (event_type as channel; a derived location bucket).
     """
+    from ..operators.prefix import grouped_prefix_stats
+
     tf = time_features("ts")
     cw = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    mw = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # The merchant-side running mean groups by event_type — a handful
+    # of distinct values, so a plain Window.partitionBy(event_type)
+    # would funnel the whole fact table through ~5 tasks at any scale.
+    # grouped_prefix_stats computes the same exclusive running sum /
+    # count with (groups × time-buckets)-way parallelism (float sum
+    # re-association differs only in final ulps; this feeds model
+    # features, not an oracle hash). The user_id window keeps the
+    # plain form: its key cardinality ~ the user population.
+    ev = grouped_prefix_stats(
+        ev, "event_type", "ts", "event_id", "value",
+        sum_col="_merch_sum", cnt_col="_merch_cnt",
     )
+    merch_avg = F.when(
+        F.col("_merch_cnt") > 0, F.col("_merch_sum") / F.col("_merch_cnt")
+    ).otherwise(F.lit(0.0))
     return ev.select(
         "event_id",
         "user_id",
@@ -94,7 +106,7 @@ def prepare_event_features(ev: DataFrame) -> DataFrame:
         tf["hour"].alias("hour"),
         F.coalesce(F.avg("value").over(cw), F.lit(0.0)).alias("cust_avg_amount"),
         F.count(F.lit(1)).over(cw).cast("double").alias("cust_txn_count"),
-        F.coalesce(F.avg("value").over(mw), F.lit(0.0)).alias("merch_avg_amount"),
+        merch_avg.alias("merch_avg_amount"),
         F.col("event_type").alias("channel"),
         (F.get_json_object("props", "$.k").cast("long") % 6).cast("string").alias("location"),
     )

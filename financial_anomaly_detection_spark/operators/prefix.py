@@ -112,3 +112,91 @@ def ordered_prefix_sum(
         .withColumn(out_col, (F.col("_boffset") + F.col("_local")).cast("long"))
         .drop("_bucket", "_local", "_boffset")
     )
+
+
+def grouped_prefix_stats(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tie_col: str,
+    value_col: str,
+    sum_col: str = "_psum",
+    cnt_col: str = "_pcnt",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exclusive running SUM and COUNT of ``value_col`` per
+    ``group_col`` in (``order_col``, ``tie_col``) order — the
+    group-scoped form of :func:`ordered_prefix_sum` for LOW-CARDINALITY
+    groups.
+
+    ``Window.partitionBy(group).orderBy(ts)`` is only parallel up to
+    the number of distinct groups: with a handful of categories
+    (event types, channels) the whole fact table funnels through that
+    many tasks — the same scale-killer as the global window, just
+    sharded by 5 instead of 1. Here each (group, time-bucket) cell is
+    an independent window task (group_cardinality × n_buckets ways
+    parallel); the cell's starting offset is composed from earlier
+    cells' subtotals via a triangular join on the tiny
+    (group × n_buckets)-row subtotal table.
+
+    Exactness: the running COUNT is integer — bit-identical to the
+    sequential window. The running SUM of doubles re-associates
+    additions at bucket boundaries, so it can differ from the
+    sequential window in final ulps (float addition is not
+    associative); consumers that need hash-stable values should feed
+    integer-quantized inputs (see ordered_prefix_sum's packing use).
+
+    Rows with equal ``order_col`` values always land in the same
+    bucket, so the within-bucket ``tie_col`` ordering fully determines
+    the result.
+    """
+    bounds = df.agg(
+        F.min(F.col(order_col).cast("double")).alias("_lo"),
+        F.max(F.col(order_col).cast("double")).alias("_hi"),
+    )
+    bucketed = (
+        df.join(F.broadcast(bounds))
+        .withColumn(
+            "_bucket",
+            F.width_bucket(
+                F.col(order_col).cast("double"),
+                F.col("_lo"),
+                F.col("_hi") + F.lit(1.0),
+                F.lit(n_buckets),
+            ),
+        )
+        .drop("_lo", "_hi")
+    )
+
+    sub = bucketed.groupBy(group_col, "_bucket").agg(
+        F.sum(value_col).alias("_bsum"), F.count(F.lit(1)).alias("_bcnt")
+    )
+    offsets = (
+        sub.alias("x")
+        .join(
+            F.broadcast(sub.alias("y")),
+            (F.col(f"y.{group_col}") == F.col(f"x.{group_col}"))
+            & (F.col("y._bucket") < F.col("x._bucket")),
+            "left",
+        )
+        .groupBy(F.col(f"x.{group_col}").alias(group_col), F.col("x._bucket").alias("_bucket"))
+        .agg(
+            F.coalesce(F.sum("y._bsum"), F.lit(0.0)).alias("_osum"),
+            F.coalesce(F.sum("y._bcnt"), F.lit(0)).cast("long").alias("_ocnt"),
+        )
+    )
+
+    w = (
+        Window.partitionBy(group_col, "_bucket")
+        .orderBy(order_col, tie_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn(
+        "_lsum", F.coalesce(F.sum(value_col).over(w), F.lit(0.0))
+    ).withColumn("_lcnt", F.count(F.lit(1)).over(w).cast("long"))
+    return (
+        local.join(F.broadcast(offsets), [group_col, "_bucket"])
+        .withColumn(sum_col, F.col("_osum") + F.col("_lsum"))
+        .withColumn(cnt_col, F.col("_ocnt") + F.col("_lcnt"))
+        .drop("_bucket", "_lsum", "_lcnt", "_osum", "_ocnt")
+    )
