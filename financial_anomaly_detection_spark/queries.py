@@ -2284,7 +2284,12 @@ def q_pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
     """,
     description="Distribution-rank windows (§2.5 extras): ntile deciles, "
-    "percent_rank, cume_dist per event type over the value ordering.",
+    "percent_rank, cume_dist per event type over the value ordering. "
+    "Exact per-group ranking orders each group on one task by "
+    "definition (matches the SQL oracle); the scale path decomposes "
+    "row_number = grouped prefix COUNT + 1 over value buckets "
+    "(operators/prefix.py:grouped_prefix_stats; equivalence proven in "
+    "tests/test_prefix.py) when group cardinality is low.",
     tags=["window", "rank"],
 )
 def q_ntile_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:

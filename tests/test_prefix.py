@@ -62,3 +62,56 @@ def test_plan_has_no_single_partition_exchange(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "Exchange SinglePartition" not in plan
+
+
+def test_grouped_prefix_stats_matches_sequential_window(spark, sf_dir):
+    """grouped_prefix_stats ≙ the low-cardinality running window it
+    replaces (ml/features.py): exclusive running COUNT bit-identical,
+    running SUM within float tolerance (bucket-boundary re-association
+    only)."""
+    from pyspark.sql import Window, functions as F
+
+    from financial_anomaly_detection_spark.operators.prefix import (
+        grouped_prefix_stats,
+    )
+    from financial_anomaly_detection_spark.queries import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = grouped_prefix_stats(ev, "event_type", "ts", "event_id", "value")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = ev.select(
+        "event_id",
+        F.coalesce(F.sum("value").over(w), F.lit(0.0)).alias("_wsum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("_wcnt"),
+    )
+    j = got.select("event_id", "_psum", "_pcnt").join(want, "event_id")
+    assert j.filter(F.col("_pcnt") != F.col("_wcnt")).count() == 0
+    assert j.filter(F.abs(F.col("_psum") - F.col("_wsum")) > 1e-6).count() == 0
+
+
+def test_grouped_prefix_row_number_decomposition(spark, sf_dir):
+    """The ranking decomposition claimed by ntile_distribution_ranks'
+    scale note: row_number() over (partition by g order by v, tie) ==
+    grouped prefix COUNT + 1 — exact, with (groups x buckets)-way
+    parallelism instead of one task per group."""
+    from pyspark.sql import Window, functions as F
+
+    from financial_anomaly_detection_spark.operators.prefix import (
+        grouped_prefix_stats,
+    )
+    from financial_anomaly_detection_spark.queries import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = grouped_prefix_stats(ev, "event_type", "value", "event_id", "value").select(
+        "event_id", (F.col("_pcnt") + 1).alias("rn")
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    want = ev.select(
+        "event_id", F.row_number().over(w).cast("long").alias("rn_w")
+    )
+    j = got.join(want, "event_id")
+    assert j.filter(F.col("rn") != F.col("rn_w")).count() == 0
