@@ -3350,6 +3350,74 @@ def q_doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bigram_coverage_quality",
+    # Count-based n-gram LM quality proxy (the integer-exact stand-in
+    # for KenLM-perplexity filtering a la CCNet, Wenzek et al. 2020):
+    # a document is "fluent" to the extent its bigram OCCURRENCES are
+    # common in the corpus. All ratios are exact-integer divided once
+    # at the end — no logs, so both engines hash-match. Corpus counts
+    # aggregate BEFORE the gram-keyed join (one count row per distinct
+    # bigram), and AQE's skew splitting covers hot grams at scale.
+    oracle=r"""
+        WITH w AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+            FROM documents
+        ), b AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       list_zip(words[1:len(words) - 1], words[2:len(words)]),
+                       t -> t[1] || ' ' || t[2]
+                   )) AS bg
+            FROM w
+        ), corpus AS (
+            SELECT bg, COUNT(*) AS c FROM b GROUP BY bg
+        )
+        SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN corpus.c >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_common,
+               floor(CAST(SUM(CASE WHEN corpus.c >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*) * 1e6 + 0.5) / 1e6 AS coverage
+        FROM b JOIN corpus USING (bg)
+        GROUP BY b.doc_id
+        HAVING COUNT(*) >= 1
+    """,
+    description="Bigram-coverage quality score (count-based analog of "
+    "CCNet's LM-perplexity gate, Wenzek et al. 2020): fraction of a "
+    "document's bigram occurrences whose corpus-wide count is >= 3. "
+    "One explode, one corpus count aggregation, one gram-keyed join — "
+    "the decontamination query's shuffle shape, integer-exact "
+    "throughout. Short docs (< 2 words) produce no bigrams and drop "
+    "out on both engines.",
+    tags=["text", "quality", "llm-pipeline"],
+)
+def q_bigram_coverage_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    b = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.explode(bigrams).alias("bg")
+    )
+    corpus = b.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    joined = b.join(corpus, "bg")
+    common = F.sum(F.when(F.col("c") >= 3, 1).otherwise(0)).cast("long")
+    total = F.count(F.lit(1)).cast("long")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            total.alias("n_bigrams"),
+            common.alias("n_common"),
+            sround(common.cast("double") / total, 6).alias("coverage"),
+        )
+    )
+
+
+@register(
     "top_word_fraction",
     oracle="""
         WITH e AS (
@@ -4816,6 +4884,7 @@ _PRIORITY_R04 = [
     "simhash_exact_md5",
     "minhash_band_pairs_md5",
     "int8_quantize_embeddings",
+    "bigram_coverage_quality",
     "cohort_retention",
     "funnel_conversion",
     "ewma_amounts",
