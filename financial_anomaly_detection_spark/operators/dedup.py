@@ -22,6 +22,9 @@ from pyspark.ml.feature import HashingTF, MinHashLSH
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+from .partitioning import spread_narrow
+
+
 def tokens_col(text_col: str = "text"):
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
@@ -70,7 +73,7 @@ def duplicate_chunks(
     text movement) and join back only the surviving hashes to recover
     chunk text.
     """
-    sh = df.select(
+    sh = spread_narrow(df).select(
         F.col(id_col).alias("_id"), F.explode(shingles_col(text_col, n)).alias("chunk")
     )
     return (
@@ -99,7 +102,7 @@ def jaccard_candidates(
     or has near-zero similarity. With the cap the join's fan-out is
     bounded by max_shingle_df**2 per shingle group.
     """
-    sh = df.select(
+    sh = spread_narrow(df).select(
         F.col(id_col).alias("_id"), F.explode(shingles_col(text_col, n)).alias("_sh")
     )
     if max_shingle_df is not None:
@@ -174,7 +177,7 @@ def ngram_jaccard_pairs(
             )
             .filter(F.col("jaccard") >= threshold)
         )
-    sh = df.select(
+    sh = spread_narrow(df).select(
         F.col(id_col).alias("_id"), F.explode(shingles_col(text_col, n)).alias("_sh")
     )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
@@ -215,7 +218,9 @@ def minhash_near_dup_pairs(
     shingles -> HashingTF binary vector -> MinHashLSH approxSimilarityJoin.
     Returns (id_a, id_b, jaccard_distance estimate from MLlib).
     """
-    base = df.select(F.col(id_col).alias("_id"), shingles_col(text_col, n).alias("_sh"))
+    base = spread_narrow(df).select(
+        F.col(id_col).alias("_id"), shingles_col(text_col, n).alias("_sh")
+    )
     tf = HashingTF(inputCol="_sh", outputCol="_vec", numFeatures=num_features, binary=True)
     vecs = tf.transform(base)
     mh = MinHashLSH(inputCol="_vec", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed)
@@ -308,7 +313,7 @@ def simhash_signatures(
     of compilation: 7.8 s → 1.5 s at sf0.1 for identical output.)
     """
     feats = shingles_col(text_col, n)
-    ex = df.select(
+    ex = spread_narrow(df).select(
         F.col(id_col),
         F.explode(F.transform(feats, lambda t: F.xxhash64(t))).alias("_h"),
     )

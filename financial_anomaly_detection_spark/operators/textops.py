@@ -163,7 +163,9 @@ def tfidf_top_terms(
     from pyspark.ml.functions import vector_to_array
     from pyspark.sql import Window
 
-    base = df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+    from .partitioning import spread_narrow
+
+    base = spread_narrow(df).select(F.col(id_col), tokens_col(text_col).alias("_toks"))
     cv_model = CountVectorizer(
         inputCol="_toks", outputCol="_tf", vocabSize=vocab_size, minDF=float(min_df)
     ).fit(base)

@@ -4371,8 +4371,12 @@ def _md5_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sig_0..sig_15): the md5-family MinHash signatures shared
     by q_minhash_exact_md5 and q_minhash_band_pairs_md5."""
     from .operators.dedup import shingles_col
+    from .operators.partitioning import spread_narrow
 
-    docs = load_table(spark, sf_dir, "documents")
+    # 16 md5 evaluations per shingle row land in the MAP-SIDE partial
+    # aggregate, which runs on the scan's partitioning — one small
+    # parquet file would serialize all of it onto one core.
+    docs = spread_narrow(load_table(spark, sf_dir, "documents"))
     sh = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(shingles_col("text", 3)).alias("sh"),
