@@ -150,6 +150,9 @@ def distributed_lof(
     construction (a dense corpus has few sparse points), so phase 2
     costs |sparse| x occupancy, not n x occupancy.
     """
+    from ..operators.partitioning import spread_narrow
+
+    df = spread_narrow(df)
     pts = df.select(
         F.col(id_col).alias("_id"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("_v"),

@@ -38,7 +38,11 @@ def brute_force_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q"),
         l2_norm(vec_col).alias("_nq"),
     )
-    cand = candidates.select(
+    from .partitioning import spread_narrow
+
+    # The broadcast pair join's map side runs on the candidate scan's
+    # partitioning — spread a single-file scan across cores first.
+    cand = spread_narrow(candidates).select(
         F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("_nc")
     )
     denom = F.col("_nq") * F.col("_nc")
@@ -73,7 +77,11 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
 
     vec = array_to_vector(F.col(vec_col).cast("array<double>"))
-    cand = candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e"), vec.alias("_v"))
+    from .partitioning import spread_narrow
+
+    cand = spread_narrow(candidates).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e"), vec.alias("_v")
+    )
     # Train the coarse quantizer on a bounded sample (the FAISS-style
     # IVF discipline: centroid quality saturates long before the full
     # corpus, and at 100 TB a full-corpus KMeans would dominate the
@@ -143,7 +151,10 @@ def lsh_topk(
     Returns (query_id, neighbor_id, cosine, rn) like brute_force_topk;
     recall < 1 by construction — tests compare against the exact tier.
     """
+    from .partitioning import spread_narrow
+
     def prep(df: DataFrame, out_id: str) -> DataFrame:
+        df = spread_narrow(df)
         vec = array_to_vector(F.col(vec_col).cast("array<double>"))
         with_vec = df.select(F.col(id_col).alias(out_id), vec.alias("_raw"))
         return Normalizer(inputCol="_raw", outputCol="_v", p=2.0).transform(with_vec)
