@@ -16,6 +16,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators.partitioning import spread_narrow
 from ..schemas import TESTDATA_TABLES, TRANSACTION_SCHEMA
 from ..session import configure
 
@@ -49,6 +50,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ]
     for col in ntz_cols:
         df = df.withColumn(col, F.col(col).cast("timestamp"))
+    # A small-SF table arrives as ONE parquet file (one row group), so
+    # every downstream map side — heavy projections, explodes, partial
+    # aggregates — would run on one core while the rest idle. Spread to
+    # default parallelism; a no-op once the scan is already wide (the
+    # 100 TB case). Oracle-checked queries are partition-layout
+    # independent by the integer-aggregation discipline (queries.py
+    # docstring), so this changes wall-clock only.
+    df = spread_narrow(df)
     return df
 
 
