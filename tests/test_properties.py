@@ -140,3 +140,45 @@ def test_prefix_sum_matches_sequential_reference(spark, kv):
     for k, v in sorted(kv):
         assert got[k] == acc, f"key {k}: {got[k]} != {acc}"
         acc += v
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),          # low-cardinality group
+            st.integers(min_value=0, max_value=1000),  # order key (dups allowed)
+            st.integers(min_value=-500, max_value=500),  # integer value -> exact
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_grouped_prefix_stats_property(spark, cases):
+    """grouped_prefix_stats == the sequential per-group running
+    sum/count for ANY group/key/value multiset (integer values, so the
+    sum is exact). Ties on the order key are resolved by a unique tie
+    column, exactly like the window it replaces."""
+    from pyspark.sql import Window
+
+    from financial_anomaly_detection_spark.operators.prefix import (
+        grouped_prefix_stats,
+    )
+
+    rows = [(g, int(k), i, float(v)) for i, (g, k, v) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "g string, k long, tie long, v double")
+    got = grouped_prefix_stats(df, "g", "k", "tie", "v", n_buckets=4)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("k", "tie")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = df.select(
+        "tie",
+        F.coalesce(F.sum("v").over(w), F.lit(0.0)).alias("ws"),
+        F.count(F.lit(1)).over(w).cast("long").alias("wc"),
+    )
+    j = {r["tie"]: r for r in got.select("tie", "_psum", "_pcnt").collect()}
+    for r in want.collect():
+        assert j[r["tie"]]["_pcnt"] == r["wc"]
+        assert abs(j[r["tie"]]["_psum"] - r["ws"]) < 1e-9
