@@ -21,6 +21,42 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..functions.vectorfn import cosine_similarity
 
 
+def _lloyd_kmeans(X, k: int, seed: int = 42, max_iter: int = 10):
+    """Seeded k-means++ init + Lloyd's iterations, driver-side numpy.
+
+    The IVF coarse quantizer (FAISS trains locally on a sample too).
+    Deterministic for a fixed (X, k, seed); empty clusters re-seed to
+    the point farthest from its assigned center.
+    """
+    import numpy as np
+
+    n = len(X)
+    k = min(k, n)
+    rng = np.random.default_rng(seed)
+    # k-means++ init
+    centers = [X[rng.integers(n)]]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        probs = d2 / max(d2.sum(), 1e-30)
+        centers.append(X[rng.choice(n, p=probs)])
+        d2 = np.minimum(d2, ((X - centers[-1]) ** 2).sum(axis=1))
+    C = np.stack(centers)
+    for _ in range(max_iter):
+        dists = ((X * X).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * (X @ C.T))
+        assign = dists.argmin(axis=1)
+        newC = C.copy()
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                newC[j] = X[mask].mean(axis=0)
+            else:
+                newC[j] = X[dists.min(axis=1).argmax()]
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
 def brute_force_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -65,42 +101,72 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """IVF-style approximate top-k (§2.10 scale path #2): a KMeans
-    coarse quantizer assigns every candidate to one of ``nlist``
-    centroid cells; each query searches only its ``nprobe`` nearest
-    cells. Cost per query drops from O(N) to ~O(N·nprobe/nlist).
+    """IVF-style approximate top-k (§2.10 scale path #2): a coarse
+    quantizer assigns every candidate to one of ``nlist`` centroid
+    cells; each query searches only its ``nprobe`` nearest cells. Cost
+    per query drops from O(N) to ~O(N·nprobe/nlist).
 
-    The quantizer fit is distributed (MLlib KMeans); cell assignment is
-    one ``transform``; the probe-cell restriction is a join on cell id —
-    no UDFs anywhere, dot products via JVM higher-order functions.
+    The quantizer trains DRIVER-SIDE on a bounded key-determined
+    sample — the FAISS IVF discipline (faiss trains its quantizer
+    locally on a sample too; centroid quality saturates long before
+    the corpus, and at 100 TB a full-corpus distributed KMeans would
+    dominate the build): seeded k-means++ init + Lloyd's iterations in
+    numpy over ≤25k vectors. Cell ASSIGNMENT covers every candidate
+    row and is pure Catalyst: a broadcast centroid join + min-struct
+    argmin (deterministic tie-break on cell id). No UDFs anywhere;
+    dot products via JVM higher-order functions.
     """
-    from pyspark.ml.clustering import KMeans
+    import numpy as np
 
-    vec = array_to_vector(F.col(vec_col).cast("array<double>"))
     from .partitioning import spread_narrow
 
     cand = spread_narrow(candidates).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e"), vec.alias("_v")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e")
     )
-    # Train the coarse quantizer on a bounded sample (the FAISS-style
-    # IVF discipline: centroid quality saturates long before the full
-    # corpus, and at 100 TB a full-corpus KMeans would dominate the
-    # build). orderBy+limit plans as a distributed top-k
+    # orderBy+limit plans as a distributed top-k
     # (TakeOrderedAndProject), so the training set is key-determined —
     # independent of file layout, partition count, and AQE — unlike a
-    # bare limit(). Cell ASSIGNMENT still covers every candidate row.
-    train = cand.orderBy("neighbor_id").limit(25_000).localCheckpoint(eager=True)
-    km = KMeans(
-        k=nlist, seed=seed, maxIter=10, featuresCol="_v", predictionCol="_cell"
-    ).fit(train)
-    cand_cells = km.transform(cand).select("neighbor_id", "_e", "_cell")
+    # bare limit().
+    train = cand.orderBy("neighbor_id").limit(25_000)
+    X = np.stack(
+        train.select(F.col("_e").cast("array<double>").alias("_e"))
+        .toPandas()["_e"]
+        .to_numpy()
+    )
+    centers = _lloyd_kmeans(X, nlist, seed=seed, max_iter=10)
 
-    # centroid table is tiny: nlist x d -> broadcast to rank probe cells
-    centroids = [
-        (i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
-    ]
+    # centroid table is tiny: nlist x d -> broadcast for assignment and
+    # probe-cell ranking alike
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(centers)]
     cent_df = queries.sparkSession.createDataFrame(
         centroids, f"_cell int, _centroid array<double>"
+    )
+
+    # Assignment: broadcast-expand each candidate against the nlist
+    # centroids, keep the nearest via a min-struct (partial-agg
+    # combines map-side, so the shuffle stays at one row per
+    # candidate; the (_d2, _cell) struct makes ties deterministic).
+    cand_d2 = (
+        cand.join(F.broadcast(cent_df))
+        .withColumn(
+            "_d2",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_e").cast("array<double>"),
+                    "_centroid",
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    cand_cells = (
+        cand_d2.groupBy("neighbor_id")
+        .agg(
+            F.min(F.struct("_d2", "_cell"))["_cell"].alias("_cell"),
+            F.first("_e").alias("_e"),
+        )
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q"))
     # rank cells per query by centroid distance, keep nprobe
