@@ -4858,6 +4858,112 @@ def q_ewma_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "amount_histogram",
+    # Equal-width histogram of event amounts with data-derived bounds —
+    # the binning primitive (width_bucket family). Everything is
+    # integer-cents arithmetic: bucket = (cents-lo)*20 div (hi-lo+1),
+    # so bucket ids, counts, and per-bucket extrema are hash-exact on
+    # both engines (integer div truncation == floor for the
+    # non-negative operands here).
+    oracle="""
+        WITH c AS (
+            SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events
+        ), b AS (
+            SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM c
+        )
+        SELECT CAST((cents - lo) * 20 // (hi - lo + 1) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(cents) AS BIGINT) AS min_cents,
+               CAST(MAX(cents) AS BIGINT) AS max_cents
+        FROM c, b
+        GROUP BY 1
+    """,
+    description="Equal-width 20-bucket histogram of amounts with "
+    "data-derived integer-cents bounds: one bounds aggregate "
+    "(broadcast back), one grouped count — two scans, no window. The "
+    "binning expression is the same width_bucket arithmetic the range "
+    "join and prefix scan use.",
+    tags=["analytics", "aggregate"],
+)
+def q_amount_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"))
+    b = c.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    return (
+        c.join(F.broadcast(b))
+        .groupBy(
+            F.expr("(cents - lo) * 20 div (hi - lo + 1)").cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
+@register(
+    "rfm_segments",
+    # RFM (recency/frequency/monetary) segmentation — the classic
+    # customer-analytics companion to the anomaly spine. Recency is
+    # integer epoch-day arithmetic against the corpus max-ts anchor
+    # (the W2 anchored-NOW discipline); the R/F/M tiers are fixed
+    # integer thresholds, so every column hash-matches.
+    oracle="""
+        WITH a AS (
+            SELECT MAX(epoch_us(ts)) AS anchor_us FROM events
+        ), u AS (
+            SELECT user_id,
+                   MAX(epoch_us(ts)) AS last_us,
+                   COUNT(*) AS freq,
+                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST((anchor_us - last_us) // 86400000000 AS BIGINT) AS recency_days,
+               CAST(freq AS BIGINT) AS frequency,
+               CAST(cents AS BIGINT) AS monetary_cents,
+               CAST(CASE WHEN (anchor_us - last_us) // 86400000000 <= 7 THEN 3
+                         WHEN (anchor_us - last_us) // 86400000000 <= 30 THEN 2
+                         ELSE 1 END AS BIGINT) AS r_tier,
+               CAST(CASE WHEN freq >= 20 THEN 3 WHEN freq >= 5 THEN 2
+                         ELSE 1 END AS BIGINT) AS f_tier,
+               CAST(CASE WHEN cents >= 1000000 THEN 3 WHEN cents >= 100000 THEN 2
+                         ELSE 1 END AS BIGINT) AS m_tier
+        FROM u, a
+    """,
+    description="RFM customer segmentation (anchored-NOW recency in "
+    "epoch days, exact integer frequency/monetary, fixed tier "
+    "thresholds): one user-keyed aggregation plus a broadcast scalar "
+    "anchor — the profile spine's shuffle shape, fully hash-exact.",
+    tags=["analytics", "aggregate", "profile"],
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    a = ev.agg(F.max(F.unix_micros("ts")).alias("anchor_us"))
+    u = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(cents).alias("cents"),
+    )
+    rec_days = F.expr("(anchor_us - last_us) div 86400000000")
+    return u.join(F.broadcast(a)).select(
+        F.col("user_id").cast("long"),
+        rec_days.cast("long").alias("recency_days"),
+        F.col("freq").cast("long").alias("frequency"),
+        F.col("cents").cast("long").alias("monetary_cents"),
+        F.when(rec_days <= 7, 3).when(rec_days <= 30, 2).otherwise(1)
+        .cast("long").alias("r_tier"),
+        F.when(F.col("freq") >= 20, 3).when(F.col("freq") >= 5, 2).otherwise(1)
+        .cast("long").alias("f_tier"),
+        F.when(F.col("cents") >= 1_000_000, 3).when(F.col("cents") >= 100_000, 2)
+        .otherwise(1).cast("long").alias("m_tier"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -4891,6 +4997,8 @@ _PRIORITY_R04 = [
     "minhash_band_pairs_md5",
     "int8_quantize_embeddings",
     "bigram_coverage_quality",
+    "amount_histogram",
+    "rfm_segments",
     "cohort_retention",
     "funnel_conversion",
     "ewma_amounts",
