@@ -200,3 +200,63 @@ def grouped_prefix_stats(
         .withColumn(cnt_col, F.col("_ocnt") + F.col("_lcnt"))
         .drop("_bucket", "_lsum", "_lcnt", "_osum", "_ocnt")
     )
+
+
+def ordered_prefix_max(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "prefix_max_before",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exclusive running MAX of ``value_col`` over all rows with a
+    strictly smaller ``order_col`` (NULL when no such row exists).
+
+    Max is an associative, commutative monoid exactly like the sum in
+    :func:`ordered_prefix_sum`, so the identical two-pass scan applies:
+    per-bucket window maxes run in parallel, and each bucket's carry-in
+    is the max of all EARLIER buckets' maxes composed via a triangular
+    join on the tiny subtotal table. No single-partition exchange
+    anywhere; bit-exact for integer values by associativity.
+
+    Rows that tie on ``order_col`` see the same prefix (ties are peers:
+    neither contributes to the other), which is what dominance-style
+    consumers (skyline) need — unlike the sum variant, ties are
+    allowed. Implemented with a RANGE frame ending at 1 preceding key
+    unit; ``order_col`` must be integer-valued.
+    """
+    bounds = df.agg(
+        F.min(F.col(order_col).cast("double")).alias("_lo"),
+        F.max(F.col(order_col).cast("double")).alias("_hi"),
+    )
+    bucketed = df.join(F.broadcast(bounds)).withColumn(
+        "_bucket",
+        F.width_bucket(
+            F.col(order_col).cast("double"),
+            F.col("_lo"),
+            F.col("_hi") + F.lit(1.0),
+            F.lit(n_buckets),
+        ),
+    ).drop("_lo", "_hi")
+
+    sub = bucketed.groupBy("_bucket").agg(F.max(value_col).alias("_bmax"))
+    carry = (
+        sub.alias("x")
+        .join(F.broadcast(sub.alias("y")), F.col("y._bucket") < F.col("x._bucket"), "left")
+        .groupBy(F.col("x._bucket").alias("_bucket"))
+        .agg(F.max("y._bmax").alias("_carry"))
+    )
+
+    # RANGE .. -1: rows with strictly smaller order_col only — ties on
+    # the key are excluded from each other's prefix.
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(F.col(order_col).cast("long"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn("_lmax", F.max(value_col).over(w))
+    return (
+        local.join(F.broadcast(carry), "_bucket")
+        .withColumn(out_col, F.greatest(F.col("_carry"), F.col("_lmax")))
+        .drop("_bucket", "_lmax", "_carry")
+    )

@@ -4964,6 +4964,358 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bm25_rational_topk",
+    # BM25 retrieval (Robertson & Spärck Jones probabilistic ranking,
+    # k1=1.2 b=0.75) with a RATIONAL IDF — (2(N-df)+1)/(2df+1) instead
+    # of its log — so every intermediate is a ratio of exact int64s and
+    # the score is bit-deterministic across engines (log of a
+    # data-dependent ratio is libm-dependent; a monotone rational
+    # surrogate of the same odds keeps the ranking semantics and the
+    # hash). The tf part is cleared of fractions by scaling numerator
+    # and denominator by 20*W (k1=6/5, b=3/4):
+    #   tf_part = 44*W*tf / (20*W*tf + 6*W + 18*dl*N)
+    # Per-term scores are fixed-shape double expressions (int64/int64
+    # divisions then one product, summed in written order), so both
+    # engines produce identical bits without any quantization tricks.
+    oracle=r"""
+        WITH w AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS words
+            FROM documents
+        ), d AS (
+            SELECT doc_id,
+                   CAST(len(words) AS BIGINT) AS dl,
+                   CAST(len(list_filter(words, x -> x = 'table')) AS BIGINT) AS tf1,
+                   CAST(len(list_filter(words, x -> x = 'scan')) AS BIGINT) AS tf2,
+                   CAST(len(list_filter(words, x -> x = 'hash')) AS BIGINT) AS tf3
+            FROM w
+        ), g AS (
+            SELECT COUNT(*) AS n_docs,
+                   SUM(dl) AS w_total,
+                   SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                   SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+                   SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+            FROM d
+        ), s AS (
+            SELECT doc_id, dl, tf1, tf2, tf3,
+                   (CAST(2 * (n_docs - df1) + 1 AS DOUBLE) / CAST(2 * df1 + 1 AS DOUBLE))
+                   * (CAST(44 * w_total * tf1 AS DOUBLE)
+                      / CAST(20 * w_total * tf1 + 6 * w_total + 18 * dl * n_docs AS DOUBLE))
+                 + (CAST(2 * (n_docs - df2) + 1 AS DOUBLE) / CAST(2 * df2 + 1 AS DOUBLE))
+                   * (CAST(44 * w_total * tf2 AS DOUBLE)
+                      / CAST(20 * w_total * tf2 + 6 * w_total + 18 * dl * n_docs AS DOUBLE))
+                 + (CAST(2 * (n_docs - df3) + 1 AS DOUBLE) / CAST(2 * df3 + 1 AS DOUBLE))
+                   * (CAST(44 * w_total * tf3 AS DOUBLE)
+                      / CAST(20 * w_total * tf3 + 6 * w_total + 18 * dl * n_docs AS DOUBLE))
+                   AS score
+            FROM d CROSS JOIN g
+            WHERE tf1 + tf2 + tf3 > 0
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               tf1, tf2, tf3,
+               floor(score * 1000000.0 + 0.5) / 1000000.0 AS score
+        FROM s
+        ORDER BY s.score DESC, doc_id
+        LIMIT 20
+    """,
+    description="BM25 top-k retrieval (RAG staple) with rational IDF: "
+    "per-doc tf via array filters (zero explode, zero shuffle on the "
+    "map side), corpus stats as ONE 1-row partial agg broadcast back, "
+    "top-20 via TakeOrdered. At 100 TB: embarrassingly parallel scan + "
+    "a 1-row broadcast + a k-row result — no full shuffle anywhere.",
+    tags=["text", "retrieval", "llm-pipeline"],
+)
+def q_bm25_rational_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+
+    def tf(term: str) -> Column:
+        return F.size(F.filter(words, lambda x: x == F.lit(term))).cast("long")
+
+    d = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("dl"),
+        tf("table").alias("tf1"),
+        tf("scan").alias("tf2"),
+        tf("hash").alias("tf3"),
+    )
+    g = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("w_total"),
+        F.sum((F.col("tf1") > 0).cast("long")).alias("df1"),
+        F.sum((F.col("tf2") > 0).cast("long")).alias("df2"),
+        F.sum((F.col("tf3") > 0).cast("long")).alias("df3"),
+    )
+
+    def term_score(tf_c: str, df_c: str) -> Column:
+        idf = (2 * (F.col("n_docs") - F.col(df_c)) + 1).cast("double") / (
+            2 * F.col(df_c) + 1
+        ).cast("double")
+        num = (44 * F.col("w_total") * F.col(tf_c)).cast("double")
+        den = (
+            20 * F.col("w_total") * F.col(tf_c)
+            + 6 * F.col("w_total")
+            + 18 * F.col("dl") * F.col("n_docs")
+        ).cast("double")
+        return idf * (num / den)
+
+    scored = (
+        d.join(F.broadcast(g))
+        .filter(F.col("tf1") + F.col("tf2") + F.col("tf3") > 0)
+        .withColumn(
+            "_score",
+            term_score("tf1", "df1") + term_score("tf2", "df2") + term_score("tf3", "df3"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("_score").desc(), "doc_id")
+        .limit(20)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "tf1",
+            "tf2",
+            "tf3",
+            sround(F.col("_score"), 6).alias("score"),
+        )
+    )
+
+
+@register(
+    "pagerank_part_supplier",
+    # Fixed-iteration PageRank (Page & Brin 1998) over the undirected
+    # part–supplier bipartite graph from lineitem, in pure integer
+    # micro-rank units so three engines' worth of float summation order
+    # can't matter: r0 = R div n for every node, and
+    #   r_{k+1}(v) = (3 * (R div n)) div 20 + (17 * S_v) div 20,
+    #   S_v = sum over neighbors u of (r_k(u) div deg(u))
+    # is the damping-0.85 update with every op an exact int64 div/sum.
+    # Three unrolled iterations; the DuckDB oracle is the same
+    # recurrence as chained CTEs.
+    oracle="""
+        WITH e0 AS (
+            SELECT DISTINCT l_partkey * 2 AS s, l_suppkey * 2 + 1 AS d
+            FROM lineitem
+        ), e AS (
+            SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0
+        ), deg AS (
+            SELECT s AS node, COUNT(*) AS deg FROM e GROUP BY s
+        ), n AS (
+            SELECT COUNT(*) AS n FROM deg
+        ), r0 AS (
+            SELECT node, deg, 1000000000000 // n.n AS r FROM deg CROSS JOIN n
+        ), r1 AS (
+            SELECT deg.node, deg.deg,
+                   (3 * (1000000000000 // n.n)) // 20 + (17 * a.s) // 20 AS r
+            FROM (SELECT e.d AS node, SUM(r0.r // r0.deg) AS s
+                  FROM e JOIN r0 ON e.s = r0.node GROUP BY e.d) a
+            JOIN deg ON deg.node = a.node CROSS JOIN n
+        ), r2 AS (
+            SELECT deg.node, deg.deg,
+                   (3 * (1000000000000 // n.n)) // 20 + (17 * a.s) // 20 AS r
+            FROM (SELECT e.d AS node, SUM(r1.r // r1.deg) AS s
+                  FROM e JOIN r1 ON e.s = r1.node GROUP BY e.d) a
+            JOIN deg ON deg.node = a.node CROSS JOIN n
+        ), r3 AS (
+            SELECT deg.node, deg.deg,
+                   (3 * (1000000000000 // n.n)) // 20 + (17 * a.s) // 20 AS r
+            FROM (SELECT e.d AS node, SUM(r2.r // r2.deg) AS s
+                  FROM e JOIN r2 ON e.s = r2.node GROUP BY e.d) a
+            JOIN deg ON deg.node = a.node CROSS JOIN n
+        )
+        SELECT CAST(node // 2 AS BIGINT) AS entity_id,
+               CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+               CAST(deg AS BIGINT) AS degree,
+               CAST(r AS BIGINT) AS rank_u
+        FROM r3
+        ORDER BY r DESC, node
+        LIMIT 100
+    """,
+    description="Iterative graph centrality as a relational loop: "
+    "distinct-edge projection, degree agg, then 3 unrolled "
+    "join+agg PageRank steps over a PINNED edge skeleton "
+    "(localCheckpoint — one parquet scan total, not one per "
+    "iteration). Integer rank units make the result hash-exact "
+    "despite re-associated sums. At 100 TB the per-iteration cost is "
+    "one shuffle keyed on node id — the same shape GraphX/Pregel "
+    "lowers to — and the iteration count is fixed, not data-dependent.",
+    tags=["graph", "iterative", "analytics"],
+)
+def q_pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    R = 1_000_000_000_000
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        (F.col("l_partkey") * 2).alias("s"), (F.col("l_suppkey") * 2 + 1).alias("d")
+    ).distinct()
+    e = e0.unionAll(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    # Pin the edge list: 3 iterations × 2 consumers each would replay
+    # the distinct-shuffle per consumer otherwise.
+    e = e.localCheckpoint(eager=True)
+    deg = e.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+    r = deg.join(F.broadcast(n)).select(
+        "node", "deg", F.expr(f"{R} div n").alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            e.join(r.withColumnRenamed("node", "s"), "s")
+            .select("d", F.expr("r div deg").alias("c"))
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum("c").alias("contrib"))
+        )
+        r = (
+            deg.join(contrib, "node")
+            .join(F.broadcast(n))
+            .select(
+                "node",
+                "deg",
+                F.expr(f"(3 * ({R} div n)) div 20 + (17 * contrib) div 20").alias("r"),
+            )
+        )
+    return (
+        r.orderBy(F.col("r").desc(), "node")
+        .limit(100)
+        .select(
+            F.expr("node div 2").cast("long").alias("entity_id"),
+            F.when(F.col("node") % 2 == 0, "part").otherwise("supplier").alias("kind"),
+            F.col("deg").cast("long").alias("degree"),
+            F.col("r").cast("long").alias("rank_u"),
+        )
+    )
+
+
+@register(
+    "mad_robust_outliers",
+    # Robust anomaly screen (median absolute deviation, the standard
+    # robust alternative to the reference's mean/std z-score,
+    # python_scoring/train.py:31-40): per-channel median and MAD in
+    # integer cents, outlier iff |v - med| > 3 * 1.4826 * MAD with the
+    # 1.4826 consistency constant as the exact rational 14826/10000 —
+    # every comparison is integer, so the flag set is bit-exact.
+    # Medians are kept integer by the x2 trick: an even-count median
+    # interpolates halfway, so 2*median of int64s is integral and
+    # exactly representable in the double both engines interpolate in.
+    oracle="""
+        WITH c AS (
+            SELECT event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events
+        ), m AS (
+            SELECT event_type,
+                   CAST(2.0 * quantile_cont(cents, 0.5) AS BIGINT) AS med2
+            FROM c GROUP BY event_type
+        ), d AS (
+            SELECT c.event_type, c.cents, m.med2,
+                   abs(2 * c.cents - m.med2) AS dev2
+            FROM c JOIN m USING (event_type)
+        ), s AS (
+            SELECT event_type,
+                   CAST(2.0 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+            FROM d GROUP BY event_type
+        )
+        SELECT d.event_type,
+               COUNT(*) AS n_events,
+               CAST(d.med2 AS BIGINT) AS median_cents_x2,
+               CAST(s.mad4 AS BIGINT) AS mad_cents_x4,
+               SUM(CASE WHEN 20000 * d.dev2 > 3 * 14826 * s.mad4
+                        THEN 1 ELSE 0 END) AS n_outliers
+        FROM d JOIN s USING (event_type)
+        GROUP BY d.event_type, d.med2, s.mad4
+    """,
+    description="MAD-based robust outlier screen per channel: two "
+    "exact per-group medians (groupBy percentile — the 5-group shuffle "
+    "moves only (type, cents) pairs) with 2-row broadcast join-backs, "
+    "one final count agg. Integer-cents x2/x4 scaling keeps median "
+    "interpolation and the 3*1.4826*MAD cut exact. At 100 TB swap the "
+    "exact percentile for approx_percentile(...,1e-5) — the plan shape "
+    "(3 partial-agg shuffles over a 2-column pruned scan) is unchanged.",
+    tags=["anomaly", "aggregate", "robust-stats"],
+)
+def q_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents")
+    )
+    m = c.groupBy("event_type").agg(
+        (F.lit(2.0) * F.percentile("cents", F.lit(0.5))).cast("long").alias("med2")
+    )
+    d = c.join(F.broadcast(m), "event_type").withColumn(
+        "dev2", F.abs(2 * F.col("cents") - F.col("med2"))
+    )
+    s = d.groupBy("event_type").agg(
+        (F.lit(2.0) * F.percentile("dev2", F.lit(0.5))).cast("long").alias("mad4")
+    )
+    return (
+        d.join(F.broadcast(s), "event_type")
+        .groupBy("event_type", "med2", "mad4")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (20000 * F.col("dev2") > 3 * 14826 * F.col("mad4")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.col("med2").cast("long").alias("median_cents_x2"),
+            F.col("mad4").cast("long").alias("mad_cents_x4"),
+            "n_outliers",
+        )
+    )
+
+
+@register(
+    "skyline_pareto_parts",
+    # 2-D skyline / Pareto frontier (Börzsönyi 2001): parts not
+    # dominated on (retail price low, size high). The oracle states
+    # dominance directly as NOT EXISTS (quadratic — fine for DuckDB at
+    # test scale); the Spark plan uses the O(n log n) decomposition:
+    # p is dominated iff  max size over strictly-cheaper parts >= p.size
+    #                 or  max size within p's exact price group > p.size,
+    # where the strictly-cheaper running max is the two-pass
+    # distributed prefix scan (operators/prefix.py:ordered_prefix_max)
+    # — NO single-partition window and NO quadratic join.
+    oracle="""
+        WITH p AS (
+            SELECT p_partkey,
+                   CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_u,
+                   CAST(p_size AS BIGINT) AS size
+            FROM part
+        )
+        SELECT p.p_partkey AS p_partkey, p.price_u, p.size
+        FROM p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p q
+            WHERE q.price_u <= p.price_u AND q.size >= p.size
+              AND (q.price_u < p.price_u OR q.size > p.size)
+        )
+    """,
+    description="Pareto-frontier query via distributed prefix max: "
+    "per-price-bucket window cummax + triangular carry compose "
+    "(prefix.py) for the strictly-cheaper side, a partitionBy(price) "
+    "window for exact-price ties. Linearithmic and fully parallel "
+    "where the textbook formulation is a quadratic self-join; the "
+    "NOT EXISTS oracle proves the decomposition's tie semantics.",
+    tags=["skyline", "window", "analytics"],
+)
+def q_skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.prefix import ordered_prefix_max
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long").alias("price_u"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    pm = ordered_prefix_max(p, "price_u", "size", out_col="_strict_max")
+    eq_max = F.max("size").over(Window.partitionBy("price_u"))
+    dominated = (F.col("_strict_max") >= F.col("size")) | (eq_max > F.col("size"))
+    return (
+        pm.withColumn("_dom", F.coalesce(dominated, F.lit(False)))
+        .filter(~F.col("_dom"))
+        .select("p_partkey", "price_u", "size")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -5002,7 +5354,14 @@ _PRIORITY_R04 = [
     "cohort_retention",
     "funnel_conversion",
     "ewma_amounts",
+    "bm25_rational_topk",
+    "pagerank_part_supplier",
+    "mad_robust_outliers",
+    "skyline_pareto_parts",
     # oracle-backed, last green in r1/r2 (rotated out of the r3 window)
+    # (doc_repetition_signals / top_word_fraction /
+    # stratified_sample_docs now sit at slots 51-53 — first in line
+    # for the r5 rotation)
     "profile_window_7d",
     "rollup_order_volume",
     "dedup_keep_first",

@@ -115,3 +115,48 @@ def test_grouped_prefix_row_number_decomposition(spark, sf_dir):
     )
     j = got.join(want, "event_id")
     assert j.filter(F.col("rn") != F.col("rn_w")).count() == 0
+
+
+# --- ordered_prefix_max ----------------------------------------------------
+
+
+def _naive_max(df):
+    from financial_anomaly_detection_spark.operators.prefix import (  # noqa: F401
+        ordered_prefix_max,
+    )
+
+    w = Window.orderBy("k").rangeBetween(Window.unboundedPreceding, -1)
+    return df.withColumn("prefix_max_before", F.max("v").over(w))
+
+
+def _rows_max(df):
+    return sorted(
+        (r["k"], r["v"], r["prefix_max_before"])
+        for r in df.select("k", "v", "prefix_max_before").collect()
+    )
+
+
+def test_prefix_max_matches_sequential_window_with_ties(spark):
+    from financial_anomaly_detection_spark.operators.prefix import ordered_prefix_max
+
+    rng = random.Random(13)
+    # duplicated keys on purpose: ties are peers — neither side of a
+    # tie may see the other's value in its prefix (RANGE semantics)
+    data = [(rng.randint(-500, 500), rng.randint(0, 99)) for _ in range(3000)]
+    df = spark.createDataFrame(data, "k long, v long").repartition(8)
+    got = ordered_prefix_max(df, "k", "v", n_buckets=13)
+    assert _rows_max(got) == _rows_max(_naive_max(df))
+
+
+def test_prefix_max_first_key_is_null_and_no_single_partition(spark):
+    from financial_anomaly_detection_spark.operators.prefix import ordered_prefix_max
+
+    df = spark.createDataFrame([(i, i % 7) for i in range(200)], "k long, v long")
+    out = ordered_prefix_max(df, "k", "v", n_buckets=6)
+    rows = {r["k"]: r["prefix_max_before"] for r in out.collect()}
+    assert rows[0] is None  # exclusive prefix of the minimum key is empty
+    assert rows[199] == 6
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange SinglePartition" not in plan
