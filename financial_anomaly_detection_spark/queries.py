@@ -5316,6 +5316,181 @@ def q_skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "chisq_type_drift",
+    # Pearson chi-square drift screen (the standard data-drift monitor
+    # a production scoring service runs beside the reference's model,
+    # cf. python_scoring/app.py's static thresholds): channel-mix
+    # contingency of a reference window (first 15 days) vs the current
+    # window. Exactness discipline: every count is int64, expected
+    # frequencies and per-cell contributions are FIXED-SHAPE double
+    # expressions over exact counts (each IEEE op correctly rounded →
+    # bit-identical), and each cell's contribution is integer-quantized
+    # BEFORE the cross-cell sum so accumulation order can't matter.
+    # Counts-as-doubles stay exact to 2^53 — far beyond 100 TB row
+    # counts — so there is no int64 product overflow anywhere (the
+    # O*N - rt*ct formulation would overflow; this one never multiplies
+    # two counts in integer arithmetic).
+    oracle="""
+        WITH w AS (
+            SELECT event_type,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN 'ref' ELSE 'cur' END AS win
+            FROM events
+        ), cells AS (
+            SELECT event_type, win, COUNT(*) AS o FROM w GROUP BY event_type, win
+        ), rt AS (
+            SELECT event_type, SUM(o) AS rt FROM cells GROUP BY event_type
+        ), ct AS (
+            SELECT win, SUM(o) AS ct FROM cells GROUP BY win
+        ), n AS (
+            SELECT SUM(o) AS n FROM cells
+        ), contrib AS (
+            SELECT c.event_type, c.win, c.o,
+                   CAST(floor(
+                       (CAST(c.o AS DOUBLE)
+                        - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+                          / CAST(n.n AS DOUBLE))
+                       * (CAST(c.o AS DOUBLE)
+                          - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+                            / CAST(n.n AS DOUBLE))
+                       / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+                          / CAST(n.n AS DOUBLE))
+                       * 1000000.0 + 0.5
+                   ) AS BIGINT) AS contrib_u
+            FROM cells c
+            JOIN rt USING (event_type) JOIN ct USING (win) CROSS JOIN n
+        ), total AS (
+            SELECT SUM(contrib_u) AS chisq_u FROM contrib
+        )
+        SELECT p.event_type,
+               CAST(p.o_ref AS BIGINT) AS o_ref,
+               CAST(p.o_cur AS BIGINT) AS o_cur,
+               CAST(p.c_ref_u AS BIGINT) AS contrib_ref_u,
+               CAST(p.c_cur_u AS BIGINT) AS contrib_cur_u,
+               CAST(total.chisq_u AS BIGINT) AS chisq_total_u
+        FROM (
+            SELECT event_type,
+                   SUM(CASE WHEN win = 'ref' THEN o ELSE 0 END) AS o_ref,
+                   SUM(CASE WHEN win = 'cur' THEN o ELSE 0 END) AS o_cur,
+                   SUM(CASE WHEN win = 'ref' THEN contrib_u ELSE 0 END) AS c_ref_u,
+                   SUM(CASE WHEN win = 'cur' THEN contrib_u ELSE 0 END) AS c_cur_u
+            FROM contrib GROUP BY event_type
+        ) p CROSS JOIN total
+    """,
+    description="Chi-square channel-mix drift between a reference and "
+    "a current window: one partial-agg shuffle to ~10 contingency "
+    "cells, then all marginals/expecteds/contributions on the tiny "
+    "cell table (broadcast joins). Per-cell integer quantization "
+    "before the total makes the statistic hash-exact; counts-as-"
+    "doubles avoids every integer product overflow up to 2^53 rows.",
+    tags=["anomaly", "drift", "aggregate"],
+)
+def q_chisq_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            F.when(F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), "ref")
+            .otherwise("cur")
+            .alias("win"),
+        )
+        .groupBy("event_type", "win")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    ct = cells.groupBy("win").agg(F.sum("o").alias("ct"))
+    n = cells.agg(F.sum("o").alias("n"))
+    e = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    dev = F.col("o").cast("double") - e
+    contrib = cells.join(F.broadcast(rt), "event_type").join(
+        F.broadcast(ct), "win"
+    ).join(F.broadcast(n)).select(
+        "event_type",
+        "win",
+        "o",
+        F.floor(dev * dev / e * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("contrib_u"),
+    )
+    total = contrib.agg(F.sum("contrib_u").alias("chisq_u"))
+    per_type = contrib.groupBy("event_type").agg(
+        F.sum(F.when(F.col("win") == "ref", F.col("o")).otherwise(0)).alias("o_ref"),
+        F.sum(F.when(F.col("win") == "cur", F.col("o")).otherwise(0)).alias("o_cur"),
+        F.sum(F.when(F.col("win") == "ref", F.col("contrib_u")).otherwise(0)).alias(
+            "c_ref_u"
+        ),
+        F.sum(F.when(F.col("win") == "cur", F.col("contrib_u")).otherwise(0)).alias(
+            "c_cur_u"
+        ),
+    )
+    return per_type.join(F.broadcast(total)).select(
+        "event_type",
+        F.col("o_ref").cast("long").alias("o_ref"),
+        F.col("o_cur").cast("long").alias("o_cur"),
+        F.col("c_ref_u").cast("long").alias("contrib_ref_u"),
+        F.col("c_cur_u").cast("long").alias("contrib_cur_u"),
+        F.col("chisq_u").cast("long").alias("chisq_total_u"),
+    )
+
+
+@register(
+    "gini_user_diversity",
+    # Per-user behavioral diversity as Gini impurity over the user's
+    # channel mix — the rational (log-free) cousin of Shannon entropy,
+    # a standard fraud feature (account takeover shifts the mix).
+    # gini = 1 - sum_i (c_i/n)^2 = 1 - S/n^2 with S = sum c_i^2 exact
+    # int64; the single double expression over exact ints is
+    # bit-identical, then quantized to 1e-6 units.
+    oracle="""
+        WITH tc AS (
+            SELECT user_id, event_type, COUNT(*) AS c
+            FROM events GROUP BY user_id, event_type
+        ), u AS (
+            SELECT user_id,
+                   SUM(c) AS n,
+                   COUNT(*) AS n_types,
+                   SUM(c * c) AS s
+            FROM tc GROUP BY user_id
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(n AS BIGINT) AS n_events,
+               CAST(n_types AS BIGINT) AS n_types,
+               CAST(floor(
+                   (1.0 - CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                   * 1000000.0 + 0.5) AS BIGINT) AS gini_u
+        FROM u
+    """,
+    description="Gini-impurity channel diversity per user: two chained "
+    "partial-agg shuffles ((user,type) then user), integer sum of "
+    "squares, one fixed-shape double expression quantized to micro-"
+    "units. High-cardinality group keys — fully parallel at 100 TB; "
+    "c_i^2 stays in int64 to ~3e9 events per (user,channel).",
+    tags=["anomaly", "aggregate", "profile"],
+)
+def q_gini_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tc = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    u = tc.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).alias("s"),
+    )
+    gini = (
+        F.lit(1.0) - F.col("s").cast("double") / (F.col("n").cast("double") * F.col("n").cast("double"))
+    ) * F.lit(1000000.0) + F.lit(0.5)
+    return u.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n").cast("long").alias("n_events"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.floor(gini).cast("long").alias("gini_u"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -5358,9 +5533,10 @@ _PRIORITY_R04 = [
     "pagerank_part_supplier",
     "mad_robust_outliers",
     "skyline_pareto_parts",
+    "chisq_type_drift",
+    "gini_user_diversity",
     # oracle-backed, last green in r1/r2 (rotated out of the r3 window)
-    # (doc_repetition_signals / top_word_fraction /
-    # stratified_sample_docs now sit at slots 51-53 — first in line
+    # (the last 5 of this block now sit past slot 50 — first in line
     # for the r5 rotation)
     "profile_window_7d",
     "rollup_order_volume",

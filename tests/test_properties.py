@@ -182,3 +182,48 @@ def test_grouped_prefix_stats_property(spark, cases):
     for r in want.collect():
         assert j[r["tie"]]["_pcnt"] == r["wc"]
         assert abs(j[r["tie"]]["_psum"] - r["ws"]) < 1e-9
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),  # price (dups on purpose)
+            st.integers(min_value=0, max_value=20),  # size
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_skyline_decomposition_matches_bruteforce(spark, pts):
+    """The prefix-max skyline decomposition == the O(n^2) dominance
+    definition for ANY point multiset, including duplicate prices,
+    duplicate sizes, and fully-duplicated points (which are mutual
+    non-dominators and must BOTH survive)."""
+    from pyspark.sql import Window
+    from financial_anomaly_detection_spark.operators.prefix import (
+        ordered_prefix_max,
+    )
+
+    rows = [(i, p, s) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, price_u long, size long")
+    pm = ordered_prefix_max(df, "price_u", "size", out_col="_strict_max")
+    eq_max = F.max("size").over(Window.partitionBy("price_u"))
+    dominated = (F.col("_strict_max") >= F.col("size")) | (eq_max > F.col("size"))
+    got = sorted(
+        r["id"]
+        for r in pm.withColumn("_dom", F.coalesce(dominated, F.lit(False)))
+        .filter(~F.col("_dom"))
+        .collect()
+    )
+
+    def dominated_by_any(i):
+        pi, si = pts[i]
+        return any(
+            (pj <= pi and sj >= si and (pj < pi or sj > si))
+            for j, (pj, sj) in enumerate(pts)
+            if j != i
+        )
+
+    want = sorted(i for i in range(len(pts)) if not dominated_by_any(i))
+    assert got == want

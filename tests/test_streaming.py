@@ -469,3 +469,85 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert matches == [("b1", "k1")], (
         f"expected only the in-interval same-user match, got {matches}"
     )
+
+
+def test_streaming_drift_matches_batch_chisq(spark, tmp_path):
+    """The streaming drift monitor's per-batch statistic must agree
+    bit-for-bit with the pure-function chi-square over the same final
+    counts — and the running counts themselves must equal the batch
+    groupBy of all data seen."""
+    from financial_anomaly_detection_spark.streaming.drift import (
+        chisq_quantized,
+        drift_sink,
+        stateful_channel_counts,
+    )
+
+    src = tmp_path / "drift_src"
+    src.mkdir()
+    batches = [
+        [("card", 6), ("pos", 2)],
+        [("card", 2), ("mobile_money", 4)],
+    ]
+    for i, spec in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            k = 0
+            for channel, n in spec:
+                for _ in range(n):
+                    f.write(
+                        json.dumps(
+                            {
+                                "timestamp": "2025-05-03T04:00:00Z",
+                                "transaction_id": f"{i}-{k}",
+                                "customer_id": "1",
+                                "merchant_id": "2",
+                                "amount": 1.0,
+                                "channel": channel,
+                                "location": "Harare",
+                            }
+                        )
+                        + "\n"
+                    )
+                    k += 1
+
+    ref = {"card": 50, "pos": 30, "mobile_money": 20}
+    results: dict[int, int] = {}
+    stream = (
+        spark.readStream.schema(TRANSACTION_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    counts = stateful_channel_counts(stream)
+    q = (
+        counts.writeStream.foreachBatch(
+            drift_sink(ref, lambda bid, x: results.__setitem__(bid, x))
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "drift_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert len(results) >= 1
+    # final statistic == pure function over the full data's counts
+    final_counts = {"card": 8, "pos": 2, "mobile_money": 4}
+    assert list(results.values())[-1] == chisq_quantized(ref, final_counts)
+    # sanity: a perfectly matching mix scores 0, a shifted one doesn't
+    assert chisq_quantized(ref, {"card": 5, "pos": 3, "mobile_money": 2}) == 0
+    assert chisq_quantized(ref, final_counts) > 0
+
+
+def test_chisq_quantized_order_invariance_and_edges():
+    from financial_anomaly_detection_spark.streaming.drift import chisq_quantized
+
+    ref = {"a": 10, "b": 30, "c": 60}
+    cur = {"c": 10, "a": 55, "b": 35}
+    # mapping iteration order can't matter (quantize-then-sum)
+    assert chisq_quantized(ref, cur) == chisq_quantized(dict(reversed(list(ref.items()))), cur)
+    # unseen-in-stream channel contributes its full expected mass
+    assert chisq_quantized(ref, {"a": 100}) > 0
+    # channels unknown to the reference are ignored
+    assert chisq_quantized(ref, {"a": 10, "b": 30, "c": 60, "zz": 5}) == 0
+    # degenerate inputs
+    assert chisq_quantized({}, {"a": 1}) == 0
+    assert chisq_quantized(ref, {}) == 0
