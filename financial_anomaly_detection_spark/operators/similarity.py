@@ -202,22 +202,60 @@ def ivf_topk(
     return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def _auto_bucket_length(n: int, d: int, target_occupancy: int = 1024) -> float:
+    """Corpus-adaptive BRP bucket length.
+
+    Projections of unit vectors onto a random unit direction have
+    std ~ 1/sqrt(d), so the usable projection spread is ~6/sqrt(d).
+    A FIXED bucket length therefore yields a FIXED number of buckets
+    per hash table — bucket occupancy (and the bucket-join's cost per
+    query) grows linearly with the corpus, and the "LSH tier" quietly
+    degenerates toward the quadratic exact tier (measured in the x10
+    scale drill: 30 s LSH vs 5 s exact on 20k vectors). Scaling the
+    bucket count with n keeps occupancy — and per-query join cost —
+    constant:
+
+        w = clamp(spread * target_occupancy / n,  0.02,  0.5)
+
+    The 0.5 cap preserves the original small-corpus behavior (and the
+    uniform-data recall floor the tests assert); the shrink engages
+    only once n > ~target_occupancy * sqrt(d). Narrow buckets remain
+    DISTANCE-SELECTIVE: duplicate / near-duplicate neighbors (the
+    realistic ANN target, d ~ 0) co-bucket at any w, while
+    uniform-noise pairs (d ~ sqrt(2)) are pruned — on data with no
+    neighbor structure no LSH setting can prune without recall loss.
+    """
+    spread = 6.0 / (d ** 0.5)
+    return min(0.5, max(0.02, spread * float(target_occupancy) / float(max(n, 1))))
+
+
 def lsh_topk(
     candidates: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    bucket_length: float = 0.5,
+    bucket_length: float | str = "auto",
     num_hash_tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k via BRP-LSH over L2-normalized vectors.
 
+    ``bucket_length="auto"`` (default) sizes buckets from the corpus
+    count so bucket occupancy stays constant as the corpus grows (see
+    :func:`_auto_bucket_length`); pass a float to pin it.
+
     Returns (query_id, neighbor_id, cosine, rn) like brute_force_topk;
     recall < 1 by construction — tests compare against the exact tier.
     """
     from .partitioning import spread_narrow
+
+    if bucket_length == "auto":
+        # two bounded driver-side lookups: a count-star (parquet
+        # metadata fast-path) and one row for the dimension
+        n = candidates.count()
+        d = candidates.select(F.size(vec_col).alias("_d")).first()["_d"]
+        bucket_length = _auto_bucket_length(n, int(d))
 
     def prep(df: DataFrame, out_id: str) -> DataFrame:
         df = spread_narrow(df)

@@ -5491,6 +5491,57 @@ def q_gini_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "weighted_sample_docs",
+    # Weight-proportional deterministic sampling (importance sampling
+    # for data curation: longer/higher-quality docs kept with higher
+    # probability — the token-weighted analog of the uniform
+    # deterministic_split). Inclusion is a pure integer comparison:
+    #   u = first 12 md5 hex digits of (doc_id || salt)  in [0, 2^48)
+    #   keep  iff  u * W_CAP < w * 2^48
+    # i.e. P(keep) = w / W_CAP with w = min(n_chars, 2000), no RNG
+    # state, reproducible on any cluster layout, hash-exact across
+    # engines. Products stay under 2^63 by construction
+    # (2^48 * 2000 ~ 5.6e17).
+    oracle="""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(w AS BIGINT) AS weight,
+               CAST(u AS BIGINT) AS u48
+        FROM (
+            SELECT doc_id,
+                   least(n_chars, 2000) AS w,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':wsample-v1'), 1, 12)) AS BIGINT) AS u
+            FROM documents
+        )
+        WHERE u * 2000 < w * 281474976710656
+    """,
+    description="Weight-proportional deterministic sampling: inclusion "
+    "probability w/2000 from a 48-bit md5 draw, all-integer compare — "
+    "the importance-sampling stage of a curation pipeline with zero "
+    "RNG state. Embarrassingly parallel map+filter; the filter sits "
+    "directly on the scan.",
+    tags=["sampling", "llm-pipeline"],
+)
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wsample-v1"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.least(F.col("n_chars"), F.lit(2000)).cast("long")
+    return (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            w.alias("weight"),
+            u.alias("u48"),
+        )
+        .filter(F.col("u48") * 2000 < F.col("weight") * F.lit(281474976710656))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -5535,8 +5586,9 @@ _PRIORITY_R04 = [
     "skyline_pareto_parts",
     "chisq_type_drift",
     "gini_user_diversity",
+    "weighted_sample_docs",
     # oracle-backed, last green in r1/r2 (rotated out of the r3 window)
-    # (the last 5 of this block now sit past slot 50 — first in line
+    # (the last 6 of this block now sit past slot 50 — first in line
     # for the r5 rotation)
     "profile_window_7d",
     "rollup_order_volume",

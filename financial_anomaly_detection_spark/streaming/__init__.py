@@ -1,3 +1,8 @@
+from .drift import (  # noqa: F401
+    chisq_quantized,
+    drift_sink,
+    stateful_channel_counts,
+)
 from .relational import (  # noqa: F401
     dedup_stream,
     stream_stream_purchase_click,

@@ -291,3 +291,51 @@ def test_quantized_ann_surrogate_anchors_exact_tier(spark, sf_dir):
     assert len(overlaps) == 50
     assert sum(overlaps) / len(overlaps) >= 0.95
     assert min(overlaps) >= 0.8
+
+
+def test_auto_bucket_length_rule():
+    from financial_anomaly_detection_spark.operators.similarity import (
+        _auto_bucket_length,
+    )
+
+    # small corpora keep the legacy 0.5 (recall-safe on uniform data)
+    assert _auto_bucket_length(100, 32) == 0.5
+    assert _auto_bucket_length(2000, 32) == 0.5
+    # large corpora shrink ~1/n (constant occupancy), floored at 0.02
+    w5k = _auto_bucket_length(5_000, 32)
+    w50k = _auto_bucket_length(50_000, 32)
+    assert 0.02 <= w50k < w5k < 0.5
+    assert abs(w5k / w50k - 10.0) < 0.5  # ~linear shrink between caps
+    assert _auto_bucket_length(10**9, 32) == 0.02
+
+
+def test_lsh_auto_keeps_duplicate_recall_at_scale(spark):
+    """The claim behind auto bucket sizing: narrow buckets stay
+    distance-selective — exact-duplicate neighbors co-bucket at ANY
+    bucket length, so top-1 twin recall survives the shrink."""
+    import random
+
+    from financial_anomaly_detection_spark.operators.similarity import (
+        _auto_bucket_length,
+        lsh_topk,
+    )
+
+    rng = random.Random(3)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(150)]
+    rows = []
+    for rep in range(40):  # 40 exact copies of each vector
+        for i, v in enumerate(base):
+            rows.append((rep * 1000 + i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assert _auto_bucket_length(len(rows), 16) < 0.5  # shrink engaged
+    qs = emb.filter(F.col("vec_id") < 25)  # 25 originals as queries
+    got = lsh_topk(emb, qs, "vec_id", "embedding", k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert len(by_q) == 25
+    for q, neighbors in by_q.items():
+        twins = {rep * 1000 + q for rep in range(1, 40)}
+        # every returned top-5 neighbor of vector q is one of its twins
+        assert set(neighbors) <= twins, (q, neighbors)
+        assert len(neighbors) == 5
