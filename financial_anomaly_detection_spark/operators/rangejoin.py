@@ -66,6 +66,77 @@ def asof_join(
     return out
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    right_tiebreak: str,
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Forward as-of join: each left row picks the single right row
+    with the SMALLEST ``right_ts >= left_ts`` for its key, optionally
+    within ``tolerance_us`` (matches farther ahead become nulls) —
+    the look-ahead twin of :func:`asof_join` (next fill after an
+    order, next purchase after a click).
+
+    Same union + running-carry execution, mirrored: sort descending by
+    timestamp so the carry flows from later right rows to earlier left
+    rows — still ONE shuffle on the key, no join node. Ties on
+    ``right_ts`` resolve to the SMALLEST ``right_tiebreak``
+    (deterministic); the matched timestamp must be among
+    ``right_cols`` for the tolerance filter to apply.
+    """
+    from pyspark.sql import Window
+
+    payload = F.struct(*[F.col(c) for c in right_cols])
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),  # right rows sort before left at equal ts
+        F.col(right_tiebreak).alias("_tie"),
+        payload.alias("_payload"),
+    )
+    l = left.withColumn("_row", F.struct(*[F.col(c) for c in left.columns])).select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_tie"].dataType).alias("_tie"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        "_row",
+    )
+    merged = r.withColumn(
+        "_row", F.lit(None).cast(l.schema["_row"].dataType)
+    ).unionByName(l)
+    # Descending time: the running carry sees every right row at or
+    # after the left row. Among equal-_ts right rows the LAST one in
+    # window order wins the carry, so order ties by _tie DESC to make
+    # the smallest tiebreak the survivor.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").desc(), "_side", F.col("_tie").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged.withColumn("_asof", F.last("_payload", ignorenulls=True).over(w))
+    carried = carried.withColumn(
+        "_asof_ts", F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_side") == 1)
+    if tolerance_us is not None:
+        in_tol = (
+            F.unix_micros(F.col("_asof_ts")) - F.unix_micros(F.col("_ts"))
+        ) <= F.lit(tolerance_us)
+        out = out.withColumn(
+            "_asof",
+            F.when(in_tol, F.col("_asof")).otherwise(
+                F.lit(None).cast(r.schema["_payload"].dataType)
+            ),
+        )
+    return out.select("_row.*", "_asof.*")
+
+
 def time_proximity_self_join(
     df: DataFrame,
     key: str,

@@ -1302,6 +1302,72 @@ def q_asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_forward_click_purchase",
+    # The look-ahead twin of asof_join_purchase_click with a match
+    # tolerance: each click picks the user's NEXT purchase within one
+    # hour (conversion attribution). DuckDB's native ASOF JOIN is
+    # backward-only, so the oracle states the semantics directly:
+    # range left-join + QUALIFY row_number()=1 on (ts, event_id) —
+    # quadratic in DuckDB, which is fine for an oracle; the engine
+    # form stays one union + descending running carry, no join node.
+    oracle="""
+        SELECT CAST(c.event_id AS BIGINT) AS event_id,
+               CAST(c.user_id AS BIGINT) AS user_id,
+               CAST(p.event_id AS BIGINT) AS next_purchase_id,
+               p.value AS purchase_value,
+               CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND p.ts >= c.ts
+         AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+        QUALIFY row_number() OVER (
+            PARTITION BY c.event_id
+            ORDER BY p.ts ASC NULLS LAST, p.event_id ASC NULLS LAST
+        ) = 1
+    """,
+    description="Forward as-of join with tolerance (operators/"
+    "rangejoin.asof_join_forward): next purchase within 1 h of each "
+    "click, executed as union + descending running carry over ONE "
+    "(key, ts) sort-shuffle — no join node, no per-key explosion; "
+    "matches beyond the tolerance null out. The conversion-"
+    "attribution staple.",
+    tags=["join", "asof", "time"],
+)
+def q_asof_forward_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.rangejoin import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("next_purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = asof_join_forward(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="purchase_ts",
+        right_cols=["next_purchase_id", "purchase_value", "purchase_ts"],
+        right_tiebreak="next_purchase_id",
+        tolerance_us=3_600_000_000,
+    )
+    return joined.select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        F.col("next_purchase_id").cast("long"),
+        "purchase_value",
+        (F.unix_micros("purchase_ts") - F.unix_micros("ts"))
+        .cast("long")
+        .alias("gap_us"),
+    )
+
+
+@register(
     "deterministic_split",
     # md5 is identical across engines, so a hash-based train/val/test
     # assignment is oracle-checkable AND stable across any cluster
@@ -5587,9 +5653,11 @@ _PRIORITY_R04 = [
     "chisq_type_drift",
     "gini_user_diversity",
     "weighted_sample_docs",
+    "asof_forward_click_purchase",
     # oracle-backed, last green in r1/r2 (rotated out of the r3 window)
-    # (the last 6 of this block now sit past slot 50 — first in line
-    # for the r5 rotation)
+    # (the last 7 of this block now sit past slot 50 — first in line
+    # for the r5 rotation; never-checked new queries outrank
+    # stale-but-green refreshes because they have zero driver evidence)
     "profile_window_7d",
     "rollup_order_volume",
     "dedup_keep_first",
