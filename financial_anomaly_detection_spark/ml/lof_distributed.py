@@ -25,6 +25,52 @@ from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _collect_sample(df: DataFrame, vec_col: str, sample_size: int = 1024):
+    """Bounded driver-side sample matrix (the scorers' fit-pool
+    discipline) shared by the cutoff and bucket-length estimators."""
+    rows = (
+        df.select(F.col(vec_col).cast("array<double>").alias("_x"))
+        .filter(F.col("_x").isNotNull())
+        .limit(sample_size)
+        .collect()
+    )
+    return np.array([r["_x"] for r in rows], dtype=np.float64)
+
+
+def auto_bucket_length(
+    X: np.ndarray,
+    n_total: int,
+    target_occupancy: int = 512,
+    legacy_cap: float = 2.0,
+) -> float:
+    """Corpus-adaptive BRP bucket length for the LOF candidate stage.
+
+    Identical reasoning to operators/similarity._auto_bucket_length,
+    generalized to unnormalized vectors: the projection of x onto a
+    random unit direction has std ~ the component std of the data, so
+    a FIXED bucket length gives a FIXED number of buckets per table
+    and occupancy — hence the bucket join's pair count — grows
+    linearly with the corpus (measured in the x10 scale drill:
+    ml_lof_distributed hit slope 1.92, 401 s at 20k vectors). Scaling
+    the bucket count with n keeps occupancy — and the candidate join —
+    linear in n. The cap preserves small-corpus behavior; points that
+    lose their k-NN to narrower buckets are caught by the existing
+    phase-2 escalation, which is exactly the recall safety net this
+    operator already carries.
+    """
+    sigma = float(X.std()) if X.size else 1.0
+    spread = 6.0 * max(sigma, 1e-9)
+    return float(
+        min(
+            legacy_cap,
+            max(
+                spread * float(target_occupancy) / float(max(n_total, 1)),
+                spread / 4096.0,
+            ),
+        )
+    )
+
+
 def estimate_distance_cutoff(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -35,6 +81,7 @@ def estimate_distance_cutoff(
     fanout_per_k: int = 4,
     n_total: int | None = None,
     seed: int = 42,
+    X: "np.ndarray | None" = None,
 ) -> float:
     """Sample-estimated candidate-distance cutoff, fan-out capped.
 
@@ -56,13 +103,8 @@ def estimate_distance_cutoff(
     O(sample_size²) on a Gram matrix (≤ ~8 MB), the same
     bounded-sample discipline as the scorers' fit pools.
     """
-    rows = (
-        df.select(F.col(vec_col).cast("array<double>").alias("_x"))
-        .filter(F.col("_x").isNotNull())
-        .limit(sample_size)
-        .collect()
-    )
-    X = np.array([r["_x"] for r in rows], dtype=np.float64)
+    if X is None:
+        X = _collect_sample(df, vec_col, sample_size)
     if len(X) < 2:
         return float("inf")
     sq = (X * X).sum(axis=1)
@@ -75,12 +117,27 @@ def estimate_distance_cutoff(
         n_total = df.count()
     if n_total <= 1:
         return recall_cut
-    target = min(float(fanout_per_k * n_neighbors), float(n_total - 1))
+    cap_cut = pairwise_quantile_cutoff(
+        X, n_total, fanout_per_k * n_neighbors
+    )
+    return min(recall_cut, cap_cut)
+
+
+def pairwise_quantile_cutoff(X: np.ndarray, n_total: int, target_fanout: float) -> float:
+    """Distance at which the EXPECTED candidate count per point is
+    ``target_fanout``, estimated from the sample's pairwise-distance
+    distribution. The pure cost bound (no recall term) — used for the
+    phase-2 escalation radius, which must stay wide enough to reach
+    the nearest real mass from an isolated point / micro-cluster."""
+    if len(X) < 2 or n_total <= 1:
+        return float("inf")
+    sq = (X * X).sum(axis=1)
+    d2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (X @ X.T), 0.0)
     d = np.sqrt(d2)
     np.fill_diagonal(d, np.inf)
     offdiag = d[np.isfinite(d)]
-    cap_cut = float(np.quantile(offdiag, min(1.0, target / (n_total - 1))))
-    return min(recall_cut, cap_cut)
+    target = min(float(target_fanout), float(n_total - 1))
+    return float(np.quantile(offdiag, min(1.0, target / (n_total - 1))))
 
 
 def lsh_candidate_pairs(
@@ -88,7 +145,7 @@ def lsh_candidate_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_neighbors: int = 20,
-    bucket_length: float = 2.0,
+    bucket_length: float | str = "auto",
     num_hash_tables: int = 4,
     max_distance: float | None = None,
     seed: int = 42,
@@ -97,16 +154,26 @@ def lsh_candidate_pairs(
 
     ``max_distance=None`` estimates a cutoff from a bounded sample
     (see ``estimate_distance_cutoff``) instead of the old unbounded
-    default, so bucket occupancy is no longer the only fan-out bound.
+    default, so bucket occupancy is no longer the only fan-out bound;
+    ``bucket_length="auto"`` (default) additionally scales the bucket
+    COUNT with the corpus so occupancy itself stays constant (see
+    :func:`auto_bucket_length`). The sample is collected once and
+    shared by both estimators.
     """
     pts = df.select(
         F.col(id_col).alias("_id"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("_v"),
     )
-    if max_distance is None:
-        max_distance = estimate_distance_cutoff(
-            df, vec_col=vec_col, n_neighbors=n_neighbors, seed=seed
-        )
+    if max_distance is None or bucket_length == "auto":
+        X = _collect_sample(df, vec_col)
+        n_total = df.count()
+        if max_distance is None:
+            max_distance = estimate_distance_cutoff(
+                df, vec_col=vec_col, n_neighbors=n_neighbors,
+                n_total=n_total, seed=seed, X=X,
+            )
+        if bucket_length == "auto":
+            bucket_length = auto_bucket_length(X, n_total)
     lsh = BucketedRandomProjectionLSH(
         inputCol="_v",
         outputCol="_h",
@@ -133,13 +200,15 @@ def distributed_lof(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_neighbors: int = 20,
-    bucket_length: float = 2.0,
+    bucket_length: float | str = "auto",
     num_hash_tables: int = 4,
     max_distance: float | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """LOF score for every row of ``df`` against ``df`` itself
     (outlier-detection mode). Returns (id, lof).
+    ``bucket_length="auto"`` keeps LSH bucket occupancy constant as
+    the corpus grows (see :func:`auto_bucket_length`).
 
     Candidate generation is two-phase: (1) a cutoff-bounded LSH join
     for the dense bulk, then (2) points left with fewer than
@@ -157,10 +226,28 @@ def distributed_lof(
         F.col(id_col).alias("_id"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("_v"),
     )
+    X = _collect_sample(df, vec_col)
+    n_total = df.count()
     if max_distance is None:
         max_distance = estimate_distance_cutoff(
-            df, vec_col=vec_col, n_neighbors=n_neighbors, seed=seed
+            df, vec_col=vec_col, n_neighbors=n_neighbors,
+            n_total=n_total, seed=seed, X=X,
         )
+    if bucket_length == "auto":
+        bucket_length = auto_bucket_length(X, n_total)
+    # Escalation (phase 2) distance: the sample quantile at which the
+    # EXPECTED fan-out is 32 candidates per neighbor slot — wide
+    # enough to reach the nearest real mass from an isolated point or
+    # sub-k micro-cluster (the LOF-positive shapes escalation exists
+    # for), but a bounded join unlike the old 1e12 radius, which
+    # admitted every bucket co-location: measured 54M pairs / 309 s on
+    # the x10 drill while the cutoff-bounded phase 1 cost 12 s.
+    escalate_distance = pairwise_quantile_cutoff(
+        X, n_total, 32.0 * n_neighbors
+    )
+    if not np.isfinite(escalate_distance):
+        escalate_distance = 1e12  # degenerate sample: stay permissive
+    escalate_distance = max(escalate_distance, float(max_distance))
     lsh = BucketedRandomProjectionLSH(
         inputCol="_v",
         outputCol="_h",
@@ -191,7 +278,11 @@ def distributed_lof(
     # candidate list is cutoff-bounded, so it is the small artifact of
     # the computation, safe to pin.
     phase1 = _pairs(hashed, max_distance).localCheckpoint(eager=True)
-    # ids with >= k candidates keep their phase-1 pairs; the rest escalate
+    # ids with >= k candidates keep their phase-1 pairs; the rest
+    # escalate — sub-k candidate lists are exactly the isolated-point /
+    # micro-cluster shapes LOF must look beyond (weakening this to k/4
+    # was tried and broke planted-micro-cluster ranking; the cost
+    # lever is the bounded escalation RADIUS above, not the criterion).
     dense_ids = (
         phase1.groupBy("a")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -201,7 +292,7 @@ def distributed_lof(
     sparse_pts = hashed.join(
         dense_ids.withColumnRenamed("a", "_id"), "_id", "left_anti"
     )
-    phase2 = _pairs(sparse_pts, 1e12)
+    phase2 = _pairs(sparse_pts, escalate_distance)
     joined = phase1.join(dense_ids, "a", "left_semi").unionByName(phase2)
     w = Window.partitionBy("a").orderBy("_d", "b")
     # knn feeds k-distance, reachability, and the neighbor-lrd join —
@@ -216,7 +307,10 @@ def distributed_lof(
     # reach_dist_k(a, b) = max(kdist(b), d(a, b))
     reach = (
         knn.join(kdist.select(F.col("a").alias("b"), F.col("_kdist").alias("_kdist_b")), "b")
-        .withColumn("_reach", F.greatest("_kdist_b", "_d"))
+        # the 1e-12 floor keeps exact-duplicate groups (all pair
+        # distances 0) at a huge-but-finite lrd, so their LOF stays
+        # ~1.0 instead of Inf/Inf = NaN
+        .withColumn("_reach", F.greatest("_kdist_b", "_d", F.lit(1e-12)))
     )
     # lrd(a) = |kNN(a)| / sum(reach)
     lrd = reach.groupBy("a").agg(

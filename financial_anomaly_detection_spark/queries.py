@@ -1130,7 +1130,7 @@ def q_ml_lof_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ml.lof_distributed import distributed_lof
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = distributed_lof(emb, "vec_id", "embedding", n_neighbors=20, bucket_length=2.0)
+    out = distributed_lof(emb, "vec_id", "embedding", n_neighbors=20)
     return out.select(F.col("vec_id").cast("long"), sround(F.col("lof"), 6).alias("lof"))
 
 

@@ -4,6 +4,7 @@ every queries() entry vs oracle_sql() via DuckDB with a value-hash compare."""
 import hashlib
 import importlib.util
 import math
+import os
 import sys
 from datetime import date, datetime
 from decimal import Decimal
@@ -11,7 +12,7 @@ from decimal import Decimal
 import duckdb
 from pyspark.sql import SparkSession
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_SIM_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 # Driver-style plain session: NO engine confs.

@@ -80,6 +80,24 @@ DRILL = [
     # similarity: LSH tier vs the intentionally-quadratic exact tier
     "ann_lsh_topk",
     "ann_cosine_topk",
+    # time / as-of family
+    "asof_join_purchase_click",
+    "asof_forward_click_purchase",
+    "time_range_self_join",
+    "sessionize_events",
+    "funnel_conversion",
+    "cohort_retention",
+    "ewma_amounts",
+    "rolling_zscore_events",
+    # document pipeline composites
+    "benchmark_contamination",
+    "duplicate_chunks_across_docs",
+    "curation_pipeline_e2e",
+    "weighted_sample_docs",
+    # ML scoring tiers (Arrow kernels + distributed LOF)
+    "int8_quantize_embeddings",
+    "ml_iforest_embeddings",
+    "ml_lof_distributed",
 ]
 
 
