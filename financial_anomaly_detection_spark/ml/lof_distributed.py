@@ -214,10 +214,13 @@ def distributed_lof(
     for the dense bulk, then (2) points left with fewer than
     ``n_neighbors`` candidates — isolated points and micro-clusters
     smaller than k, i.e. exactly the LOF-positive shapes the cutoff
-    would otherwise blind — escalate to a wide join whose fan-out is
-    bounded by bucket occupancy. The escalated set is small by
-    construction (a dense corpus has few sparse points), so phase 2
-    costs |sparse| x occupancy, not n x occupancy.
+    would otherwise blind — escalate to a join at a WIDER but still
+    bounded radius: the sample quantile at which expected fan-out is
+    32 candidates per neighbor slot (``pairwise_quantile_cutoff``),
+    wide enough to reach the nearest real mass from an isolated point
+    yet never the old unbounded radius, which degenerated to every
+    bucket co-location on distance-concentrated corpora (measured
+    54M pairs / 309 s on the x10 scale drill; bounded: 14 s).
     """
     from ..operators.partitioning import spread_narrow
 

@@ -5608,6 +5608,125 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quantile_rank_embeddings",
+    # Per-dimension quantile ranks (the rank stage of quantile
+    # normalization, a standard feature-preprocessing op): rank each
+    # vector's value within its dimension, emit the uniform quantile
+    # rank/(n+1) in integer 1e-6 units. The naive Spark form —
+    # row_number() over (PARTITION BY pos ORDER BY val) — is only as
+    # parallel as the DIMENSION COUNT (32 tasks for 32 dims, the
+    # low-cardinality window scale-killer); this uses the grouped
+    # two-pass prefix scan (operators/prefix.py), which is
+    # dims x time-buckets parallel and bit-identical because the rank
+    # is a pure integer count. Oracle = the plain window form.
+    oracle="""
+        WITH e AS (
+            SELECT vec_id,
+                   CAST(unnest(range(1, len(embedding) + 1)) AS BIGINT) AS pos,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS val_u
+            FROM embeddings
+        ), n AS (
+            SELECT COUNT(*) AS n FROM embeddings
+        ), r AS (
+            SELECT vec_id, pos, val_u,
+                   row_number() OVER (PARTITION BY pos ORDER BY val_u, vec_id)
+                       AS rnk
+            FROM e
+        )
+        SELECT CAST(r.vec_id AS BIGINT) AS vec_id, r.pos, r.val_u,
+               CAST(r.rnk AS BIGINT) AS rnk,
+               CAST((r.rnk * 1000000) // (n.n + 1) AS BIGINT) AS q_u
+        FROM r CROSS JOIN n
+    """,
+    description="Quantile-rank normalization of embedding columns via "
+    "the grouped parallel prefix scan — per-(dimension, value-bucket) "
+    "windows with triangular carry compose, so parallelism is "
+    "dims x buckets instead of dims. Integer ranks -> hash-exact.",
+    tags=["ml-prep", "window", "vector"],
+)
+def q_quantile_rank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.prefix import grouped_prefix_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("pos"),
+        F.floor(F.col("col") * 1000000 + F.lit(0.5)).cast("long").alias("val_u"),
+    )
+    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    ranked = grouped_prefix_stats(
+        e, "pos", "val_u", "vec_id", "val_u", sum_col="_s", cnt_col="_rank0"
+    )
+    return (
+        ranked.join(F.broadcast(n))
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "pos",
+            "val_u",
+            (F.col("_rank0") + 1).cast("long").alias("rnk"),
+            F.expr("((_rank0 + 1) * 1000000) div (n + 1)").cast("long").alias("q_u"),
+        )
+    )
+
+
+@register(
+    "loo_target_encode",
+    # Leave-one-out target encoding (categorical-feature staple in
+    # fraud models; LOO avoids self-leakage): each event's channel is
+    # encoded as the mean amount of all OTHER events in that channel,
+    # in exact integer arithmetic — micro-cents via (S - x)*10000 div
+    # (n - 1). One partial-agg shuffle to ~5 group rows, broadcast
+    # join-back, pure map.
+    oracle="""
+        WITH c AS (
+            SELECT event_id, event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events
+        ), g AS (
+            SELECT event_type, SUM(cents) AS s, COUNT(*) AS n
+            FROM c GROUP BY event_type
+        )
+        SELECT CAST(c.event_id AS BIGINT) AS event_id,
+               c.event_type,
+               c.cents,
+               CAST(CASE WHEN g.n > 1
+                         THEN ((g.s - c.cents) * 10000) // (g.n - 1)
+                         ELSE NULL END AS BIGINT) AS loo_ucents
+        FROM c JOIN g USING (event_type)
+    """,
+    description="Leave-one-out target encoding in exact integer "
+    "micro-cents: per-channel (sum, count) broadcast back, "
+    "(S-x)*10000 div (n-1) per event. Embarrassingly parallel after "
+    "one tiny partial agg; NULL for singleton groups.",
+    tags=["ml-prep", "aggregate", "profile"],
+)
+def q_loo_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    g = c.groupBy("event_type").agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return c.join(F.broadcast(g), "event_type").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        "cents",
+        F.when(
+            F.col("n") > 1,
+            F.expr("((s - cents) * 10000) div (n - 1)"),
+        )
+        .cast("long")
+        .alias("loo_ucents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -5654,10 +5773,13 @@ _PRIORITY_R04 = [
     "gini_user_diversity",
     "weighted_sample_docs",
     "asof_forward_click_purchase",
+    "quantile_rank_embeddings",
+    "loo_target_encode",
     # oracle-backed, last green in r1/r2 (rotated out of the r3 window)
-    # (the last 7 of this block now sit past slot 50 — first in line
+    # (the last 9 of this block now sit past slot 50 — first in line
     # for the r5 rotation; never-checked new queries outrank
-    # stale-but-green refreshes because they have zero driver evidence)
+    # stale-but-green refreshes because stale ones keep their banked
+    # green rows while a never-checked query has zero driver evidence)
     "profile_window_7d",
     "rollup_order_volume",
     "dedup_keep_first",
