@@ -91,13 +91,25 @@ def brute_force_topk(
     return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def auto_nlist(n: int) -> int:
+    """FAISS-style cell-count rule: nlist ~ sqrt(n), floored at 16.
+
+    A FIXED nlist means every query scans an nprobe/nlist FRACTION of
+    the corpus — per-query cost linear in n, and with the query set
+    also growing the drill measured slope ~1.8 (58.7 s at x10).
+    nlist ~ sqrt(n) makes per-query cost ~ nprobe * sqrt(n); the floor
+    keeps the original small-corpus behavior (and its recall floors).
+    """
+    return max(16, int(round((max(n, 1) / 2.0) ** 0.5)))
+
+
 def ivf_topk(
     candidates: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    nlist: int = 16,
+    nlist: int | None = None,
     nprobe: int = 4,
     seed: int = 42,
 ) -> DataFrame:
@@ -127,6 +139,8 @@ def ivf_topk(
     # (TakeOrderedAndProject), so the training set is key-determined —
     # independent of file layout, partition count, and AQE — unlike a
     # bare limit().
+    if nlist is None:
+        nlist = auto_nlist(cand.count())
     train = cand.orderBy("neighbor_id").limit(25_000)
     X = np.stack(
         train.select(F.col("_e").cast("array<double>").alias("_e"))

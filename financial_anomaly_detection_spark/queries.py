@@ -1109,7 +1109,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % 100 == 0)
-    out = ivf_topk(emb, qs, "vec_id", "embedding", k=10, nlist=8, nprobe=4)
+    out = ivf_topk(emb, qs, "vec_id", "embedding", k=10, nprobe=4)
     return out.select(
         F.col("query_id").cast("long"),
         F.col("neighbor_id").cast("long"),
