@@ -296,3 +296,145 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def auto_band_bits(n: int) -> int:
+    """Adaptive band width for the SimHash candidate join.
+
+    With FIXED band bits, the expected candidates per query are
+    ``bands * n / 2^band_bits`` — linear in the corpus, the same
+    fixed-granularity trap the scale drill exposed in the BRP bucket
+    length and the IVF cell count. ``band_bits ~ log2(n)`` keeps the
+    expected candidate set constant; clamped to [4, 16] so 64-bit
+    signatures always yield >= 4 bands and tiny corpora stay
+    permissive. Near-identical vectors (angle -> 0) match a band with
+    probability ~(1 - theta/pi)^band_bits ~ 1 at ANY width, so
+    duplicate/near-dup recall survives the adaptivity.
+    """
+    import math
+
+    return max(4, min(16, int(math.ceil(math.log2(max(n, 2)))) - 5))
+
+
+def simhash_vector_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """64-bit random-hyperplane SimHash per vector (Charikar 2002),
+    entirely JVM-side — the vector twin of the text tier in
+    operators/dedup.py. The seeded projection matrix is a broadcast
+    (dim, weights[64]) table; the per-bit projections are 64 grouped
+    SUM aggregates over the exploded (id, dim, value) rows (map-side
+    combine — the id-keyed shuffle moves 64 doubles per vector), and
+    the sign bits fold into one BIGINT with plain column math.
+    Returns (id, simhash).
+    """
+    import numpy as np
+
+    from .partitioning import spread_narrow
+
+    spark = df.sparkSession
+    d = df.select(F.size(vec_col).alias("_d")).first()["_d"]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((int(d), n_bits))
+    pw = spark.createDataFrame(
+        [(i, [float(w) for w in planes[i]]) for i in range(int(d))],
+        "pos int, ws array<double>",
+    )
+    ex = spread_narrow(df).select(
+        F.col(id_col), F.posexplode(F.col(vec_col).cast("array<double>"))
+    )
+    votes = ex.join(F.broadcast(pw), "pos").groupBy(id_col).agg(
+        *[
+            F.sum(F.col("col") * F.col("ws")[b]).alias(f"_v{b}")
+            for b in range(n_bits)
+        ]
+    )
+    sig: "F.Column" = F.lit(0).cast("long")
+    for b in range(n_bits):
+        bit = F.shiftleft(F.lit(1).cast("long"), b)
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"_v{b}") > 0, bit).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_vector_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    band_bits: int | None = None,
+    n_bits: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via banded vector SimHash — the
+    engine's own pure-Catalyst ANN tier, built after the x30 scale
+    drill showed MLlib BRP-LSH (hash explode + pair distinct +
+    row-at-a-time keyDistance UDF) cannot beat the JVM-codegen exact
+    tier's constant factor on structure-free vectors. Here every
+    stage stays in built-in expressions: signature = 64 grouped sums,
+    candidates = an EQUI-join on (band index, band value), re-rank =
+    exact cosine over the candidate pairs only.
+
+    ``band_bits=None`` adapts the band width to the corpus size so the
+    expected candidate set per query stays constant (auto_band_bits).
+    Returns (query_id, neighbor_id, cosine, rn) like brute_force_topk;
+    recall is approximate by construction and concentrated on
+    near-duplicate neighbors — the realistic ANN target.
+    """
+    from .partitioning import spread_narrow
+
+    if band_bits is None:
+        band_bits = auto_band_bits(candidates.count())
+    n_bands = n_bits // band_bits
+    mask = (1 << band_bits) - 1
+
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        sigs = simhash_vector_signatures(df, id_col, vec_col, n_bits, seed)
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("_band"),
+                    F.shiftright("simhash", i * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("_val"),
+                )
+                for i in range(n_bands)
+            ]
+        )
+        return sigs.select(
+            F.col(id_col).alias(out_id), F.explode(bands).alias("_b")
+        ).select(out_id, F.col("_b._band").alias("_band"), F.col("_b._val").alias("_val"))
+
+    cband = banded(spread_narrow(candidates), "neighbor_id")
+    qband = banded(queries, "query_id")
+    pairs = (
+        qband.join(cband, ["_band", "_val"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    cv = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    scored = (
+        pairs.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", cosine_similarity(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )

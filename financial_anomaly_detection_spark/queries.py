@@ -5727,6 +5727,34 @@ def q_loo_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_simhash_topk",
+    oracle=None,
+    description="Approximate cosine top-k via banded vector SimHash "
+    "(operators/similarity.simhash_vector_topk) — the engine's own "
+    "pure-Catalyst ANN tier: 64 grouped-sum hyperplane projections, "
+    "an EQUI-join on adaptive-width signature bands (band_bits ~ "
+    "log2(n) keeps expected candidates per query constant), exact "
+    "cosine re-rank on candidates only. No MLlib, no UDFs, no "
+    "explode-distinct-UDF overhead; recall concentrated on "
+    "near-duplicate neighbors (tests). Rows-only: band membership is "
+    "not SQL-expressible.",
+    tags=["similarity", "simhash", "vector"],
+)
+def q_ann_simhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import simhash_vector_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    out = simhash_vector_topk(emb, qs, "vec_id", "embedding", k=10)
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        sround(F.col("cosine"), 6).alias("cosine"),
+        F.col("rn").cast("long"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------

@@ -339,3 +339,76 @@ def test_lsh_auto_keeps_duplicate_recall_at_scale(spark):
         # every returned top-5 neighbor of vector q is one of its twins
         assert set(neighbors) <= twins, (q, neighbors)
         assert len(neighbors) == 5
+
+
+def test_auto_nlist_rule():
+    from financial_anomaly_detection_spark.operators.similarity import auto_nlist
+
+    # small corpora keep the legacy 16 cells (recall-safe)
+    assert auto_nlist(50) == 16
+    assert auto_nlist(500) == 16
+    # sqrt growth beyond the floor: 10x corpus -> ~3.2x cells
+    n20k, n200k = auto_nlist(20_000), auto_nlist(200_000)
+    assert n20k == 100
+    assert abs(n200k / n20k - 10 ** 0.5) < 0.05
+
+
+def test_auto_band_bits_rule():
+    from financial_anomaly_detection_spark.operators.similarity import auto_band_bits
+
+    assert auto_band_bits(10) == 4       # floor: tiny corpora permissive
+    assert auto_band_bits(2000) == 6
+    assert auto_band_bits(60_000) == 11
+    assert auto_band_bits(10**9) == 16   # cap: >= 4 bands of a 64-bit sig
+    # adaptive width ~log2(n): candidates/query ~ bands*n/2^bits stays flat
+    for n in (1 << 12, 1 << 16, 1 << 20):
+        bits = auto_band_bits(n)
+        expected = (64 // bits) * n / (1 << bits)
+        assert expected < 400, (n, bits, expected)
+
+
+def test_simhash_vector_topk_finds_near_duplicates(spark):
+    """Recall contract of the pure-Catalyst ANN tier: perturbed copies
+    (cosine ~ 0.999) must dominate each query's top-k despite the
+    banded candidate pruning."""
+    import random
+
+    from financial_anomaly_detection_spark.operators.similarity import (
+        simhash_vector_topk,
+    )
+
+    rng = random.Random(11)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(200)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v))
+        for rep in range(1, 6):  # 5 tiny perturbations of each vector
+            rows.append(
+                (rep * 1000 + i, [x + rng.gauss(0, 0.01) for x in v])
+            )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.filter(F.col("vec_id") < 30)
+    got = simhash_vector_topk(emb, qs, "vec_id", "embedding", k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["neighbor_id"], r["cosine"]))
+    assert len(by_q) == 30
+    for q, neigh in by_q.items():
+        twins = {rep * 1000 + q for rep in range(1, 6)}
+        found = {n for n, _ in neigh}
+        # at least 4 of the 5 planted near-dups surface in the top-5
+        assert len(found & twins) >= 4, (q, found)
+        assert all(c > 0.99 for n, c in neigh if n in twins)
+
+
+def test_simhash_vector_signature_deterministic(spark):
+    from financial_anomaly_detection_spark.operators.similarity import (
+        simhash_vector_signatures,
+    )
+
+    rows = [(i, [float(i % 7) * 0.3 - 1.0 + 0.1 * j for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = {r["vec_id"]: r["simhash"] for r in simhash_vector_signatures(df).collect()}
+    b = {r["vec_id"]: r["simhash"] for r in simhash_vector_signatures(df.repartition(7)).collect()}
+    assert a == b  # layout-independent
+    assert len(set(a.values())) > 1  # signatures actually discriminate

@@ -80,6 +80,8 @@ DRILL = [
     # similarity: LSH tier vs the intentionally-quadratic exact tier
     "ann_lsh_topk",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_simhash_topk",
     # time / as-of family
     "asof_join_purchase_click",
     "asof_forward_click_purchase",
