@@ -5755,6 +5755,99 @@ def q_ann_simhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ks_value_drift",
+    # Two-sample Kolmogorov-Smirnov drift test on the amount
+    # distribution (reference window vs current window, same split as
+    # chisq_type_drift) — the distributional companion to the
+    # channel-mix chi-square. Exactness: the KS statistic
+    #   D = max_v |F_ref(v) - F_cur(v)|
+    # is computed on the integer numerator |R_ref(v)*n_cur -
+    # R_cur(v)*n_ref| (cross-multiplied ECDFs, no division), where the
+    # cumulative ranks R(v) come from the two-pass distributed prefix
+    # sum (operators/prefix.py) over the per-cents count table — NO
+    # single-partition window anywhere. int64-safe while
+    # rank * n < 2^63 (~3e9 rows per window; swap to DECIMAL(38,0)
+    # beyond). The DuckDB oracle uses the plain cumulative window.
+    oracle="""
+        WITH c AS (
+            SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN 0 ELSE 1 END AS cur
+            FROM events
+        ), g AS (
+            SELECT cents,
+                   SUM(CASE WHEN cur = 0 THEN 1 ELSE 0 END) AS c_ref,
+                   SUM(CASE WHEN cur = 1 THEN 1 ELSE 0 END) AS c_cur
+            FROM c GROUP BY cents
+        ), n AS (
+            SELECT SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur FROM g
+        ), e AS (
+            SELECT cents,
+                   SUM(c_ref) OVER (ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING) AS r_ref,
+                   SUM(c_cur) OVER (ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING) AS r_cur
+            FROM g
+        )
+        SELECT CAST(n.n_ref AS BIGINT) AS n_ref,
+               CAST(n.n_cur AS BIGINT) AS n_cur,
+               CAST(MAX(abs(e.r_ref * n.n_cur - e.r_cur * n.n_ref)) AS BIGINT)
+                   AS d_num,
+               CAST(MAX(abs(e.r_ref * n.n_cur - e.r_cur * n.n_ref))
+                    * 1000000 // (n.n_ref * n.n_cur) AS BIGINT) AS d_u
+        FROM e CROSS JOIN n
+        GROUP BY n.n_ref, n.n_cur
+    """,
+    description="Two-sample KS drift test: per-cents counts (one "
+    "partial-agg shuffle), cumulative ranks via the two-pass parallel "
+    "prefix sum (no single-partition exchange), max of the integer "
+    "cross-multiplied ECDF gap. One small ordered table, fully "
+    "parallel at 100 TB where the textbook ECDF window funnels "
+    "through one task.",
+    tags=["anomaly", "drift", "prefix"],
+)
+def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.prefix import ordered_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.when(
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("cur"),
+    )
+    g = c.groupBy("cents").agg(
+        F.sum(F.when(F.col("cur") == 0, 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("cur") == 1, 1).otherwise(0)).alias("c_cur"),
+    )
+    n = g.agg(F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur"))
+    # exclusive prefix + own count = inclusive cumulative rank; the
+    # distinct-cents table is small after aggregation, so pin=False
+    # keeps the operator fully lazy.
+    e = ordered_prefix_sum(g, "cents", "c_ref", out_col="_p_ref", pin=False)
+    e = ordered_prefix_sum(e, "cents", "c_cur", out_col="_p_cur", pin=False)
+    gap = F.abs(
+        (F.col("_p_ref") + F.col("c_ref")) * F.col("n_cur")
+        - (F.col("_p_cur") + F.col("c_cur")) * F.col("n_ref")
+    )
+    return (
+        e.join(F.broadcast(n))
+        .groupBy("n_ref", "n_cur")
+        .agg(F.max(gap).alias("d_num"))
+        .select(
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            F.col("d_num").cast("long").alias("d_num"),
+            F.expr("(d_num * 1000000) div (n_ref * n_cur)")
+            .cast("long")
+            .alias("d_u"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -5803,6 +5896,7 @@ _PRIORITY_R04 = [
     "asof_forward_click_purchase",
     "quantile_rank_embeddings",
     "loo_target_encode",
+    "ks_value_drift",
     # oracle-backed, last green in r1/r2 (rotated out of the r3 window)
     # (the last 9 of this block now sit past slot 50 — first in line
     # for the r5 rotation; never-checked new queries outrank
