@@ -5823,10 +5823,14 @@ def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("cur") == 0, 1).otherwise(0)).alias("c_ref"),
         F.sum(F.when(F.col("cur") == 1, 1).otherwise(0)).alias("c_cur"),
     )
+    # Pin the per-cents count table ONCE: the two chained prefix sums
+    # below consume it ~4x each (bounds, subtotals x2, window), and
+    # without the pin every consumer replays the full events scan +
+    # aggregation — harmless at sf0.1, an 8x scan at 100 TB. The
+    # pinned artifact is one row per distinct amount.
+    g = g.localCheckpoint(eager=True)
     n = g.agg(F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur"))
-    # exclusive prefix + own count = inclusive cumulative rank; the
-    # distinct-cents table is small after aggregation, so pin=False
-    # keeps the operator fully lazy.
+    # exclusive prefix + own count = inclusive cumulative rank
     e = ordered_prefix_sum(g, "cents", "c_ref", out_col="_p_ref", pin=False)
     e = ordered_prefix_sum(e, "cents", "c_cur", out_col="_p_cur", pin=False)
     gap = F.abs(
@@ -5898,7 +5902,7 @@ _PRIORITY_R04 = [
     "loo_target_encode",
     "ks_value_drift",
     # oracle-backed, last green in r1/r2 (rotated out of the r3 window)
-    # (the last 9 of this block now sit past slot 50 — first in line
+    # (the last 10 of this block now sit past slot 50 — first in line
     # for the r5 rotation; never-checked new queries outrank
     # stale-but-green refreshes because stale ones keep their banked
     # green rows while a never-checked query has zero driver evidence)
