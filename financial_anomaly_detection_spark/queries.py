@@ -5852,6 +5852,95 @@ def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mannwhitney_value_drift",
+    # Mann-Whitney U / Wilcoxon rank-sum between the reference and
+    # current amount distributions, plus the common-language effect
+    # size U/(n_ref*n_cur) — which is exactly AUC, the standard
+    # separability metric for anomaly scores. Exactness: tied ranks
+    # use midranks, which are half-integers, so everything is carried
+    # DOUBLED: midrank2(v) = 2*R_before(v) + t(v) + 1 (R_before =
+    # combined count below v, from the parallel prefix sum; t = ties
+    # at v), R2_ref = sum c_ref*midrank2, U2 = R2 - n_ref*(n_ref+1) —
+    # all int64, no division until the final quantized effect size.
+    # Invariant U2_ref + U2_cur = 2*n_ref*n_cur is the cross-check.
+    oracle="""
+        WITH c AS (
+            SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN 0 ELSE 1 END AS cur
+            FROM events
+        ), g AS (
+            SELECT cents,
+                   SUM(CASE WHEN cur = 0 THEN 1 ELSE 0 END) AS c_ref,
+                   COUNT(*) AS t
+            FROM c GROUP BY cents
+        ), e AS (
+            SELECT cents, c_ref, t,
+                   COALESCE(SUM(t) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS r_before
+            FROM g
+        ), a AS (
+            SELECT SUM(c_ref) AS n_ref,
+                   SUM(t) - SUM(c_ref) AS n_cur,
+                   SUM(c_ref * (2 * r_before + t + 1)) AS r2_ref
+            FROM e
+        )
+        SELECT CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cur AS BIGINT) AS n_cur,
+               CAST(r2_ref - n_ref * (n_ref + 1) AS BIGINT) AS u2_ref,
+               CAST((r2_ref - n_ref * (n_ref + 1)) * 1000000
+                    // (2 * n_ref * n_cur) AS BIGINT) AS auc_u
+        FROM a
+    """,
+    description="Rank-sum drift test + AUC effect size: per-cents "
+    "counts (one partial-agg shuffle), combined midranks from the "
+    "two-pass parallel prefix sum (no single-partition window), "
+    "doubled-midrank integer arithmetic end to end. auc_u/1e6 is "
+    "P(ref amount > cur amount) — the score-separability number an "
+    "anomaly service actually monitors.",
+    tags=["anomaly", "drift", "prefix"],
+)
+def q_mannwhitney_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.prefix import ordered_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.when(
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("cur"),
+    )
+    g = (
+        c.groupBy("cents")
+        .agg(
+            F.sum(F.when(F.col("cur") == 0, 1).otherwise(0)).alias("c_ref"),
+            F.count(F.lit(1)).alias("t"),
+        )
+        # one pin: the prefix sum consumes the count table ~4x
+        .localCheckpoint(eager=True)
+    )
+    e = ordered_prefix_sum(g, "cents", "t", out_col="_r_before", pin=False)
+    a = e.agg(
+        F.sum("c_ref").alias("n_ref"),
+        (F.sum("t") - F.sum("c_ref")).alias("n_cur"),
+        F.sum(
+            F.col("c_ref") * (2 * F.col("_r_before") + F.col("t") + 1)
+        ).alias("r2_ref"),
+    )
+    return a.select(
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.expr("r2_ref - n_ref * (n_ref + 1)").cast("long").alias("u2_ref"),
+        F.expr("((r2_ref - n_ref * (n_ref + 1)) * 1000000) div (2 * n_ref * n_cur)")
+        .cast("long")
+        .alias("auc_u"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -5901,6 +5990,7 @@ _PRIORITY_R04 = [
     "quantile_rank_embeddings",
     "loo_target_encode",
     "ks_value_drift",
+    "mannwhitney_value_drift",
     # oracle-backed, last green in r1/r2 (rotated out of the r3 window)
     # (the last 10 of this block now sit past slot 50 — first in line
     # for the r5 rotation; never-checked new queries outrank
