@@ -5794,8 +5794,10 @@ def q_ann_simhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(n.n_cur AS BIGINT) AS n_cur,
                CAST(MAX(abs(e.r_ref * n.n_cur - e.r_cur * n.n_ref)) AS BIGINT)
                    AS d_num,
-               CAST(MAX(abs(e.r_ref * n.n_cur - e.r_cur * n.n_ref))
-                    * 1000000 // (n.n_ref * n.n_cur) AS BIGINT) AS d_u
+               CAST(CASE WHEN n.n_ref * n.n_cur = 0 THEN NULL
+                         ELSE MAX(abs(e.r_ref * n.n_cur - e.r_cur * n.n_ref))
+                              * 1000000 // (n.n_ref * n.n_cur) END
+                    AS BIGINT) AS d_u
         FROM e CROSS JOIN n
         GROUP BY n.n_ref, n.n_cur
     """,
@@ -5845,7 +5847,10 @@ def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_ref").cast("long").alias("n_ref"),
             F.col("n_cur").cast("long").alias("n_cur"),
             F.col("d_num").cast("long").alias("d_num"),
-            F.expr("(d_num * 1000000) div (n_ref * n_cur)")
+            F.expr(
+                "CASE WHEN n_ref * n_cur = 0 THEN NULL "
+                "ELSE (d_num * 1000000) div (n_ref * n_cur) END"
+            )
             .cast("long")
             .alias("d_u"),
         )
@@ -5890,8 +5895,9 @@ def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(n_ref AS BIGINT) AS n_ref,
                CAST(n_cur AS BIGINT) AS n_cur,
                CAST(r2_ref - n_ref * (n_ref + 1) AS BIGINT) AS u2_ref,
-               CAST((r2_ref - n_ref * (n_ref + 1)) * 1000000
-                    // (2 * n_ref * n_cur) AS BIGINT) AS auc_u
+               CAST(CASE WHEN n_ref * n_cur = 0 THEN NULL
+                         ELSE (r2_ref - n_ref * (n_ref + 1)) * 1000000
+                              // (2 * n_ref * n_cur) END AS BIGINT) AS auc_u
         FROM a
     """,
     description="Rank-sum drift test + AUC effect size: per-cents "
@@ -5935,7 +5941,11 @@ def q_mannwhitney_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_ref").cast("long").alias("n_ref"),
         F.col("n_cur").cast("long").alias("n_cur"),
         F.expr("r2_ref - n_ref * (n_ref + 1)").cast("long").alias("u2_ref"),
-        F.expr("((r2_ref - n_ref * (n_ref + 1)) * 1000000) div (2 * n_ref * n_cur)")
+        F.expr(
+            "CASE WHEN n_ref * n_cur = 0 THEN NULL "
+            "ELSE ((r2_ref - n_ref * (n_ref + 1)) * 1000000) "
+            "div (2 * n_ref * n_cur) END"
+        )
         .cast("long")
         .alias("auc_u"),
     )

@@ -88,3 +88,28 @@ def test_ngram_queries_survive_short_docs(spark, short_doc_dir, name):
         con.close()
     assert res["values_match"], f"{name}: first diff {res['first_diff']}"
     assert res["spark_rows"] > 0
+
+
+def test_drift_queries_survive_single_window_data(spark, tmp_path):
+    """If regenerated testdata ever lands entirely inside one drift
+    window, the KS / Mann-Whitney effect sizes must degrade to NULL —
+    not throw an ANSI divide-by-zero (n_ref * n_cur = 0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    rows = {
+        "event_id": list(range(20)),
+        "ts": [datetime(2024, 1, 20, 12, 0, i) for i in range(20)],
+        "user_id": [i % 3 for i in range(20)],
+        "event_type": ["purchase"] * 20,
+        "value": [float(10 + i) for i in range(20)],
+        "props": ["{}"] * 20,
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "events.parquet"))
+    for name in ("ks_value_drift", "mannwhitney_value_drift"):
+        out = REGISTRY[name].fn(spark, str(tmp_path)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n_ref"] == 0 and r["n_cur"] == 20
+        assert r[3] is None  # quantized effect size degrades to NULL
