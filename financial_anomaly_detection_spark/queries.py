@@ -5951,6 +5951,75 @@ def q_mannwhitney_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scd2_user_tiers",
+    # Slowly-changing-dimension (type 2) build — the warehouse pattern
+    # for tracking attribute history: each user's amount tier
+    # (1: <50, 2: <150, 3: >=150) becomes a VERSIONED dimension row
+    # with [valid_from, valid_to) in integer event-time micros. A
+    # version opens whenever the tier differs from the user's previous
+    # event (lag) and closes at the next version's start (lead), the
+    # current version staying open (NULL). Every window partitions by
+    # user_id — high cardinality, fully parallel at 100 TB — and all
+    # values are integers/strings, so the history is hash-exact.
+    oracle="""
+        WITH e AS (
+            SELECT user_id,
+                   epoch_us(ts) AS us,
+                   event_id,
+                   CASE WHEN value < 50 THEN 1
+                        WHEN value < 150 THEN 2
+                        ELSE 3 END AS tier
+            FROM events
+        ), marked AS (
+            SELECT user_id, us, event_id, tier,
+                   lag(tier) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) AS prev_tier
+            FROM e
+        ), versions AS (
+            SELECT user_id, tier, us AS valid_from_us
+            FROM marked
+            WHERE prev_tier IS NULL OR tier <> prev_tier
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(tier AS BIGINT) AS tier,
+               CAST(valid_from_us AS BIGINT) AS valid_from_us,
+               CAST(lead(valid_from_us) OVER (PARTITION BY user_id
+                    ORDER BY valid_from_us) AS BIGINT) AS valid_to_us
+        FROM versions
+    """,
+    description="SCD type-2 dimension build from the event stream: "
+    "per-user lag() change detection -> version rows -> lead() "
+    "closes each interval, current version open (NULL). One "
+    "(user_id)-keyed sort shuffle reused by both windows; integer "
+    "event-time micros end to end.",
+    tags=["warehouse", "window", "history"],
+)
+def q_scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tier = (
+        F.when(F.col("value") < 50, 1).when(F.col("value") < 150, 2).otherwise(3)
+    )
+    e = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        tier.alias("tier"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = e.withColumn("prev_tier", F.lag("tier").over(w))
+    versions = marked.filter(
+        F.col("prev_tier").isNull() | (F.col("tier") != F.col("prev_tier"))
+    ).select("user_id", "tier", F.col("us").alias("valid_from_us"))
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_us")
+    return versions.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("tier").cast("long").alias("tier"),
+        F.col("valid_from_us").cast("long").alias("valid_from_us"),
+        F.lead("valid_from_us").over(w2).cast("long").alias("valid_to_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -6001,6 +6070,7 @@ _PRIORITY_R04 = [
     "loo_target_encode",
     "ks_value_drift",
     "mannwhitney_value_drift",
+    "scd2_user_tiers",
     # oracle-backed, last green in r1/r2 (rotated out of the r3 window)
     # (the last 10 of this block now sit past slot 50 — first in line
     # for the r5 rotation; never-checked new queries outrank
