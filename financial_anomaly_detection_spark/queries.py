@@ -6020,6 +6020,87 @@ def q_scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_type_association_rules",
+    # Market-basket association rules over per-user event-type baskets
+    # (Agrawal & Srikant 1994 support/confidence/lift, the co-purchase
+    # analytics staple): basket = the set of event types a user ever
+    # emits; for every ordered type pair (a -> b) report
+    #   support_u    = 1e6 * n_ab div n_users
+    #   confidence_u = 1e6 * n_ab div n_a
+    #   lift_u       = 1e6 * n_ab * n_users div (n_a * n_b)
+    # — all integer divisions over exact counts, hash-stable. The
+    # basket-pair explosion is bounded by (distinct types)^2 per user,
+    # not events^2: baskets are deduplicated (user, type) pairs first.
+    oracle="""
+        WITH b AS (
+            SELECT DISTINCT user_id, event_type FROM events
+        ), n AS (
+            SELECT COUNT(DISTINCT user_id) AS n_users FROM b
+        ), s AS (
+            SELECT event_type, COUNT(*) AS n_t FROM b GROUP BY event_type
+        ), p AS (
+            SELECT x.event_type AS ante, y.event_type AS cons,
+                   COUNT(*) AS n_ab
+            FROM b x JOIN b y
+              ON x.user_id = y.user_id AND x.event_type <> y.event_type
+            GROUP BY x.event_type, y.event_type
+        )
+        SELECT p.ante, p.cons,
+               CAST(p.n_ab AS BIGINT) AS n_ab,
+               CAST(sa.n_t AS BIGINT) AS n_ante,
+               CAST(sc.n_t AS BIGINT) AS n_cons,
+               CAST(1000000 * p.n_ab // n.n_users AS BIGINT) AS support_u,
+               CAST(1000000 * p.n_ab // sa.n_t AS BIGINT) AS confidence_u,
+               CAST(1000000 * p.n_ab * n.n_users // (sa.n_t * sc.n_t)
+                    AS BIGINT) AS lift_u
+        FROM p
+        JOIN s sa ON sa.event_type = p.ante
+        JOIN s sc ON sc.event_type = p.cons
+        CROSS JOIN n
+    """,
+    description="Association rules (support/confidence/lift) over "
+    "per-user channel baskets: distinct (user, type) dedup first, so "
+    "the pair self-join is bounded by types^2 per user; single-type "
+    "counts and the user total broadcast back; every metric an exact "
+    "integer division in 1e-6 units. Two partial-agg shuffles + one "
+    "user-keyed pair join — parallel at any user count.",
+    tags=["analytics", "association", "aggregate"],
+)
+def q_event_type_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select("user_id", "event_type").distinct()
+    n = b.agg(F.countDistinct("user_id").alias("n_users"))
+    s = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    x = b.select(F.col("user_id"), F.col("event_type").alias("ante"))
+    y = b.select(F.col("user_id"), F.col("event_type").alias("cons"))
+    p = (
+        x.join(y, "user_id")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = s.select(F.col("event_type").alias("ante"), F.col("n_t").alias("n_ante"))
+    sc = s.select(F.col("event_type").alias("cons"), F.col("n_t").alias("n_cons"))
+    return (
+        p.join(F.broadcast(sa), "ante")
+        .join(F.broadcast(sc), "cons")
+        .join(F.broadcast(n))
+        .select(
+            "ante",
+            "cons",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_ante").cast("long").alias("n_ante"),
+            F.col("n_cons").cast("long").alias("n_cons"),
+            F.expr("(1000000 * n_ab) div n_users").cast("long").alias("support_u"),
+            F.expr("(1000000 * n_ab) div n_ante").cast("long").alias("confidence_u"),
+            F.expr("(1000000 * n_ab * n_users) div (n_ante * n_cons)")
+            .cast("long")
+            .alias("lift_u"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -6071,6 +6152,7 @@ _PRIORITY_R04 = [
     "ks_value_drift",
     "mannwhitney_value_drift",
     "scd2_user_tiers",
+    "event_type_association_rules",
     # oracle-backed, last green in r1/r2 (rotated out of the r3 window)
     # (the last 10 of this block now sit past slot 50 — first in line
     # for the r5 rotation; never-checked new queries outrank
