@@ -5268,7 +5268,7 @@ def q_pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         ), m AS (
             SELECT event_type,
-                   CAST(2.0 * quantile_cont(cents, 0.5) AS BIGINT) AS med2
+                   CAST(round(2.0 * quantile_cont(cents, 0.5)) AS BIGINT) AS med2
             FROM c GROUP BY event_type
         ), d AS (
             SELECT c.event_type, c.cents, m.med2,
@@ -5276,15 +5276,15 @@ def q_pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM c JOIN m USING (event_type)
         ), s AS (
             SELECT event_type,
-                   CAST(2.0 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+                   CAST(round(2.0 * quantile_cont(dev2, 0.5)) AS BIGINT) AS mad4
             FROM d GROUP BY event_type
         )
         SELECT d.event_type,
                COUNT(*) AS n_events,
                CAST(d.med2 AS BIGINT) AS median_cents_x2,
                CAST(s.mad4 AS BIGINT) AS mad_cents_x4,
-               SUM(CASE WHEN 20000 * d.dev2 > 3 * 14826 * s.mad4
-                        THEN 1 ELSE 0 END) AS n_outliers
+               CAST(SUM(CASE WHEN 20000 * d.dev2 > 3 * 14826 * s.mad4
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM d JOIN s USING (event_type)
         GROUP BY d.event_type, d.med2, s.mad4
     """,
@@ -5303,13 +5303,13 @@ def q_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents")
     )
     m = c.groupBy("event_type").agg(
-        (F.lit(2.0) * F.percentile("cents", F.lit(0.5))).cast("long").alias("med2")
+        F.round(F.lit(2.0) * F.percentile("cents", F.lit(0.5))).cast("long").alias("med2")
     )
     d = c.join(F.broadcast(m), "event_type").withColumn(
         "dev2", F.abs(2 * F.col("cents") - F.col("med2"))
     )
     s = d.groupBy("event_type").agg(
-        (F.lit(2.0) * F.percentile("dev2", F.lit(0.5))).cast("long").alias("mad4")
+        F.round(F.lit(2.0) * F.percentile("dev2", F.lit(0.5))).cast("long").alias("mad4")
     )
     return (
         d.join(F.broadcast(s), "event_type")

@@ -55,9 +55,21 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.sql(sql)
     d_cols = list(rel.columns)
+    d_types = [str(t).upper() for t in rel.types]
     d_rows = rel.fetchall()
 
+    # The driver hashes typed values, so a DuckDB HUGEINT (e.g. an
+    # un-cast SUM(BIGINT)) or DECIMAL column hash-mismatches a Spark
+    # bigint even when every value is equal (caught once in r4:
+    # mad_robust_outliers). Flag these type-level artifacts locally.
+    type_flags = [
+        (c, t)
+        for c, t in zip(d_cols, d_types)
+        if t in ("HUGEINT", "UHUGEINT", "INT128") or t.startswith("DECIMAL")
+    ]
+
     result = {
+        "type_flags": type_flags,
         "spark_rows": len(s_rows),
         "oracle_rows": len(d_rows),
         "spark_cols": sorted(s_cols),
