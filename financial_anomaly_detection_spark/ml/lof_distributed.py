@@ -203,6 +203,7 @@ def distributed_lof(
     bucket_length: float | str = "auto",
     num_hash_tables: int = 4,
     max_distance: float | None = None,
+    escalate_distance: float | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """LOF score for every row of ``df`` against ``df`` itself
@@ -229,28 +230,45 @@ def distributed_lof(
         F.col(id_col).alias("_id"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("_v"),
     )
-    X = _collect_sample(df, vec_col)
-    n_total = df.count()
+    # The sample and count-star are bounded driver-side jobs, but
+    # they're only needed by the estimators below — a caller pinning
+    # max_distance, a float bucket_length AND escalate_distance (e.g.
+    # a production job re-using radii tuned on yesterday's corpus)
+    # triggers neither, mirroring lsh_candidate_pairs' conditional
+    # collection.
+    _est: dict = {}
+
+    def _sample():
+        if "X" not in _est:
+            _est["X"] = _collect_sample(df, vec_col)
+            _est["n"] = df.count()
+        return _est["X"], _est["n"]
+
     if max_distance is None:
+        X, n_total = _sample()
         max_distance = estimate_distance_cutoff(
             df, vec_col=vec_col, n_neighbors=n_neighbors,
             n_total=n_total, seed=seed, X=X,
         )
     if bucket_length == "auto":
+        X, n_total = _sample()
         bucket_length = auto_bucket_length(X, n_total)
-    # Escalation (phase 2) distance: the sample quantile at which the
-    # EXPECTED fan-out is 32 candidates per neighbor slot — wide
-    # enough to reach the nearest real mass from an isolated point or
-    # sub-k micro-cluster (the LOF-positive shapes escalation exists
-    # for), but a bounded join unlike the old 1e12 radius, which
-    # admitted every bucket co-location: measured 54M pairs / 309 s on
-    # the x10 drill while the cutoff-bounded phase 1 cost 12 s.
-    escalate_distance = pairwise_quantile_cutoff(
-        X, n_total, 32.0 * n_neighbors
-    )
+    if escalate_distance is None:
+        # Escalation (phase 2) distance: the sample quantile at which
+        # the EXPECTED fan-out is 32 candidates per neighbor slot —
+        # wide enough to reach the nearest real mass from an isolated
+        # point or sub-k micro-cluster (the LOF-positive shapes
+        # escalation exists for), but a bounded join unlike the old
+        # 1e12 radius, which admitted every bucket co-location:
+        # measured 54M pairs / 309 s on the x10 drill while the
+        # cutoff-bounded phase 1 cost 12 s.
+        X, n_total = _sample()
+        escalate_distance = pairwise_quantile_cutoff(
+            X, n_total, 32.0 * n_neighbors
+        )
     if not np.isfinite(escalate_distance):
         escalate_distance = 1e12  # degenerate sample: stay permissive
-    escalate_distance = max(escalate_distance, float(max_distance))
+    escalate_distance = max(float(escalate_distance), float(max_distance))
     lsh = BucketedRandomProjectionLSH(
         inputCol="_v",
         outputCol="_h",

@@ -266,10 +266,16 @@ def lsh_topk(
 
     if bucket_length == "auto":
         # two bounded driver-side lookups: a count-star (parquet
-        # metadata fast-path) and one row for the dimension
+        # metadata fast-path) and one row for the dimension. An empty
+        # corpus (first() is None) or a NULL probe vector can't size
+        # the bucket — fall back to the legacy fixed length so the
+        # empty result flows through like the fixed-bucket path.
         n = candidates.count()
-        d = candidates.select(F.size(vec_col).alias("_d")).first()["_d"]
-        bucket_length = _auto_bucket_length(n, int(d))
+        probe = candidates.select(F.size(vec_col).alias("_d")).first()
+        d = probe["_d"] if probe is not None else None
+        bucket_length = (
+            _auto_bucket_length(n, int(d)) if d is not None and d > 0 else 0.5
+        )
 
     def prep(df: DataFrame, out_id: str) -> DataFrame:
         df = spread_narrow(df)
@@ -331,6 +337,14 @@ def simhash_vector_signatures(
     combine — the id-keyed shuffle moves 64 doubles per vector), and
     the sign bits fold into one BIGINT with plain column math.
     Returns (id, simhash).
+
+    Each per-dimension product is quantized to integer micro-units
+    BEFORE the sum (the repo's quantize-then-sum discipline): int64
+    addition is associative, so the sign bits — and therefore the
+    candidate set — are layout-independent, where a double SUM could
+    flip a near-zero projection's bit across partitionings. Headroom:
+    |round(v * w * 1e6)| for unit-scale embeddings and N(0,1) planes
+    is ~1e7 per term; even 1e6-dim vectors stay ~1e13 << 2^63.
     """
     import numpy as np
 
@@ -349,7 +363,10 @@ def simhash_vector_signatures(
     )
     votes = ex.join(F.broadcast(pw), "pos").groupBy(id_col).agg(
         *[
-            F.sum(F.col("col") * F.col("ws")[b]).alias(f"_v{b}")
+            F.sum(
+                F.round(F.col("col") * F.col("ws")[b] * F.lit(1000000.0))
+                .cast("long")
+            ).alias(f"_v{b}")
             for b in range(n_bits)
         ]
     )

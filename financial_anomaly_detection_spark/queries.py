@@ -5766,9 +5766,12 @@ def q_ann_simhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # R_cur(v)*n_ref| (cross-multiplied ECDFs, no division), where the
     # cumulative ranks R(v) come from the two-pass distributed prefix
     # sum (operators/prefix.py) over the per-cents count table — NO
-    # single-partition window anywhere. int64-safe while
-    # rank * n < 2^63 (~3e9 rows per window; swap to DECIMAL(38,0)
-    # beyond). The DuckDB oracle uses the plain cumulative window.
+    # single-partition window anywhere. The rank*n products and the
+    # 1e6 quantization run in DECIMAL(38,0) (operators/driftstats.py)
+    # — exact to ~1e19 rows/window; only the BIGINT d_num OUTPUT
+    # column caps at ~3e9 rows/window. Boundary-tested with synthetic
+    # billion-scale counts in tests/test_drift_overflow.py. The DuckDB
+    # oracle uses the plain cumulative window.
     oracle="""
         WITH c AS (
             SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
@@ -5810,7 +5813,7 @@ def q_ann_simhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["anomaly", "drift", "prefix"],
 )
 def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.prefix import ordered_prefix_sum
+    from .operators.driftstats import ks_from_counts
 
     ev = load_table(spark, sf_dir, "events")
     c = ev.select(
@@ -5831,30 +5834,7 @@ def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregation — harmless at sf0.1, an 8x scan at 100 TB. The
     # pinned artifact is one row per distinct amount.
     g = g.localCheckpoint(eager=True)
-    n = g.agg(F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur"))
-    # exclusive prefix + own count = inclusive cumulative rank
-    e = ordered_prefix_sum(g, "cents", "c_ref", out_col="_p_ref", pin=False)
-    e = ordered_prefix_sum(e, "cents", "c_cur", out_col="_p_cur", pin=False)
-    gap = F.abs(
-        (F.col("_p_ref") + F.col("c_ref")) * F.col("n_cur")
-        - (F.col("_p_cur") + F.col("c_cur")) * F.col("n_ref")
-    )
-    return (
-        e.join(F.broadcast(n))
-        .groupBy("n_ref", "n_cur")
-        .agg(F.max(gap).alias("d_num"))
-        .select(
-            F.col("n_ref").cast("long").alias("n_ref"),
-            F.col("n_cur").cast("long").alias("n_cur"),
-            F.col("d_num").cast("long").alias("d_num"),
-            F.expr(
-                "CASE WHEN n_ref * n_cur = 0 THEN NULL "
-                "ELSE (d_num * 1000000) div (n_ref * n_cur) END"
-            )
-            .cast("long")
-            .alias("d_u"),
-        )
-    )
+    return ks_from_counts(g)
 
 
 @register(
@@ -5867,7 +5847,9 @@ def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DOUBLED: midrank2(v) = 2*R_before(v) + t(v) + 1 (R_before =
     # combined count below v, from the parallel prefix sum; t = ties
     # at v), R2_ref = sum c_ref*midrank2, U2 = R2 - n_ref*(n_ref+1) —
-    # all int64, no division until the final quantized effect size.
+    # exact integer math, products in DECIMAL(38,0)
+    # (operators/driftstats.py; boundary-tested with billion-scale
+    # counts), no division until the final quantized effect size.
     # Invariant U2_ref + U2_cur = 2*n_ref*n_cur is the cross-check.
     oracle="""
         WITH c AS (
@@ -5909,7 +5891,7 @@ def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["anomaly", "drift", "prefix"],
 )
 def q_mannwhitney_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.prefix import ordered_prefix_sum
+    from .operators.driftstats import mannwhitney_from_counts
 
     ev = load_table(spark, sf_dir, "events")
     c = ev.select(
@@ -5929,26 +5911,7 @@ def q_mannwhitney_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one pin: the prefix sum consumes the count table ~4x
         .localCheckpoint(eager=True)
     )
-    e = ordered_prefix_sum(g, "cents", "t", out_col="_r_before", pin=False)
-    a = e.agg(
-        F.sum("c_ref").alias("n_ref"),
-        (F.sum("t") - F.sum("c_ref")).alias("n_cur"),
-        F.sum(
-            F.col("c_ref") * (2 * F.col("_r_before") + F.col("t") + 1)
-        ).alias("r2_ref"),
-    )
-    return a.select(
-        F.col("n_ref").cast("long").alias("n_ref"),
-        F.col("n_cur").cast("long").alias("n_cur"),
-        F.expr("r2_ref - n_ref * (n_ref + 1)").cast("long").alias("u2_ref"),
-        F.expr(
-            "CASE WHEN n_ref * n_cur = 0 THEN NULL "
-            "ELSE ((r2_ref - n_ref * (n_ref + 1)) * 1000000) "
-            "div (2 * n_ref * n_cur) END"
-        )
-        .cast("long")
-        .alias("auc_u"),
-    )
+    return mannwhitney_from_counts(g)
 
 
 @register(

@@ -96,6 +96,7 @@ def chisq_quantized(ref_counts: Mapping[str, int], cur_counts: Mapping[str, int]
 def drift_sink(
     ref_counts: Mapping[str, int],
     on_result: Callable[[int, int], None],
+    state_dir: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch hook: fold the micro-batch's updated channel counts
     into the running table and report chisq_quantized per batch.
@@ -103,12 +104,38 @@ def drift_sink(
     ``on_result(batch_id, chisq_u)`` receives the statistic — wire it
     to a metrics sink, an alert, or a results table. State kept here is
     O(channels); the per-event work already happened upstream.
+
+    Restart safety: the upstream ``applyInPandasWithState`` counts
+    survive a restart via the stream checkpoint, but outputMode=update
+    only re-emits channels SEEN in each batch — so a freshly
+    constructed sink would silently treat every not-yet-re-emitted
+    channel as count 0 until it next appears. Pass ``state_dir`` (any
+    driver-local path, e.g. beside the stream checkpoint) and the sink
+    snapshots the O(channels) running table per batch (atomic
+    write-then-rename) and rehydrates it on construction, making the
+    statistic correct from the first post-restart batch. Folding is
+    idempotent (counts REPLACE, never add), so an at-least-once batch
+    replay re-snapshots the same values. Without ``state_dir`` the
+    sink is single-run only: correct until the first restart.
     """
+    import json
+    import os
+
     running: dict[str, int] = {}
+    snap_path = os.path.join(state_dir, "drift_counts.json") if state_dir else None
+    if snap_path and os.path.exists(snap_path):
+        with open(snap_path) as fh:
+            running.update({k: int(v) for k, v in json.load(fh)["counts"].items()})
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         for row in batch_df.collect():  # O(channels) rows by construction
             running[row["channel"]] = row["cur_count"]
+        if snap_path:
+            os.makedirs(state_dir, exist_ok=True)
+            tmp = f"{snap_path}.tmp.{batch_id}"
+            with open(tmp, "w") as fh:
+                json.dump({"batch_id": batch_id, "counts": running}, fh)
+            os.replace(tmp, snap_path)
         on_result(batch_id, chisq_quantized(ref_counts, running))
 
     return handle

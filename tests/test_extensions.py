@@ -132,6 +132,35 @@ def test_distributed_lof_ranks_planted_anomalies(spark):
     assert top == {400, 401, 402, 403, 404}
 
 
+def test_distributed_lof_pinned_params_skip_estimator_jobs(spark, monkeypatch):
+    """A caller pinning max_distance + bucket_length + escalate_distance
+    (production radii tuned offline) must trigger NO driver-side sample
+    or count-star — the estimators are the only consumers."""
+    import numpy as np
+    from financial_anomaly_detection_spark.ml import lof_distributed as mod
+
+    def _boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("estimator job ran despite pinned params")
+
+    monkeypatch.setattr(mod, "_collect_sample", _boom)
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(rng.normal(0.0, 1.0, size=(120, 4)))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    scored = mod.distributed_lof(
+        df,
+        "vec_id",
+        "embedding",
+        n_neighbors=10,
+        bucket_length=4.0,
+        max_distance=3.0,
+        escalate_distance=6.0,
+    )
+    assert scored.count() == 120
+
+
 def test_near_dup_clusters_match_union_find(docs):
     """Min-label propagation clusters == ground-truth union-find over
     the same pair list."""

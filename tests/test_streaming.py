@@ -537,6 +537,44 @@ def test_streaming_drift_matches_batch_chisq(spark, tmp_path):
     assert chisq_quantized(ref, final_counts) > 0
 
 
+def test_drift_sink_rehydrates_after_restart(spark, tmp_path):
+    """outputMode=update only re-emits channels seen per batch, so a
+    restarted sink must reload its running table from the snapshot —
+    otherwise missing channels read as 0 and the statistic is wrong
+    until every channel re-emits."""
+    from financial_anomaly_detection_spark.streaming.drift import (
+        chisq_quantized,
+        drift_sink,
+    )
+
+    ref = {"card": 50, "pos": 30, "mobile_money": 20}
+    state = str(tmp_path / "drift_state")
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "channel string, cur_count long")
+
+    run1: dict[int, int] = {}
+    sink1 = drift_sink(ref, lambda b, x: run1.__setitem__(b, x), state_dir=state)
+    sink1(frame([("card", 8), ("pos", 2), ("mobile_money", 4)]), 0)
+
+    # "restart": a NEW sink instance, first batch touches only one channel
+    run2: dict[int, int] = {}
+    sink2 = drift_sink(ref, lambda b, x: run2.__setitem__(b, x), state_dir=state)
+    sink2(frame([("card", 9)]), 1)
+    assert run2[1] == chisq_quantized(ref, {"card": 9, "pos": 2, "mobile_money": 4})
+
+    # without state_dir the same restart silently drops pos/mobile_money
+    run3: dict[int, int] = {}
+    sink3 = drift_sink(ref, lambda b, x: run3.__setitem__(b, x))
+    sink3(frame([("card", 9)]), 1)
+    assert run3[1] == chisq_quantized(ref, {"card": 9})
+    assert run3[1] != run2[1]
+
+    # at-least-once replay of the same batch is idempotent
+    sink2(frame([("card", 9)]), 1)
+    assert run2[1] == chisq_quantized(ref, {"card": 9, "pos": 2, "mobile_money": 4})
+
+
 def test_chisq_quantized_order_invariance_and_edges():
     from financial_anomaly_detection_spark.streaming.drift import chisq_quantized
 
