@@ -17,6 +17,18 @@ set. The full per-query timing map is printed on its own JSON line
 immediately before the summary AND written to ``BENCH_FULL.json``
 next to this script.
 
+Host-variance guard (round 5): the round-4 artifact committed a 13x
+phantom regression (multimodal_image_features 21 s vs a verified
+~1.6 s) because the bench host degraded mid-run and nothing noticed.
+Now a cheap fixed canary query runs 3x before and 3x after the
+measured sweep; if the 6 canary times spread more than 30%, or the
+1-minute load average was already elevated before the sweep started,
+the attempt is tagged ``"degraded": true`` and (once) automatically
+re-run — the cleaner attempt is the one emitted, with both attempts'
+canary evidence kept in ``attempts``. A degraded=false artifact is
+therefore self-certifying; a degraded=true one says "do not trend on
+these numbers".
+
 Each query is forced end-to-end with the ``noop`` datasource sink
 (full JVM-side computation, no collect-to-driver bottleneck, no
 count()-only plan pruning). One warmup run of the first query pays
@@ -52,29 +64,34 @@ HEADLINE = [
     "ann_cosine_topk",
 ]
 
+# Scan-bound, pure-Catalyst, ~0.2 s at sf0.1 — cheap enough to run 6x,
+# heavy enough that host contention shows up in it.
+CANARY = "events_scan_filter_project"
+CANARY_SPREAD_LIMIT = 0.30
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark(app_name="fad-spark-bench", master=f"local[{cpus}]")
+def _canary_times(spark, sf_dir: str, n: int = 3) -> list[float]:
+    out = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        force(REGISTRY[CANARY].fn(spark, sf_dir))
+        out.append(round(time.perf_counter() - t0, 3))
+    return out
 
-    # Headline set first (round-over-round comparability), then every
-    # other registered query — full registry coverage so each operator
-    # has a per-round perf trace.
-    names = [n for n in HEADLINE if n in REGISTRY]
-    names += [n for n in REGISTRY if n not in names]
 
-    # Warmup: pay JVM/codegen startup outside the measured window.
+def run_sweep(spark, sf_dir: str, names: list[str]):
+    """One full measured sweep with canary brackets. Returns
+    (timings, errors, canary_dict, degraded, reasons)."""
     try:
-        force(REGISTRY[names[0]].fn(spark, sf_dir))
-    except Exception:
-        pass
+        load_start = os.getloadavg()[0]
+    except OSError:  # pragma: no cover
+        load_start = None
+    ncpu = os.cpu_count() or 1
+    canary_start = _canary_times(spark, sf_dir)
 
     # One failing query must not zero the whole round's bench (round 2
     # lost every number to a single AnalysisException): record the error
@@ -89,8 +106,76 @@ def main() -> None:
         except Exception as e:
             errors[name] = f"{type(e).__name__}: {e}"[:300]
 
+    canary_end = _canary_times(spark, sf_dir)
+    try:
+        load_end = os.getloadavg()[0]
+    except OSError:  # pragma: no cover
+        load_end = None
+
+    all_canary = canary_start + canary_end
+    spread = (max(all_canary) - min(all_canary)) / max(min(all_canary), 1e-9)
+    reasons = []
+    if spread > CANARY_SPREAD_LIMIT:
+        reasons.append(f"canary spread {spread:.2f} > {CANARY_SPREAD_LIMIT}")
+    # load BEFORE the sweep is the external-contention signal (the
+    # sweep itself saturates the box, so load_end is always high)
+    if load_start is not None and load_start > 0.5 * ncpu:
+        reasons.append(f"pre-sweep load1 {load_start:.1f} on {ncpu} cpus")
+    canary = {
+        "query": CANARY,
+        "start": canary_start,
+        "end": canary_end,
+        "spread": round(spread, 3),
+        "load1_start": load_start,
+        "load1_end": load_end,
+    }
+    return timings, errors, canary, bool(reasons), reasons
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_RETRY", "1")) + 1
+    spark = get_spark(app_name="fad-spark-bench", master=f"local[{cpus}]")
+
+    # Headline set first (round-over-round comparability), then every
+    # other registered query — full registry coverage so each operator
+    # has a per-round perf trace.
+    names = [n for n in HEADLINE if n in REGISTRY]
+    names += [n for n in REGISTRY if n not in names]
+
+    # Warmup: pay JVM/codegen startup outside the measured window.
+    try:
+        force(REGISTRY[names[0]].fn(spark, sf_dir))
+    except Exception:
+        pass
+
+    attempts = []
+    for attempt in range(max_attempts):
+        timings, errors, canary, degraded, reasons = run_sweep(spark, sf_dir, names)
+        attempts.append(
+            {
+                "timings": timings,
+                "errors": errors,
+                "canary": canary,
+                "degraded": degraded,
+                "degraded_reasons": reasons,
+                "total": round(sum(timings.values()), 3),
+            }
+        )
+        if not degraded:
+            break
+
+    # Prefer the first clean attempt; if all degraded, take the fastest
+    # (least-contended) and keep the flag so nobody trends on it.
+    clean = [a for a in attempts if not a["degraded"]]
+    best = clean[0] if clean else min(attempts, key=lambda a: a["total"])
+    timings, errors = best["timings"], best["errors"]
+
     headline = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
-    total = round(sum(timings.values()), 3)
+    total = best["total"]
     full = {
         "metric": "total_sec",
         "value": total,
@@ -98,7 +183,15 @@ def main() -> None:
         "headline_sec": headline,
         "queries": timings,
         "sf": sf,
+        "degraded": best["degraded"],
+        "canary": best["canary"],
+        "attempts": [
+            {k: a[k] for k in ("total", "degraded", "degraded_reasons", "canary")}
+            for a in attempts
+        ],
     }
+    if best["degraded"]:
+        full["degraded_reasons"] = best["degraded_reasons"]
     if errors:
         full["errors"] = errors
     here = os.path.dirname(os.path.abspath(__file__))
@@ -115,6 +208,8 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "degraded": best["degraded"],
+        "canary_spread": best["canary"]["spread"],
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
     }
     print(json.dumps(summary))

@@ -1,12 +1,24 @@
 """Similarity search over embedding columns (SURVEY.md §2.10).
 
-Two tiers:
+Tiers, and who should pick them (measured, SCALING.md "ANN tier
+selection"):
   * ``brute_force_topk`` — exact cosine top-k: broadcast query set ×
     candidate scan; dot products via JVM higher-order functions
-    (no UDF, stays in codegen). The oracle-checkable baseline.
-  * ``lsh_topk`` — BucketedRandomProjectionLSH (euclidean) bucketed
-    approximate kNN: candidates come from matching hash buckets, so
-    cost scales with bucket occupancy, not candidates².
+    (no UDF, stays in codegen). The oracle-checkable baseline, and
+    the FASTEST tier below ~10^5-10^6 candidates.
+  * ``ivf_topk`` — IVF coarse quantizer + nprobe cell equi-join. The
+    default scale tier: the only one measured competitive on BOTH
+    structure-free and clustered corpora.
+  * ``simhash_vector_topk`` — banded signature equi-join, pure
+    Catalyst. Wins on structure-free corpora at large ×; pays a
+    d×64-projection cost that clustered corpora don't reward.
+  * ``lsh_topk`` — BucketedRandomProjectionLSH. EXPLICIT OPT-IN, not
+    a default: on structure-free vectors it loses to plain exact
+    through ×30; on its home fixture (strongly clustered corpora) it
+    beats exact and simhash but merely ties IVF — so no auto route
+    ever selects it.
+
+``ann_topk`` is the front door that encodes the routing above.
 
 On normalized vectors euclidean-NN order == cosine-NN order
 (‖a−b‖² = 2 − 2·cos), which is why the LSH tier normalizes first.
@@ -455,3 +467,54 @@ def simhash_vector_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine", "rn")
     )
+
+
+# Below this corpus size the broadcast-NLJ exact tier beats every
+# approximate tier's setup + shuffle cost on local[32] (SCALING.md:
+# exact 6.7 s at x30 = 150k vectors while BRP-LSH took 134 s; the
+# clustered fixture flips at ~60k x 500-query workloads). 200k is the
+# conservative crossover for the default route.
+ANN_EXACT_THRESHOLD = 200_000
+
+
+def ann_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    tier: str = "auto",
+    exact_threshold: int = ANN_EXACT_THRESHOLD,
+    **tier_kwargs,
+) -> DataFrame:
+    """Front door for ANN top-k: routes to the measured-best tier.
+
+    ``tier="auto"`` (default) picks:
+      * ``exact`` when the corpus is under ``exact_threshold`` rows
+        (one count-star, parquet-metadata fast) — the JVM-codegen
+        brute-force NLJ is measured faster than every approximate
+        tier's setup cost at this size;
+      * ``ivf`` otherwise — the only approximate tier measured
+        competitive on BOTH structure-free vectors (×10 drill:
+        59 → 7 s after deterministic sampling) and clustered corpora
+        (11.9 s vs exact 18.1 s on the 60k×200-cluster fixture).
+
+    ``tier`` may name any tier explicitly: ``exact`` | ``ivf`` |
+    ``simhash`` (wins on structure-free corpora at large ×, flat
+    6.7 s at ×30) | ``lsh`` (BRP-LSH — OPT-IN ONLY: loses to exact
+    through ×30 on structure-free vectors and merely ties IVF on its
+    clustered home fixture, so no auto route selects it; kept for
+    parity with MLlib-based pipelines that already tuned it).
+    Extra ``tier_kwargs`` pass through to the chosen tier.
+    """
+    if tier == "auto":
+        tier = "exact" if candidates.count() <= exact_threshold else "ivf"
+    fns = {
+        "exact": brute_force_topk,
+        "ivf": ivf_topk,
+        "simhash": simhash_vector_topk,
+        "lsh": lsh_topk,
+    }
+    if tier not in fns:
+        raise ValueError(f"unknown ANN tier {tier!r}; one of {sorted(fns)}")
+    return fns[tier](candidates, queries, id_col, vec_col, k=k, **tier_kwargs)

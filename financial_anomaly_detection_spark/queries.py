@@ -2455,8 +2455,12 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_lsh_topk",
     oracle=None,
     description="Approximate nearest neighbors via BucketedRandomProjection "
-    "LSH over L2-normalized embeddings (§2.10 scale path; exact twin: "
-    "ann_cosine_topk). Recall vs the exact tier asserted in tests.",
+    "LSH over L2-normalized embeddings. DEMOTED to explicit opt-in (r5): "
+    "measured slower than the exact tier through x30 on structure-free "
+    "vectors and merely tied with IVF on its clustered home fixture "
+    "(SCALING.md 'ANN tier selection') — ann_topk's auto route picks "
+    "exact/IVF, never this. Registered for parity with MLlib-tuned "
+    "pipelines; recall vs the exact tier asserted in tests.",
     tags=["similarity", "lsh", "vector"],
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6064,6 +6068,199 @@ def q_event_type_association_rules(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "stream_replay_scoring",
+    # Driver-visible evidence for the STREAMING serving path (W1/W6/W7):
+    # foreachBatch executes the same DataFrame plan per micro-batch, so
+    # replaying build_scoring_stream + split_valid_invalid over one
+    # deterministic static frame checks the exact column logic the
+    # stream runs (stream==batch parity for the plan itself is pinned
+    # separately by tests/test_streaming.py). Events are projected into
+    # the JSON-source transaction shape with three planted invalid
+    # classes (negative amount / non-numeric id / unparseable
+    # timestamp); profiles are exact decimal-sum averages with a
+    # min-2-txn cut so the profile-miss -> fill(0) -> dev=0 fallback
+    # path (P6/W6) is exercised, not just joined. Model score is the
+    # reference's 0.0 placeholder (api/utils.py:30-37) => constant
+    # 'unavailable' version tag, as in the reference's degraded mode.
+    oracle=f"""
+        WITH tx AS (
+            SELECT CASE WHEN event_id % 97 = 0
+                        THEN 'x' || CAST(event_id AS VARCHAR)
+                        ELSE CAST(event_id AS VARCHAR) END AS transaction_id,
+                   CAST(user_id AS VARCHAR) AS customer_id,
+                   CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 50
+                        AS VARCHAR) AS merchant_id,
+                   CASE WHEN event_id % 89 = 0 THEN -1.0
+                        ELSE floor(value * 100 + 0.5) * 37.0 / 100.0
+                   END AS amount,
+                   {_CHANNEL_CASE} AS channel,
+                   ['Harare','Bulawayo','Mutare','Victoria Falls','Marondera','Gweru']
+                       [(CAST(json_extract_string(props, '$.k') AS BIGINT) % 6) + 1] AS location,
+                   CASE WHEN event_id % 83 = 0 THEN 'not-a-timestamp'
+                        ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') END AS ts_str
+            FROM events
+        ), v AS (
+            SELECT *,
+                   (amount IS NOT NULL AND amount >= 0
+                    AND regexp_matches(transaction_id, '^[0-9]+$')
+                    AND TRY_CAST(ts_str AS TIMESTAMP) IS NOT NULL) AS ok
+            FROM tx
+        ), valid AS (
+            SELECT * FROM v WHERE ok
+        ), invalid AS (
+            SELECT *,
+                   CASE WHEN amount IS NULL OR amount < 0 THEN 'invalid_amount'
+                        WHEN NOT regexp_matches(transaction_id, '^[0-9]+$')
+                        THEN 'invalid_id'
+                        ELSE 'invalid_timestamp' END AS error
+            FROM v WHERE NOT ok
+        ), cust AS (
+            SELECT customer_id,
+                   CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*) AS cust_avg
+            FROM valid GROUP BY customer_id HAVING COUNT(*) >= 2
+        ), enr AS (
+            SELECT valid.*,
+                   hour(TRY_CAST(valid.ts_str AS TIMESTAMP)) AS hr,
+                   COALESCE(c.cust_avg, 0.0) AS cust_avg
+            FROM valid LEFT JOIN cust c USING (customer_id)
+        ), scored AS (
+            SELECT transaction_id, customer_id, merchant_id, amount,
+                   CASE WHEN cust_avg > 0
+                        THEN (amount - cust_avg) / (cust_avg + 1e-9)
+                        ELSE 0.0 END AS dev,
+                   LEAST(
+                       (CASE WHEN amount > 1000.0 THEN 0.6 ELSE 0.0 END)
+                     + (CASE WHEN lower(channel) = 'card'
+                              AND lower(location) NOT IN ('harare','bulawayo')
+                         THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN hr < 5 THEN 0.2 ELSE 0.0 END), 1.0) AS rs,
+                   concat_ws(',',
+                       CASE WHEN amount > 1000.0 THEN 'large_amount' END,
+                       CASE WHEN lower(channel) = 'card'
+                             AND lower(location) NOT IN ('harare','bulawayo')
+                        THEN 'card_unusual_location' END,
+                       CASE WHEN hr < 5 THEN 'odd_hour' END) AS flags
+            FROM enr
+        ), fused AS (
+            SELECT *,
+                   0.45 * rs + 0.4 * 0.0
+                     + 0.15 * LEAST(GREATEST(ABS(dev), 0.0), 1.0) AS agg0
+            FROM scored
+        ), floored AS (
+            SELECT *, CASE WHEN rs >= 0.6 AND agg0 < 0.4
+                           THEN 0.5 ELSE agg0 END AS agg1
+            FROM fused
+        ), fin AS (
+            SELECT *, CASE WHEN amount >= 10000.0
+                           THEN GREATEST(agg1, 0.85) ELSE agg1 END AS agg2
+            FROM floored
+        )
+        SELECT transaction_id, customer_id, merchant_id,
+               {sround_sql('amount', 4)} AS amount_r,
+               {sround_sql('dev', 4)} AS deviation_score,
+               {sround_sql('rs', 4)} AS rule_score,
+               flags,
+               {sround_sql('agg2', 4)} AS aggregated_score,
+               CASE WHEN agg2 >= 0.7 THEN 'High'
+                    WHEN agg2 >= 0.4 THEN 'Medium'
+                    ELSE 'Low' END AS risk_level,
+               'unavailable' AS model_version,
+               CAST(NULL AS VARCHAR) AS error
+        FROM fin
+        UNION ALL
+        SELECT transaction_id, customer_id, merchant_id,
+               {sround_sql('amount', 4)} AS amount_r,
+               CAST(NULL AS DOUBLE) AS deviation_score,
+               CAST(NULL AS DOUBLE) AS rule_score,
+               CAST(NULL AS VARCHAR) AS flags,
+               CAST(NULL AS DOUBLE) AS aggregated_score,
+               CAST(NULL AS VARCHAR) AS risk_level,
+               CAST(NULL AS VARCHAR) AS model_version,
+               error
+        FROM invalid
+    """,
+    description="Streaming scoring path replayed as a batch oracle row: "
+    "the SAME split_valid_invalid + build_scoring_stream code the "
+    "foreachBatch sink executes per micro-batch, driven by one static "
+    "frame — validity split (W7), stream-static broadcast profile "
+    "joins with fill-0 fallback (J1/P6), rule/fusion/risk tail "
+    "(F7-F13), placeholder model score (W6). At 100 TB this IS the "
+    "per-batch plan; state lives in the profile tables, not the plan.",
+    tags=["streaming", "scoring", "rules"],
+)
+def q_stream_replay_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.score_stream import build_scoring_stream, split_valid_invalid
+
+    ev = load_table(spark, sf_dir, "events")
+    loc_array = F.array(*[F.lit(x) for x in _LOCATIONS])
+    k = F.get_json_object("props", "$.k").cast("long")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5))
+    tx = ev.select(
+        F.when(
+            F.col("event_id") % 97 == 0,
+            F.concat(F.lit("x"), F.col("event_id").cast("string")),
+        )
+        .otherwise(F.col("event_id").cast("string"))
+        .alias("transaction_id"),
+        F.col("user_id").cast("string").alias("customer_id"),
+        (k % 50).cast("string").alias("merchant_id"),
+        F.when(F.col("event_id") % 89 == 0, F.lit(-1.0))
+        .otherwise(cents * F.lit(37.0) / F.lit(100.0))
+        .alias("amount"),
+        F.expr(_CHANNEL_CASE).alias("channel"),
+        F.element_at(loc_array, (k % 6 + 1).cast("int")).alias("location"),
+        F.when(F.col("event_id") % 83 == 0, F.lit("not-a-timestamp"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"))
+        .alias("timestamp"),
+    )
+    valid, invalid = split_valid_invalid(tx)
+    cust = (
+        valid.groupBy("customer_id")
+        .agg(
+            (F.sum(dec("amount")).cast("double") / F.count(F.lit(1))).alias(
+                "cust_avg_amount"
+            ),
+            F.count(F.lit(1)).cast("double").alias("cust_txn_count"),
+        )
+        .filter(F.col("cust_txn_count") >= 2)
+    )
+    merch = valid.groupBy("merchant_id").agg(
+        (F.sum(dec("amount")).cast("double") / F.count(F.lit(1))).alias(
+            "merch_avg_amount"
+        )
+    )
+    scored = build_scoring_stream(valid, cust, merch)
+    out_ok = scored.select(
+        "transaction_id",
+        "customer_id",
+        "merchant_id",
+        sround(F.col("amount"), 4).alias("amount_r"),
+        sround(F.col("deviation_score"), 4).alias("deviation_score"),
+        sround(F.col("rule_score"), 4).alias("rule_score"),
+        "flags",
+        sround(F.col("aggregated_score"), 4).alias("aggregated_score"),
+        "risk_level",
+        "model_version",
+        F.lit(None).cast("string").alias("error"),
+    )
+    out_bad = invalid.select(
+        "transaction_id",
+        "customer_id",
+        "merchant_id",
+        sround(F.col("amount"), 4).alias("amount_r"),
+        F.lit(None).cast("double").alias("deviation_score"),
+        F.lit(None).cast("double").alias("rule_score"),
+        F.lit(None).cast("string").alias("flags"),
+        F.lit(None).cast("double").alias("aggregated_score"),
+        F.lit(None).cast("string").alias("risk_level"),
+        F.lit(None).cast("string").alias("model_version"),
+        "error",
+    )
+    return out_ok.unionByName(out_bad)
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -6075,14 +6272,92 @@ def q_event_type_association_rules(spark: SparkSession, sf_dir: str) -> DataFram
 # exceeds 50, the overflow rotates across rounds: queries rotated out
 # this round all have green hash-match evidence from a previous round.
 
-# Round-4 window (stalest-evidence-first rotation): the 5 queries whose
-# code or oracle changed this round (two-pass prefix sum, short-doc
-# clamps, 128-bit Q11 predicate), the new ann_exact_quantized (no
-# driver evidence yet), then EVERY oracle-backed query absent from
-# CORRECTNESS_r03 (last green r1/r2 — after this window no
-# oracle-backed query's freshest green is >1 round old), then r3-green
-# unchanged fills to slot 50. Everything past slot 50 has a green
-# hash-match row in CORRECTNESS_r03.
+# Round-5 window (stalest-evidence-first rotation, same policy as r4):
+#   1. queries whose code/oracle CHANGED in r5 — the repaired
+#      mad_robust_outliers (r4's only red row: HUGEINT type artifact,
+#      now cast + round-guarded) and the two drift queries rebuilt on
+#      the DECIMAL(38,0) cores in operators/driftstats.py;
+#   2. queries NEW in r5 (zero driver evidence);
+#   3. every oracle-backed query whose freshest green is r1/r2
+#      (the 13 the registry outgrew — VERDICT r4 task 2 list);
+#   4. r3-green unchanged fills to slot 50.
+# Everything past slot 50 has a green hash-match row in
+# CORRECTNESS_r03 or _r04.
+_PRIORITY_R05 = [
+    # changed in round 5 -> needs fresh evidence
+    "mad_robust_outliers",
+    "ks_value_drift",
+    "mannwhitney_value_drift",
+    # new in round 5 (never driver-checked)
+    "stream_replay_scoring",
+    # oracle-backed, freshest green r1/r2 (VERDICT r4 stale list)
+    "ml_recon_mse_threshold",
+    "ml_fusion_scores_precomputed",
+    "q6_forecast_revenue",
+    "q4_priority_exists",
+    "q12_priority_linestatus",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q18_large_volume_customer",
+    "q22_dormant_customers",
+    "source_mixing_stats",
+    "doc_repetition_signals",
+    "top_word_fraction",
+    "stratified_sample_docs",
+    # r3-green unchanged fills (freshest evidence r3; 2 rounds old
+    # after this window — first in line for r6)
+    "events_scan_filter_project",
+    "time_features_extract",
+    "customer_profile_90d",
+    "merchant_profile_90d",
+    "profile_join_deviation",
+    "window_transform_profile",
+    "asof_profile",
+    "rules_fusion_risk",
+    "percentile_thresholds",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "customers_without_orders",
+    "customers_with_urgent_orders",
+    "set_ops_users",
+    "rank_windows",
+    "distinct_agg_users",
+    "json_extract_props",
+    "dedup_exact_docs",
+    "time_range_self_join",
+    "asof_join_purchase_click",
+    "sessionize_events",
+    "time_range_window_profile",
+    "pivot_event_type_daily",
+    "from_json_props_struct",
+    "except_all_bag_semantics",
+    "q7_nation_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q14_promo_revenue_pct",
+    "q19_disjunctive_predicates",
+    "q2_min_cost_supplier",
+    "q17_small_quantity_revenue",
+    "q10_returned_revenue",
+    # r3-green past slot 50 (overflow; next-stalest for r6 alongside
+    # the rows above that rotate out)
+    "priority_case_pivot",
+    "string_functions",
+    "date_arithmetic",
+    "grouping_sets_order_status",
+    "q16_supplier_part_counts",
+    "q20_promo_part_shippers",
+    "q21_waiting_suppliers",
+    "c4_quality_filters",
+    "source_temperature_weights",
+    "rolling_zscore_events",
+    "benford_first_digit",
+    "lof_exact_quantized",
+]
+
+# Round-4 window kept for provenance (CORRECTNESS_r04 was exactly the
+# first 50 of this ordering).
 _PRIORITY_R04 = [
     # changed in round 4 -> needs fresh evidence
     "pack_sequences_2048",
@@ -6232,7 +6507,7 @@ _PRIORITY_R03 = [
 
 
 def _ordered_names() -> list[str]:
-    pri = [n for n in _PRIORITY_R04 if n in REGISTRY]
+    pri = [n for n in _PRIORITY_R05 if n in REGISTRY]
     pri_set = set(pri)
     # Oracle-backed overflow (green in r1/r2) precedes rows-only entries,
     # which yield weaker no_oracle slots if the driver reads past 50.

@@ -132,6 +132,63 @@ def test_distributed_lof_ranks_planted_anomalies(spark):
     assert top == {400, 401, 402, 403, 404}
 
 
+def test_ann_topk_auto_routing_and_lsh_demotion(spark):
+    """auto = exact below the threshold, IVF above; LSH is reachable
+    only by name (the tier that lost its default status in r5)."""
+    import numpy as np
+    from financial_anomaly_detection_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(rng.normal(0.0, 1.0, size=(300, 8)))
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+
+    exact = sim.ann_topk(emb, qs, k=5, tier="auto")  # n=300 -> exact
+    expected = sim.brute_force_topk(emb, qs, "vec_id", "embedding", k=5)
+    assert {tuple(r) for r in exact.collect()} == {
+        tuple(r) for r in expected.collect()
+    }
+
+    # force the large-corpus route with a tiny threshold -> IVF
+    ivf_routed = sim.ann_topk(emb, qs, k=5, tier="auto", exact_threshold=10)
+    assert ivf_routed.count() > 0
+
+    # lsh only by explicit name; unknown tiers rejected
+    assert sim.ann_topk(emb, qs, k=5, tier="lsh", bucket_length=1.0).count() > 0
+    with pytest.raises(ValueError, match="unknown ANN tier"):
+        sim.ann_topk(emb, qs, k=5, tier="bogus")
+
+
+def test_lsh_home_fixture_clustered_recall(spark):
+    """BRP-LSH's documented home fixture: strongly clustered vectors.
+    Opt-in tier must deliver near-exact recall there (the measured
+    60k-vector version is in SCALING.md; this is the fast replica)."""
+    import numpy as np
+    from financial_anomaly_detection_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    rng = np.random.default_rng(4)
+    centers = rng.normal(0, 10.0, size=(40, 16))
+    X = np.repeat(centers, 100, axis=0) + rng.normal(0, 0.3, size=(4000, 16))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(X)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = emb.filter(F.col("vec_id") % 80 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, qs, "vec_id", "embedding", k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(emb, qs, "vec_id", "embedding", k=10).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.9
+
+
 def test_distributed_lof_pinned_params_skip_estimator_jobs(spark, monkeypatch):
     """A caller pinning max_distance + bucket_length + escalate_distance
     (production radii tuned offline) must trigger NO driver-side sample
