@@ -6068,6 +6068,344 @@ def q_event_type_association_rules(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_CMS_DEPTH, _CMS_WIDTH = 4, 256
+
+
+def _cms_bucket_sql(key_expr: str, j: int, width: int = _CMS_WIDTH) -> str:
+    return (
+        f"('0x' || substr(md5({key_expr} || '#{j}'), 1, 8))::BIGINT % {width}"
+    )
+
+
+@register(
+    "cms_heavy_hitters",
+    # Count-Min sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    # screen over the event stream's user keys — the mergeable
+    # fixed-size frequency summary you ship from 1000 executors when
+    # key cardinality is itself the scale problem (the HLL counterpart
+    # is approx_distinct_users). Hashing is md5-derived (the repo's
+    # hash-surrogate discipline), so the 4x256 grid and every point
+    # estimate are integer-exact across engines. The CMS guarantee
+    # est >= true is visible in the output (est_cnt vs true_cnt).
+    oracle=f"""
+        WITH keyed AS (
+            SELECT CAST(user_id AS VARCHAR) AS k FROM events
+        ), cells AS (
+            SELECT k, j,
+                   CASE j
+                     WHEN 0 THEN {_cms_bucket_sql('k', 0)}
+                     WHEN 1 THEN {_cms_bucket_sql('k', 1)}
+                     WHEN 2 THEN {_cms_bucket_sql('k', 2)}
+                     ELSE {_cms_bucket_sql('k', 3)}
+                   END AS bucket
+            FROM keyed CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)
+        ), grid AS (
+            SELECT j, bucket, COUNT(*) AS cnt FROM cells GROUP BY j, bucket
+        ), probes AS (
+            SELECT DISTINCT k, j, bucket FROM cells
+        ), est AS (
+            SELECT probes.k, MIN(grid.cnt) AS est
+            FROM probes JOIN grid USING (j, bucket)
+            GROUP BY probes.k
+        ), truth AS (
+            SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS cnt
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(est.k AS BIGINT) AS user_id,
+               CAST(est.est AS BIGINT) AS est_cnt,
+               CAST(truth.cnt AS BIGINT) AS true_cnt
+        FROM est JOIN truth USING (k)
+        ORDER BY est_cnt DESC, user_id ASC
+        LIMIT 20
+    """,
+    description="Count-Min sketch heavy hitters: the event keys fold "
+    "into a fixed 4x256 md5-hashed counter grid via ONE partial-agg "
+    "shuffle of at most 1024 rows (map-side combine does the "
+    "per-partition sketching — the sketch, not the keys, crosses the "
+    "wire), estimates are min-over-depth after a broadcast grid join. "
+    "At 100 TB the grid size is unchanged; only widths tune. "
+    "Upper-bound property est>=true asserted in tests and visible in "
+    "the output columns.",
+    tags=["sketch", "aggregate", "llm-pipeline"],
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import cms_estimate, count_min_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    grid = count_min_sketch(ev, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_estimate(grid, truth.select("user_id"), "user_id",
+                       depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    return (
+        est.join(truth, "user_id")
+        .orderBy(F.desc("est"), F.asc("user_id"))
+        .limit(20)
+        .select(
+            F.col("user_id").cast("long"),
+            F.col("est").cast("long").alias("est_cnt"),
+            F.col("true_cnt").cast("long"),
+        )
+    )
+
+
+# Morton interleave of two 6-bit coordinates (size, price bucket) —
+# plain shift/mask SQL, valid verbatim in Spark SQL and DuckDB.
+_ZCODE_SQL = " + ".join(
+    f"(((sz >> {b}) & 1) * {1 << (2 * b + 1)}) + "
+    f"(((pb >> {b}) & 1) * {1 << (2 * b)})"
+    for b in range(6)
+)
+
+
+@register(
+    "zorder_layout_parts",
+    # Z-order (Morton) data layout for multi-dimensional pruning
+    # (Morton 1966; the Delta/Iceberg OPTIMIZE ZORDER story): parts
+    # are assigned a 12-bit Morton code interleaving p_size (6 bits)
+    # and an integer price bucket (6 bits), then grouped into
+    # value-range "files" of 64 consecutive codes. The per-file
+    # min/max envelopes in BOTH dimensions stay narrow — exactly the
+    # property that lets a scan skip files on either predicate. All
+    # integer math; the query OUTPUT is the layout quality report
+    # (per-file count + envelopes) a table optimizer would log.
+    oracle=f"""
+        WITH p AS (
+            SELECT p_partkey,
+                   CAST(p_size AS BIGINT) AS sz,
+                   (CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) - 90000)
+                       * 64 // 10000 AS pb
+            FROM part
+        ), z AS (
+            SELECT p_partkey, sz, pb, {_ZCODE_SQL} AS zcode FROM p
+        )
+        SELECT zcode // 64 AS zfile,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(MIN(sz) AS BIGINT) AS sz_min,
+               CAST(MAX(sz) AS BIGINT) AS sz_max,
+               CAST(MIN(pb) AS BIGINT) AS pb_min,
+               CAST(MAX(pb) AS BIGINT) AS pb_max,
+               CAST(MIN(zcode) AS BIGINT) AS z_min,
+               CAST(MAX(zcode) AS BIGINT) AS z_max
+        FROM z
+        GROUP BY zcode // 64
+    """,
+    description="Z-order/Morton layout report: interleave p_size and "
+    "price bucket into a 12-bit code (pure shift/mask Catalyst "
+    "expressions), chunk the code space into files, report per-file "
+    "row counts and min/max envelopes per dimension — the file-skipping "
+    "evidence a lakehouse OPTIMIZE ZORDER produces. One partial-agg "
+    "shuffle keyed on the file id; at 100 TB the same expression feeds "
+    "repartitionByRange(zcode) + sortWithinPartitions before the "
+    "parquet write, giving min/max-indexed multi-dim pruning.",
+    tags=["layout", "aggregate", "lakehouse"],
+)
+def q_zorder_layout_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("sz"),
+        (
+            (F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long") - 90000)
+            * 64
+        ).alias("_pbn"),
+    ).withColumn("pb", F.expr("_pbn div 10000"))
+    z = p.withColumn("zcode", F.expr(_ZCODE_SQL))
+    return (
+        z.groupBy(F.expr("zcode div 64").alias("zfile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("sz").alias("sz_min"),
+            F.max("sz").alias("sz_max"),
+            F.min("pb").alias("pb_min"),
+            F.max("pb").alias("pb_max"),
+            F.min("zcode").alias("z_min"),
+            F.max("zcode").alias("z_max"),
+        )
+        .select(
+            F.col("zfile").cast("long"),
+            F.col("n_parts").cast("long"),
+            F.col("sz_min").cast("long"),
+            F.col("sz_max").cast("long"),
+            F.col("pb_min").cast("long"),
+            F.col("pb_max").cast("long"),
+            F.col("z_min").cast("long"),
+            F.col("z_max").cast("long"),
+        )
+    )
+
+
+@register(
+    "contrastive_negative_pairs",
+    # Deterministic negative sampling for contrastive training pairs
+    # (in-batch negatives a la DPR, Karpukhin 2020, made reproducible):
+    # each anchor document draws k=5 pseudo-random negatives from a
+    # hash-assigned candidate bucket. The join is an EQUI-join on the
+    # bucket id — each anchor only ever meets ~1/16 of the corpus, so
+    # there is NO cross join anywhere; the per-anchor ranking hash
+    # md5(anchor#candidate) is order-free and engine-exact. At 100 TB
+    # the bucket count scales with the corpus (keep pool/bucket
+    # constant) and the rank window partitions by anchor — fully
+    # parallel.
+    oracle="""
+        WITH anchors AS (
+            SELECT doc_id AS anchor_id, doc_id % 16 AS b
+            FROM documents WHERE doc_id % 100 = 0
+        ), pool AS (
+            SELECT doc_id AS neg_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 16 AS b
+            FROM documents
+        ), cand AS (
+            SELECT anchor_id, neg_id,
+                   ('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || '#'
+                        || CAST(neg_id AS VARCHAR)), 1, 8))::BIGINT AS h
+            FROM anchors JOIN pool USING (b)
+            WHERE anchor_id <> neg_id
+        ), ranked AS (
+            SELECT anchor_id, neg_id, h,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY anchor_id ORDER BY h ASC, neg_id ASC
+                   ) AS rnk
+            FROM cand
+        )
+        SELECT CAST(anchor_id AS BIGINT) AS anchor_id,
+               CAST(neg_id AS BIGINT) AS neg_id,
+               CAST(h AS BIGINT) AS h,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 5
+    """,
+    description="Reproducible negative sampling for contrastive pairs: "
+    "hash-bucketed candidate assignment turns the anchor x corpus "
+    "cross join into a bucket EQUI-join (each anchor meets ~1/16 of "
+    "the pool), per-anchor top-5 by an md5 ranking hash. Deterministic "
+    "across engines, runs, and layouts; the anchor-partitioned window "
+    "is high-cardinality parallel at 100 TB.",
+    tags=["sampling", "llm-pipeline", "join"],
+)
+def q_contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    anchors = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("anchor_id"), (F.col("doc_id") % 16).alias("b")
+    )
+    pool = docs.select(
+        F.col("doc_id").alias("neg_id"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 16
+        ).alias("b"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("anchor_id").cast("string"),
+                    F.lit("#"),
+                    F.col("neg_id").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = (
+        anchors.join(pool, "b")
+        .filter(F.col("anchor_id") != F.col("neg_id"))
+        .select("anchor_id", "neg_id", h.alias("h"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.asc("h"), F.asc("neg_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("anchor_id").cast("long"),
+            F.col("neg_id").cast("long"),
+            F.col("h").cast("long"),
+            F.col("rnk").cast("long"),
+        )
+    )
+
+
+@register(
+    "ngram_diversity_by_source",
+    # Corpus diversity audit per source: type-token ratios at the
+    # unigram and bigram level (the distinct-to-total n-gram ratio
+    # that drops when a source is template-heavy or self-repetitive —
+    # the corpus-level cousin of doc_repetition_signals). Integer
+    # counts, one quantized division at the end.
+    oracle=r"""
+        WITH w AS (
+            SELECT source, string_split_regex(trim(text), '\s+') AS words
+            FROM documents
+        ), uni AS (
+            SELECT source, unnest(words) AS g FROM w
+        ), bi AS (
+            SELECT source,
+                   unnest(list_transform(
+                       list_zip(words[1:len(words) - 1], words[2:len(words)]),
+                       t -> t[1] || ' ' || t[2]
+                   )) AS g
+            FROM w
+        ), u AS (
+            SELECT source, COUNT(*) AS n_uni, COUNT(DISTINCT g) AS d_uni
+            FROM uni GROUP BY source
+        ), b AS (
+            SELECT source, COUNT(*) AS n_bi, COUNT(DISTINCT g) AS d_bi
+            FROM bi GROUP BY source
+        )
+        SELECT u.source,
+               CAST(u.n_uni AS BIGINT) AS n_unigrams,
+               CAST(u.d_uni AS BIGINT) AS distinct_unigrams,
+               CAST(b.n_bi AS BIGINT) AS n_bigrams,
+               CAST(b.d_bi AS BIGINT) AS distinct_bigrams,
+               CAST(1000000 * u.d_uni // u.n_uni AS BIGINT) AS uni_ttr_u,
+               CAST(1000000 * b.d_bi // b.n_bi AS BIGINT) AS bi_ttr_u
+        FROM u JOIN b USING (source)
+    """,
+    description="Per-source n-gram diversity (type-token ratio at "
+    "unigram+bigram level): two explode + partial-agg pipelines over "
+    "the source key, distinct counts shuffled per (source, gram). "
+    "Quantized-integer ratios; at 100 TB COUNT(DISTINCT) lowers to the "
+    "standard two-phase partial-distinct shuffle and the gram key is "
+    "high-cardinality parallel.",
+    tags=["text", "quality", "llm-pipeline"],
+)
+def q_ngram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    uni = d.select("source", F.explode(words).alias("g"))
+    bi = d.select("source", F.explode(bigrams).alias("g"))
+    u = uni.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_unigrams"),
+        F.count_distinct("g").alias("distinct_unigrams"),
+    )
+    b = bi.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.count_distinct("g").alias("distinct_bigrams"),
+    )
+    return u.join(b, "source").select(
+        "source",
+        F.col("n_unigrams").cast("long"),
+        F.col("distinct_unigrams").cast("long"),
+        F.col("n_bigrams").cast("long"),
+        F.col("distinct_bigrams").cast("long"),
+        F.expr("1000000 * distinct_unigrams div n_unigrams")
+        .cast("long")
+        .alias("uni_ttr_u"),
+        F.expr("1000000 * distinct_bigrams div n_bigrams")
+        .cast("long")
+        .alias("bi_ttr_u"),
+    )
+
+
 @register(
     "stream_replay_scoring",
     # Driver-visible evidence for the STREAMING serving path (W1/W6/W7):
@@ -6290,6 +6628,10 @@ _PRIORITY_R05 = [
     "mannwhitney_value_drift",
     # new in round 5 (never driver-checked)
     "stream_replay_scoring",
+    "cms_heavy_hitters",
+    "zorder_layout_parts",
+    "contrastive_negative_pairs",
+    "ngram_diversity_by_source",
     # oracle-backed, freshest green r1/r2 (VERDICT r4 stale list)
     "ml_recon_mse_threshold",
     "ml_fusion_scores_precomputed",

@@ -132,6 +132,38 @@ def test_distributed_lof_ranks_planted_anomalies(spark):
     assert top == {400, 401, 402, 403, 404}
 
 
+def test_count_min_sketch_properties(spark):
+    """CMS invariants (Cormode & Muthukrishnan 2005): estimates never
+    undercount, grid size is fixed at depth*width regardless of data,
+    and the total per-row mass equals the stream length."""
+    from financial_anomaly_detection_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    rows = [(f"k{i % 37}",) for i in range(2000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, "k string")
+    grid = count_min_sketch(df, "k", depth=4, width=64)
+    g = grid.collect()
+    assert len(g) <= 4 * 64
+    # every sketch row preserves total mass
+    per_row = {}
+    for r in g:
+        per_row[r["j"]] = per_row.get(r["j"], 0) + r["cnt"]
+    assert set(per_row.values()) == {2500}
+
+    truth = {r["k"]: r["cnt"] for r in df.groupBy("k").count().withColumnRenamed("count", "cnt").collect()}
+    keys = df.select("k").distinct()
+    est = {r["k"]: r["est"] for r in cms_estimate(grid, keys, "k", depth=4, width=64).collect()}
+    assert set(est) == set(truth)
+    for k, t in truth.items():
+        assert est[k] >= t, f"CMS undercounted {k}"
+    # the planted heavy hitter dominates and is estimated tightly
+    # (width 64 >> 38 distinct keys -> few collisions)
+    assert est["hot"] >= 500
+    assert max(est, key=lambda k: (est[k], k)) == "hot"
+
+
 def test_ann_topk_auto_routing_and_lsh_demotion(spark):
     """auto = exact below the threshold, IVF above; LSH is reachable
     only by name (the tier that lost its default status in r5)."""

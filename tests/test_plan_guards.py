@@ -68,6 +68,14 @@ EXPECTED = {
     "ann_cosine_topk": (1, {"embeddings": 2}),
     "q11_important_parts": (1, {"lineitem": 3}),
     "q22_dormant_customers": (1, {"customer": 3, "orders": 2}),
+    # round-5 additions: sketch grid, layout report, bucketed negative
+    # sampling, diversity audit, streaming-plan replay — all zero-NLJ,
+    # column-pruned
+    "cms_heavy_hitters": (0, {"events": 1}),
+    "zorder_layout_parts": (0, {"part": 2}),
+    "contrastive_negative_pairs": (0, {"documents": 1}),
+    "ngram_diversity_by_source": (0, {"documents": 2}),
+    "stream_replay_scoring": (0, {"events": 6}),
 }
 
 
