@@ -76,6 +76,7 @@ EXPECTED = {
     "contrastive_negative_pairs": (0, {"documents": 1}),
     "ngram_diversity_by_source": (0, {"documents": 2}),
     "stream_replay_scoring": (0, {"events": 6}),
+    "bloom_semi_join_prune": (0, {"orders": 3, "customer": 2}),
 }
 
 

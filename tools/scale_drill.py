@@ -103,6 +103,13 @@ DRILL = [
 ]
 
 
+# Focused runs: SPARK_GRAFT_DRILL_QUERIES="a,b,c" drills only those
+# (registry names), reusing any replicas already built in the workdir.
+_ENV_QUERIES = os.environ.get("SPARK_GRAFT_DRILL_QUERIES")
+if _ENV_QUERIES:
+    DRILL = [q.strip() for q in _ENV_QUERIES.split(",") if q.strip()]
+
+
 def replicate(spark, out_dir: str, k: int) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for name, (id_cols, text_cols) in REPLICATION.items():
