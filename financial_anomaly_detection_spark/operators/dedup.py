@@ -204,6 +204,74 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact threshold-Jaccard join via PREFIX FILTERING (Chaudhuri
+    2006; Xiao 2008 PPJoin's candidate bound) — same OUTPUT as
+    :func:`ngram_jaccard_pairs` at the same threshold, provably, but
+    candidates come only from each document's prefix of its
+    ``|d| - ceil(t*|d|) + 1`` globally RAREST shingles: if
+    J(x, y) >= t the pigeonhole principle forces the prefixes (under
+    any shared total order) to intersect, so pruning the self-join to
+    prefix shingles loses nothing while cutting candidate fan-out by
+    ~t/(1+t) of each doc's shingles — and because the prefix keeps the
+    LOWEST-document-frequency shingles, the surviving join keys are
+    precisely the cold ones. This is the scale form of the hot-shingle
+    cap (max_shingle_df): same fan-out control, zero recall loss.
+
+    The global shingle order is (document frequency ASC, shingle ASC)
+    — deterministic, built from one df-count aggregation; the per-doc
+    ranking window partitions by document (high-cardinality parallel).
+    Verification recomputes exact Jaccard from the full shingle sets
+    (array_intersect), as in the capped tier.
+    """
+    arrs = spread_narrow(df).select(
+        F.col(id_col).alias("_id"), shingles_col(text_col, n).alias("_arr")
+    )
+    # one explode feeds df-counts, sizes, and the ranked prefix
+    sh = arrs.select("_id", F.size("_arr").alias("_sz"), F.explode("_arr").alias("_sh"))
+    docfreq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("_sh"))
+    prefix = (
+        sh.join(docfreq, "_sh")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
+        .select("_id", "_sh")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cand.join(
+            arrs.select(F.col("_id").alias("id_a"), F.col("_arr").alias("_aa")), "id_a"
+        )
+        .join(
+            arrs.select(F.col("_id").alias("id_b"), F.col("_arr").alias("_ab")), "id_b"
+        )
+        .withColumn("_common", F.size(F.array_intersect("_aa", "_ab")))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_common")
+                / (F.size("_aa") + F.size("_ab") - F.col("_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

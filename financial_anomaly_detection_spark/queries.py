@@ -2270,6 +2270,166 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jaccard_pairs_prefix_filter",
+    # SAME oracle as ngram_jaccard_pairs: prefix filtering (Chaudhuri
+    # 2006 / Xiao 2008) is LOSSLESS for threshold-Jaccard, and the
+    # driver hash-matching this query against the naive all-pairs
+    # DuckDB computation is the machine-checked proof. The Spark plan
+    # self-joins only each doc's |d| - ceil(t|d|) + 1 globally-rarest
+    # shingles — the scale form of the hot-shingle cap with zero
+    # recall loss (candidate keys are by construction the cold ones).
+    oracle=r"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   string_split_regex(trim(text), '\s+') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT doc_id AS _id, unnest(list_distinct(
+                CASE WHEN length(toks) >= 3 THEN
+                    list_transform(generate_series(1, length(toks) - 2),
+                                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                ELSE [trim(text)] END)) AS _sh
+            FROM base
+        ), sizes AS (
+            SELECT _id, COUNT(*) AS _sz FROM sh GROUP BY _id
+        ), common AS (
+            SELECT a._id AS id_a, b._id AS id_b, COUNT(*) AS _common
+            FROM sh a JOIN sh b ON a._sh = b._sh AND a._id < b._id
+            GROUP BY 1, 2
+        )
+        SELECT CAST(id_a AS BIGINT) AS id_a,
+               CAST(id_b AS BIGINT) AS id_b,
+               floor((_common * 1.0 / (sa._sz + sb._sz - _common)) * 1e6 + 0.5) / 1e6 AS jaccard
+        FROM common
+        JOIN sizes sa ON id_a = sa._id
+        JOIN sizes sb ON id_b = sb._id
+        WHERE _common * 1.0 / (sa._sz + sb._sz - _common) >= 0.5
+    """,
+    description="Prefix-filtering threshold-Jaccard join: candidates "
+    "only from each doc's globally-rarest prefix shingles (pigeonhole "
+    "guarantees prefixes of any >=t pair intersect), exact Jaccard "
+    "re-verification on full sets. Identical output to the naive "
+    "all-shingle self-join — the oracle IS the naive computation, so "
+    "the hash match machine-checks the losslessness claim. At 100 TB "
+    "this replaces the hot-shingle df cap: same fan-out bound, zero "
+    "recall loss.",
+    tags=["dedup", "text", "join", "llm-pipeline"],
+)
+def q_jaccard_pairs_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = prefix_filter_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return pairs.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        sround(F.col("jaccard"), 6).alias("jaccard"),
+    )
+
+
+# HLL layout: 64 registers (top 6 hash bits), rho over the low 26 bits.
+_HLL_M, _HLL_SUFFIX = 64, 1 << 26
+
+
+@register(
+    "hll_exact_md5",
+    # Hash-level oracle surrogate for the HyperLogLog tier (Flajolet
+    # 2007) — the cardinality-sketch sibling of minhash_exact_md5 /
+    # simhash_exact_md5: the production tier (approx_distinct_users)
+    # uses Spark's engine-specific HLL++, so here the register math is
+    # recomputed with md5-derived hashes both engines share. Register
+    # j = top 6 hash bits; rho = 1 + leading zeros of the low 26 bits
+    # (computed by string position over bin() — identical semantics in
+    # both engines, no float log2); the raw estimate
+    # alpha_64 * m^2 / sum(2^-reg) is carried as exact integers
+    # (z_scaled = sum 2^(27-reg); est = 709*4096*2^27 div 1000*z).
+    # Output: all 64 registers + the estimate and true count. The raw
+    # estimator (no small-range linear-counting correction) is the
+    # documented surrogate scope.
+    oracle=f"""
+        WITH k AS (
+            SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
+        ), h AS (
+            SELECT ('0x' || substr(md5(k), 1, 8))::BIGINT AS h FROM k
+        ), r AS (
+            SELECT h // {_HLL_SUFFIX} AS j,
+                   CASE WHEN strpos(lpad(bin(h % {_HLL_SUFFIX}), 26, '0'), '1') = 0
+                        THEN 27
+                        ELSE strpos(lpad(bin(h % {_HLL_SUFFIX}), 26, '0'), '1')
+                   END AS rho
+            FROM h
+        ), regs AS (
+            SELECT j, MAX(rho) AS register FROM r GROUP BY j
+        ), allj AS (
+            SELECT unnest(generate_series(0, {_HLL_M - 1})) AS j
+        ), fullr AS (
+            SELECT allj.j, COALESCE(regs.register, 0) AS register
+            FROM allj LEFT JOIN regs ON allj.j = regs.j
+        ), z AS (
+            SELECT SUM(CAST(1 AS BIGINT) << (27 - register)) AS z_scaled
+            FROM fullr
+        ), t AS (
+            SELECT COUNT(DISTINCT user_id) AS true_distinct FROM events
+        )
+        SELECT CAST(fullr.j AS BIGINT) AS j,
+               CAST(fullr.register AS BIGINT) AS register,
+               CAST(z.z_scaled AS BIGINT) AS z_scaled,
+               CAST((CAST(709 AS BIGINT) * 4096 * 134217728)
+                    // (1000 * z.z_scaled) AS BIGINT) AS est,
+               CAST(t.true_distinct AS BIGINT) AS true_distinct
+        FROM fullr CROSS JOIN z CROSS JOIN t
+    """,
+    description="HyperLogLog register math with hash-level oracle "
+    "parity: md5-derived 32-bit hashes, 64 max-rho registers from one "
+    "partial-agg shuffle of <=64 rows (the mergeable fixed-size "
+    "cardinality summary), integer-exact raw estimator. Anchors the "
+    "rows-only approx_count_distinct tier the way minhash_exact_md5 "
+    "anchors MinHashLSH. At 100 TB register count tunes accuracy; the "
+    "shuffle stays register-sized.",
+    tags=["sketch", "aggregate", "oracle-surrogate"],
+)
+def q_hll_exact_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.select(F.col("user_id").cast("string").alias("k")).distinct()
+    h = F.conv(F.substring(F.md5("k"), 1, 8), 16, 10).cast("long")
+    r = keys.select(h.alias("h")).select(
+        F.expr(f"h div {_HLL_SUFFIX}").alias("j"),
+        F.expr(
+            f"CASE WHEN instr(lpad(bin(h % {_HLL_SUFFIX}), 26, '0'), '1') = 0 "
+            f"THEN 27 ELSE instr(lpad(bin(h % {_HLL_SUFFIX}), 26, '0'), '1') END"
+        ).alias("rho"),
+    )
+    regs = r.groupBy("j").agg(F.max("rho").alias("register"))
+    allj = spark.range(_HLL_M).select(F.col("id").alias("j"))
+    fullr = (
+        allj.join(regs, "j", "left")
+        .na.fill(0, subset=["register"])
+        .select("j", F.col("register").cast("long").alias("register"))
+    )
+    z = fullr.agg(
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(27 - register AS INT))")
+        ).alias("z_scaled")
+    )
+    truth = ev.agg(F.count_distinct("user_id").alias("true_distinct"))
+    return (
+        fullr.join(F.broadcast(z))
+        .join(F.broadcast(truth))
+        .select(
+            F.col("j").cast("long"),
+            F.col("register").cast("long"),
+            F.col("z_scaled").cast("long"),
+            F.expr(
+                "(CAST(709 AS BIGINT) * 4096 * 134217728) div (1000 * z_scaled)"
+            )
+            .cast("long")
+            .alias("est"),
+            F.col("true_distinct").cast("long"),
+        )
+    )
+
+
+@register(
     "chunk_text_windows",
     oracle=r"""
         WITH base AS (
@@ -6801,6 +6961,8 @@ _PRIORITY_R05 = [
     "contrastive_negative_pairs",
     "ngram_diversity_by_source",
     "bloom_semi_join_prune",
+    "jaccard_pairs_prefix_filter",
+    "hll_exact_md5",
     # oracle-backed, freshest green r1/r2 (VERDICT r4 stale list)
     "ml_recon_mse_threshold",
     "ml_fusion_scores_precomputed",

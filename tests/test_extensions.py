@@ -132,6 +132,37 @@ def test_distributed_lof_ranks_planted_anomalies(spark):
     assert top == {400, 401, 402, 403, 404}
 
 
+def test_prefix_filter_jaccard_lossless_and_pruning(docs):
+    """Prefix filtering must return EXACTLY the naive tier's pairs
+    (losslessness is a theorem; this is the machine check) while
+    joining on strictly fewer exploded shingle rows."""
+    from financial_anomaly_detection_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+        shingles_col,
+    )
+
+    naive = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in prefix_filter_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert pref == naive and len(naive) > 0
+
+    # pruning evidence: prefix keeps ~(1-t) of each doc's shingles
+    total = docs.select(F.explode(shingles_col("text", 3))).count()
+    sz = F.size(shingles_col("text", 3))
+    kept = docs.select(
+        (sz - F.ceil(F.lit(0.5) * sz) + 1).alias("p")
+    ).agg(F.sum("p")).collect()[0][0]
+    assert kept < 0.6 * total
+
+
 def test_count_min_sketch_properties(spark):
     """CMS invariants (Cormode & Muthukrishnan 2005): estimates never
     undercount, grid size is fixed at depth*width regardless of data,

@@ -77,6 +77,10 @@ EXPECTED = {
     "ngram_diversity_by_source": (0, {"documents": 2}),
     "stream_replay_scoring": (0, {"events": 6}),
     "bloom_semi_join_prune": (0, {"orders": 3, "customer": 2}),
+    "jaccard_pairs_prefix_filter": (0, {"documents": 2}),
+    # the two NLJ are intentional broadcast single-row joins (the
+    # z_scaled scalar and the true-count scalar), as in pagerank
+    "hll_exact_md5": (2, {"events": 1}),
 }
 
 
