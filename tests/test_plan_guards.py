@@ -81,6 +81,8 @@ EXPECTED = {
     # the two NLJ are intentional broadcast single-row joins (the
     # z_scaled scalar and the true-count scalar), as in pagerank
     "hll_exact_md5": (2, {"events": 1}),
+    # three intentional broadcast single-row joins (the per-set ledger)
+    "kmv_set_cardinality": (3, {"events": 2}),
 }
 
 
