@@ -83,9 +83,15 @@ def _canary_times(spark, sf_dir: str, n: int = 3) -> list[float]:
     return out
 
 
-def run_sweep(spark, sf_dir: str, names: list[str]):
+def run_sweep(spark, sf_dir: str, names: list[str], first_attempt: bool = True):
     """One full measured sweep with canary brackets. Returns
-    (timings, errors, canary_dict, degraded, reasons)."""
+    (timings, errors, canary_dict, degraded, reasons).
+
+    The pre-sweep load check only applies to the FIRST attempt: a
+    retry starts seconds after the previous sweep saturated the box,
+    so its load average reflects our own work, not external
+    contention — the canary spread is the in-run contention signal
+    for retries."""
     try:
         load_start = os.getloadavg()[0]
     except OSError:  # pragma: no cover
@@ -118,8 +124,9 @@ def run_sweep(spark, sf_dir: str, names: list[str]):
     if spread > CANARY_SPREAD_LIMIT:
         reasons.append(f"canary spread {spread:.2f} > {CANARY_SPREAD_LIMIT}")
     # load BEFORE the sweep is the external-contention signal (the
-    # sweep itself saturates the box, so load_end is always high)
-    if load_start is not None and load_start > 0.5 * ncpu:
+    # sweep itself saturates the box, so load_end is always high —
+    # and so is a retry's load_start; see docstring)
+    if first_attempt and load_start is not None and load_start > 0.5 * ncpu:
         reasons.append(f"pre-sweep load1 {load_start:.1f} on {ncpu} cpus")
     canary = {
         "query": CANARY,
@@ -154,7 +161,9 @@ def main() -> None:
 
     attempts = []
     for attempt in range(max_attempts):
-        timings, errors, canary, degraded, reasons = run_sweep(spark, sf_dir, names)
+        timings, errors, canary, degraded, reasons = run_sweep(
+            spark, sf_dir, names, first_attempt=(attempt == 0)
+        )
         attempts.append(
             {
                 "timings": timings,
