@@ -83,6 +83,9 @@ EXPECTED = {
     "hll_exact_md5": (2, {"events": 1}),
     # three intentional broadcast single-row joins (the per-set ledger)
     "kmv_set_cardinality": (3, {"events": 2}),
+    # edge list pinned via localCheckpoint -> no parquet scan downstream
+    "triangle_count_copurchase": (0, {}),
+    "dedup_rapid_repeats": (0, {"events": 3}),
 }
 
 
