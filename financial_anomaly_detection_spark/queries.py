@@ -6483,9 +6483,10 @@ _ZCODE_SQL = " + ".join(
     oracle=f"""
         WITH p AS (
             SELECT p_partkey,
-                   CAST(p_size AS BIGINT) AS sz,
-                   (CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) - 90000)
-                       * 64 // 10000 AS pb
+                   LEAST(GREATEST(CAST(p_size AS BIGINT), 0), 63) AS sz,
+                   LEAST(GREATEST(
+                       (CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) - 90000)
+                           * 64 // 10000, 0), 63) AS pb
             FROM part
         ), z AS (
             SELECT p_partkey, sz, pb, {_ZCODE_SQL} AS zcode FROM p
@@ -6513,14 +6514,22 @@ _ZCODE_SQL = " + ".join(
 )
 def q_zorder_layout_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
+    # both coordinates clamped to [0, 63]: regenerated testdata outside
+    # the observed ranges must not feed negative values into the
+    # shift/mask interleave (negative >> is engine-ambiguous territory)
     p = part.select(
         "p_partkey",
-        F.col("p_size").cast("long").alias("sz"),
+        F.least(F.greatest(F.col("p_size").cast("long"), F.lit(0)), F.lit(63)).alias(
+            "sz"
+        ),
         (
             (F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long") - 90000)
             * 64
         ).alias("_pbn"),
-    ).withColumn("pb", F.expr("_pbn div 10000"))
+    ).withColumn(
+        "pb",
+        F.least(F.greatest(F.expr("_pbn div 10000"), F.lit(0)), F.lit(63)),
+    )
     z = p.withColumn("zcode", F.expr(_ZCODE_SQL))
     return (
         z.groupBy(F.expr("zcode div 64").alias("zfile"))
@@ -7057,6 +7066,72 @@ def q_dedup_rapid_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_name_pairs_ed1",
+    # Record-linkage fuzzy join: all customer-name pairs within edit
+    # distance 1 (the typo'd-account-name shape). The Spark plan uses
+    # FastSS deletion-neighborhood blocking (Bocek 2007): each name
+    # emits itself plus its |s| single-character-deletion variants,
+    # and two names are candidates iff they SHARE a variant —
+    # substitution pairs meet at the deletion of the differing
+    # position, insertion/deletion pairs meet at the shorter string
+    # itself. That turns the n² all-pairs levenshtein into an
+    # equi-join on variant strings (|s|+1 rows per name), then exact
+    # levenshtein verification on candidates only. The DuckDB oracle
+    # IS the naive all-pairs computation — the hash match proves the
+    # blocking is lossless for ED<=1.
+    oracle="""
+        WITH n AS (
+            SELECT DISTINCT c_name AS name FROM customer
+        )
+        SELECT a.name AS name_a, b.name AS name_b,
+               CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        FROM n a JOIN n b ON a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= 1
+    """,
+    description="Edit-distance-1 fuzzy name join via FastSS deletion "
+    "neighborhoods: |s|+1 variant rows per name, candidates from a "
+    "variant equi-join (no all-pairs), exact levenshtein verify. "
+    "Oracle is the naive n² computation — hash match machine-checks "
+    "blocking losslessness. At 100 TB the variant join shuffles "
+    "O(n·|s|) short strings; the verify touches candidates only.",
+    tags=["join", "fuzzy", "record-linkage"],
+)
+def q_fuzzy_name_pairs_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    names = cust.select(F.col("c_name").alias("name")).distinct()
+    # deletion neighborhood: the name itself + every single-char
+    # deletion, as (variant, name) rows — a SQL comprehension over the
+    # character index sequence
+    variants = names.select(
+        "name",
+        F.explode(
+            F.array_union(
+                F.array(F.col("name")),
+                F.expr(
+                    "transform(sequence(1, length(name)), "
+                    "i -> concat(substr(name, 1, i - 1), substr(name, i + 1)))"
+                ),
+            )
+        ).alias("variant"),
+    )
+    cand = (
+        variants.alias("a")
+        .join(
+            variants.alias("b"),
+            (F.col("a.variant") == F.col("b.variant"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 1)
+        .select("name_a", "name_b", "dist")
+    )
+
+
+@register(
     "stream_replay_scoring",
     # Driver-visible evidence for the STREAMING serving path (W1/W6/W7):
     # foreachBatch executes the same DataFrame plan per micro-batch, so
@@ -7288,6 +7363,7 @@ _PRIORITY_R05 = [
     "kmv_set_cardinality",
     "triangle_count_copurchase",
     "dedup_rapid_repeats",
+    "fuzzy_name_pairs_ed1",
     # oracle-backed, freshest green r1/r2 (VERDICT r4 stale list)
     "ml_recon_mse_threshold",
     "ml_fusion_scores_precomputed",

@@ -86,6 +86,7 @@ EXPECTED = {
     # edge list pinned via localCheckpoint -> no parquet scan downstream
     "triangle_count_copurchase": (0, {}),
     "dedup_rapid_repeats": (0, {"events": 3}),
+    "fuzzy_name_pairs_ed1": (0, {"customer": 1}),
 }
 
 

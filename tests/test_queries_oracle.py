@@ -53,7 +53,14 @@ def test_rows_only_query_runs(spark, sf_dir, name):
 # every document keeps >=10 words. The n-gram queries must agree with
 # their oracles down to 0-word texts (round-4 guard: F.sequence(0,
 # size-5) DESCENDS for <5-word docs and slice(_, 0, _) throws).
-SHORT_DOC_QUERIES = ["benchmark_contamination", "duplicate_chunks_across_docs"]
+SHORT_DOC_QUERIES = [
+    "benchmark_contamination",
+    "duplicate_chunks_across_docs",
+    # round-5 document queries must also survive 0..6-word texts
+    "ngram_diversity_by_source",
+    "jaccard_pairs_prefix_filter",
+    "contrastive_negative_pairs",
+]
 
 
 @pytest.fixture(scope="module")
