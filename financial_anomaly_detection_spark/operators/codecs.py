@@ -17,6 +17,15 @@ multimodal decode tier can be REAL rather than stubbed:
   stored bottom-up, 4-byte row padding). Compressed streams raise
   ValueError so callers fall through to the stub tier — honest about
   what a stdlib-only decoder can do.
+- **JPEG** (ITU-T T.81 baseline sequential, round 5): the first
+  COMPRESSED codec in the tier — marker parsing, canonical Huffman
+  entropy coding, zigzag/quantization, 8x8 DCT/IDCT as orthonormal
+  numpy matrix products, JFIF YCbCr. Decoder covers grayscale +
+  3-component scans with sampling factors to 2x2 (4:4:4/4:2:2/4:2:0)
+  and restart markers; progressive/arithmetic/12-bit raise
+  ValueError. Matching encoder (4:4:4 or 4:2:0, flat quant tables,
+  fixed-length canonical Huffman — deliberately simple, fully
+  conformant) exists so tests round-trip real compressed bytes.
 
 These run inside Arrow ``mapInPandas`` batches (operators/multimodal.py).
 They are the *fallback* tier: when native codec libs are present they
@@ -332,3 +341,472 @@ def encode_avi(frames: np.ndarray, fps: float = 8.0) -> bytes:
     movi = list_chunk(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# --- JPEG (baseline sequential DCT, ITU-T T.81) ----------------------------
+#
+# From-scratch baseline JPEG codec per the public ITU-T T.81 spec: marker
+# parsing, canonical Huffman coding, zigzag + quantization, 8x8 DCT-II /
+# IDCT as orthonormal numpy matrix products, JFIF YCbCr color math.
+# Decoder handles grayscale and 3-component images with sampling factors
+# up to 2x2 (4:4:4 / 4:2:2 / 4:2:0) plus restart markers; progressive,
+# arithmetic-coded, and 12-bit modes raise ValueError (stub tier).
+# The encoder emits 4:4:4 (or single-component) baseline streams with
+# fixed-length canonical Huffman tables — deliberately simple, but fully
+# spec-valid: any conformant decoder reads them, and the quantization
+# step is the only loss.
+
+JPEG_SOI = b"\xff\xd8"
+
+
+def _zigzag_order() -> np.ndarray:
+    """The 64-entry zigzag index sequence, generated (not recited):
+    walk anti-diagonals, alternating direction (T.81 Figure 5)."""
+    idx = []
+    for s in range(15):
+        d = [(i, s - i) for i in range(max(0, s - 7), min(8, s + 1))]
+        if s % 2 == 0:
+            d = d[::-1]  # even diagonals run bottom-left -> top-right
+        idx.extend(r * 8 + c for r, c in d)
+    return np.array(idx, dtype=np.int64)
+
+
+_ZZ = _zigzag_order()
+_UNZZ = np.argsort(_ZZ)
+
+# orthonormal 8-point DCT-II matrix: C[k, n] = a(k) cos((2n+1)k pi / 16)
+_C = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * n + 1) * k * np.pi / 16)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+
+def _idct2(block: np.ndarray) -> np.ndarray:
+    return _C.T @ block @ _C
+
+
+def _dct2(block: np.ndarray) -> np.ndarray:
+    return _C @ block @ _C.T
+
+
+class _HuffDecoder:
+    """Canonical Huffman decode table from DHT BITS/HUFFVAL."""
+
+    def __init__(self, bits: list[int], vals: bytes):
+        self.map: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.map[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, reader: "_BitReader") -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.read_bit()
+            v = self.map.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid JPEG huffman code")
+
+
+class _BitReader:
+    """MSB-first bit reader over an already-unstuffed ECS segment."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy data")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.read_bit()
+        if v < (1 << (s - 1)):  # negative branch (T.81 F.2.2.1 EXTEND)
+            v += (-1 << s) + 1
+        return v
+
+
+def _split_ecs(raw: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Collect entropy-coded segments from ``pos``: unstuff 0xFF00,
+    split on restart markers, stop at any other marker. Returns
+    (segments, position of the terminating marker's 0xFF)."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    n = len(raw)
+    while i < n:
+        b = raw[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = raw[i + 1]
+        if m == 0x00:  # stuffed data byte
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:
+            break
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def decode_jpeg(raw: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG to uint8 (H, W) or (H, W, 3)."""
+    if raw[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffDecoder] = {}
+    comps: list[dict] = []
+    H = W = 0
+    restart_interval = 0
+    i = 2
+    n = len(raw)
+    while i < n:
+        if raw[i] != 0xFF:
+            raise ValueError("marker expected in JPEG header")
+        marker = raw[i + 1]
+        i += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI before scan
+            raise ValueError("JPEG has no scan data")
+        (seg_len,) = struct.unpack(">H", raw[i : i + 2])
+        seg = raw[i + 2 : i + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(
+                        np.int32
+                    )
+                    p += 64
+                else:
+                    tbl = np.frombuffer(
+                        seg[p : p + 128], dtype=">u2"
+                    ).astype(np.int32)
+                    p += 128
+                qt[tq] = tbl
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (both Huffman sequential)
+            precision = seg[0]
+            if precision != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            H, W = struct.unpack(">HH", seg[1:5])
+            nf = seg[5]
+            comps = []
+            for c in range(nf):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG mode (progressive/arithmetic)")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                cnt = sum(bits)
+                vals = seg[p + 17 : p + 17 + cnt]
+                huff[(tc, th)] = _HuffDecoder(bits, vals)
+                p += 17 + cnt
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tda = seg[1 + 2 * c : 3 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cs)
+                scan.append((comp, tda >> 4, tda & 15))
+            i += seg_len
+            return _decode_scan(
+                raw, i, H, W, comps, scan, qt, huff, restart_interval
+            )
+        # APPn / COM / others: skip
+        i += seg_len
+    raise ValueError("JPEG ended before SOS")
+
+
+def _decode_scan(raw, pos, H, W, comps, scan, qt, huff, restart_interval):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise ValueError("sampling factors > 2 unsupported")
+    mcux = -(-W // (8 * hmax))
+    mcuy = -(-H // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    }
+    segs, _ = _split_ecs(raw, pos)
+    seg_idx = 0
+    reader = _BitReader(segs[0])
+    pred = {c["id"]: 0 for c in comps}
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("missing JPEG restart segment")
+            reader = _BitReader(segs[seg_idx])
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(m, mcux)
+        for comp, td, ta in scan:
+            dc_t, ac_t = huff[(0, td)], huff[(1, ta)]
+            q = qt[comp["tq"]]
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    zz = np.zeros(64, dtype=np.int32)
+                    s = dc_t.decode(reader)
+                    pred[comp["id"]] += reader.receive_extend(s)
+                    zz[0] = pred[comp["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = ac_t.decode(reader)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC index out of range")
+                        zz[k] = reader.receive_extend(s)
+                        k += 1
+                    block = (zz * q)[_UNZZ].reshape(8, 8).astype(np.float64)
+                    px = _idct2(block) + 128.0
+                    y0 = (my * comp["v"] + by) * 8
+                    x0 = (mx * comp["h"] + bx) * 8
+                    planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+    out_planes = []
+    for c in comps:
+        p = planes[c["id"]]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out_planes.append(p[:H, :W])
+    if len(out_planes) == 1:
+        return np.clip(out_planes[0] + 0.5, 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+
+
+# ---- encoder ----
+
+
+class _HuffEncoder:
+    def __init__(self, bits: list[int], vals: bytes):
+        self.bits = bits
+        self.vals = vals
+        self.codes: dict[int, tuple[int, int]] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.codes[vals[k]] = (length, code)
+                code += 1
+                k += 1
+            code <<= 1
+
+
+def _fixed_len_table(symbols: list[int], length: int) -> _HuffEncoder:
+    """All-symbols-same-length canonical table: valid whenever
+    len(symbols) < 2^length (the all-ones code stays unused, as T.81's
+    BITS generation guarantees). Suboptimal compression, fully
+    conformant streams."""
+    assert len(symbols) < (1 << length)
+    bits = [0] * 16
+    bits[length - 1] = len(symbols)
+    return _HuffEncoder(bits, bytes(symbols))
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, length: int, code: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.acc <<= 8 - self.nbits
+            self.acc |= (1 << (8 - self.nbits)) - 1  # pad with 1s
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _encode_block(wtr, block, quant, pred, ci, dc_enc, ac_enc):
+    coef = np.round(_dct2(block)).astype(np.int64)
+    zz = coef.reshape(-1)[_ZZ]
+    q = np.int64(quant)
+    # symmetric (round-half-away) quantization
+    zzq = np.sign(zz) * ((np.abs(zz) + q // 2) // q)
+    diff = int(zzq[0]) - pred[ci]
+    pred[ci] = int(zzq[0])
+    s = _category(diff)
+    ln, code = dc_enc.codes[s]
+    wtr.write(ln, code)
+    if s:
+        wtr.write(s, diff if diff >= 0 else diff + (1 << s) - 1)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zzq)[0])) if np.any(zzq[1:]) else 0
+    for k in range(1, 64):
+        v = int(zzq[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_enc.codes[0xF0]
+            wtr.write(ln, code)
+            run -= 16
+        s = _category(v)
+        ln, code = ac_enc.codes[(run << 4) | s]
+        wtr.write(ln, code)
+        wtr.write(s, v if v >= 0 else v + (1 << s) - 1)
+        run = 0
+    if last_nz < 63:
+        ln, code = ac_enc.codes[0x00]  # EOB
+        wtr.write(ln, code)
+
+
+def encode_jpeg(
+    img: np.ndarray, quant: int = 8, subsample_420: bool = False
+) -> bytes:
+    """Encode uint8 (H, W) or (H, W, 3) as a baseline JPEG.
+
+    ``quant`` is the flat quantization step for every coefficient —
+    small values keep round-trips tight (the tests' lever), larger
+    values compress harder. Flat tables are spec-valid; Annex K's
+    psychovisual tables are an optimization, not a requirement.
+    ``subsample_420`` switches color images to 2x2-sampled luma with
+    box-mean-downsampled chroma (the web's dominant layout) —
+    exercising the decoder's interleaved multi-block MCU path.
+    """
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    H, W = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    # per-component sampling factors (h, v)
+    if gray or not subsample_420:
+        samps = [(1, 1)] * len(planes)
+    else:
+        samps = [(2, 2), (1, 1), (1, 1)]
+    hmax = max(h for h, _ in samps)
+    vmax = max(v for _, v in samps)
+    dc_enc = _fixed_len_table(list(range(12)), 4)
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_enc = _fixed_len_table(ac_syms, 8)
+
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcux, mcuy = -(-W // mcu_w), -(-H // mcu_h)
+    comp_planes = []
+    for (h, v), p in zip(samps, planes):
+        if (h, v) != (hmax, vmax):
+            # box-mean downsample by the sampling ratio
+            fy, fx = vmax // v, hmax // h
+            ph, pw = -(-p.shape[0] // fy) * fy, -(-p.shape[1] // fx) * fx
+            p = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+            p = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * v * 8, mcux * h * 8
+        p = np.pad(
+            p,
+            ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+            mode="edge",
+        )
+        comp_planes.append(p)
+
+    wtr = _BitWriter()
+    pred = [0] * len(planes)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, ((h, v), p) in enumerate(zip(samps, comp_planes)):
+                for by in range(v):
+                    for bx in range(h):
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * h + bx) * 8
+                        block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        _encode_block(wtr, block, quant, pred, ci, dc_enc, ac_enc)
+    ecs = wtr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    ncomp = len(planes)
+    dqt = seg(0xDB, bytes([0x00]) + bytes([quant] * 64))  # flat table, zigzag-invariant
+    sof_comps = b"".join(
+        bytes([cid + 1, (samps[cid][0] << 4) | samps[cid][1], 0x00])
+        for cid in range(ncomp)
+    )
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", H, W) + bytes([ncomp]) + sof_comps)
+    dht_dc = seg(
+        0xC4, bytes([0x00]) + bytes(dc_enc.bits) + dc_enc.vals
+    )
+    dht_ac = seg(
+        0xC4, bytes([0x10]) + bytes(ac_enc.bits) + ac_enc.vals
+    )
+    sos_comps = b"".join(bytes([cid + 1, 0x00]) for cid in range(ncomp))
+    sos = seg(0xDA, bytes([ncomp]) + sos_comps + bytes([0, 63, 0]))
+    return (
+        JPEG_SOI + dqt + sof + dht_dc + dht_ac + sos + ecs + b"\xff\xd9"
+    )

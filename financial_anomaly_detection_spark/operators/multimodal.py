@@ -65,7 +65,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("channels", T.IntegerType()),
         T.StructField("mean_intensity", T.DoubleType()),
         T.StructField("feature_vec", T.ArrayType(T.FloatType())),
-        T.StructField("decoder", T.StringType()),  # 'pil' | 'png-purepy' | 'stub'
+        T.StructField("decoder", T.StringType()),  # 'pil' | 'png-purepy' | 'jpeg-purepy' | 'stub'
     ]
 )
 
@@ -155,6 +155,45 @@ def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL deterministic baseline-JPEG payload per row
+    (from-scratch T.81 encoder, operators/codecs.py) — smooth
+    id-keyed gradients (the content JPEG represents faithfully),
+    alternating 4:4:4 and 4:2:0 sampling by id parity so both decoder
+    MCU layouts are exercised in every batch."""
+    from .codecs import encode_jpeg
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                h, w = 16 + i % 9, 16 + (i // 9) % 9
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        np.clip(xx * 2 + (i * 7) % 97, 0, 255),
+                        np.clip(yy * 3 + (i * 5) % 83, 0, 255),
+                        np.clip((xx + yy) + (i * 3) % 71, 0, 255),
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                rows.append(
+                    (i, encode_jpeg(img, quant=4, subsample_420=bool(i % 2)))
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    gen_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    out = spread_narrow(df.select(F.col(id_col))).mapInPandas(_gen, schema=gen_schema)
+    return out.select(
+        id_col,
+        "payload",
+        _media_meta(F.col("payload"), "image", "jpeg").alias("media_meta"),
+    )
+
+
 def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a REAL deterministic WAV payload per row: a 1/8-second
     16 kHz sine whose frequency is keyed by the id."""
@@ -236,6 +275,18 @@ def decode_image_features(
                         # unsupported variant OR corrupt bytes (truncated
                         # IDAT raises zlib/struct errors, not just
                         # ValueError) -> per-record stub, never a dead task
+                        pass
+                if raw[:2] == b"\xff\xd8":
+                    try:
+                        from .codecs import decode_jpeg
+
+                        img = decode_jpeg(raw)
+                        w, h, ch, mean_i, vec = _features(img)
+                        out.append((doc_id, w, h, ch, mean_i, vec, "jpeg-purepy"))
+                        continue
+                    except Exception:
+                        # progressive/arithmetic modes or corrupt entropy
+                        # data -> per-record stub, never a dead task
                         pass
                 # STUB: deterministic pseudo-decode from the digest —
                 # NOT a real decode; tagged so downstream can tell.

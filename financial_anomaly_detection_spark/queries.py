@@ -2868,6 +2868,25 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_features",
+    oracle=None,
+    description="Multimodal COMPRESSED-image path (§2.10, r5): REAL "
+    "baseline JPEG payloads (from-scratch ITU-T T.81 codec, "
+    "operators/codecs.py — canonical Huffman + DCT; alternating 4:4:4 "
+    "and 4:2:0 sampling) decoded by the same pure-stdlib codec in a "
+    "mapInPandas stage; rows tagged decoder='jpeg-purepy'. Closes the "
+    "r4 'compressed codecs fall to the stub' gap for images.",
+    tags=["multimodal", "mapinpandas", "jpeg"],
+)
+def q_multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import attach_jpeg_payload, decode_image_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_jpeg_payload(docs, "doc_id")
+    return decode_image_features(media, "doc_id", "payload")
+
+
+@register(
     "multimodal_audio_features",
     oracle=None,
     description="Multimodal audio path (§2.10): REAL WAV payloads decoded "
@@ -7132,6 +7151,61 @@ def q_fuzzy_name_pairs_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "markov_transition_matrix",
+    # First-order Markov transition matrix over per-user event-type
+    # sequences — the behavioral-sequence model a fraud system uses to
+    # score "unusual next action" (and the LLM-pipeline's n-gram LM in
+    # miniature). Transitions come from each user's time-ordered
+    # stream via lag(); probabilities are integer-quantized row-wise
+    # shares. Ties on identical timestamps are broken by event_id so
+    # the sequence — and therefore the matrix — is deterministic.
+    oracle="""
+        WITH s AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ), t AS (
+            SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+            FROM s WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        ), r AS (
+            SELECT prev_type, SUM(n) AS row_total FROM t GROUP BY prev_type
+        )
+        SELECT t.prev_type, t.next_type,
+               CAST(t.n AS BIGINT) AS n,
+               CAST(r.row_total AS BIGINT) AS row_total,
+               CAST(1000000 * t.n // r.row_total AS BIGINT) AS p_u
+        FROM t JOIN r USING (prev_type)
+    """,
+    description="First-order Markov transition matrix over per-user "
+    "event sequences: one (user)-keyed sort shuffle for lag(), one "
+    "partial agg to types^2 cells, integer-quantized row "
+    "probabilities. High-cardinality parallel at 100 TB; the tiny "
+    "matrix broadcasts back for next-action scoring.",
+    tags=["sequence", "aggregate", "anomaly"],
+)
+def q_markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = s.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    r = t.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return t.join(r, "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long"),
+        F.col("row_total").cast("long"),
+        F.expr("1000000 * n div row_total").cast("long").alias("p_u"),
+    )
+
+
+@register(
     "stream_replay_scoring",
     # Driver-visible evidence for the STREAMING serving path (W1/W6/W7):
     # foreachBatch executes the same DataFrame plan per micro-batch, so
@@ -7364,6 +7438,7 @@ _PRIORITY_R05 = [
     "triangle_count_copurchase",
     "dedup_rapid_repeats",
     "fuzzy_name_pairs_ed1",
+    "markov_transition_matrix",
     # oracle-backed, freshest green r1/r2 (VERDICT r4 stale list)
     "ml_recon_mse_threshold",
     "ml_fusion_scores_precomputed",

@@ -208,3 +208,91 @@ def test_corrupt_avi_payload_falls_to_stub_not_task_death(spark, sf_dir):
         tier == ("stub" if doc_id % 2 == 0 else "avi-purepy")
         for doc_id, tier in tiers.items()
     )
+
+
+# --- JPEG (baseline T.81, round 5) ----------------------------------------
+
+
+def test_jpeg_flat_color_roundtrips_exactly():
+    from financial_anomaly_detection_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.full((24, 40, 3), [120, 64, 200], dtype=np.uint8)
+    for sub in (False, True):
+        out = decode_jpeg(encode_jpeg(img, quant=4, subsample_420=sub))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() == 0
+
+
+@pytest.mark.parametrize("sub", [False, True])
+def test_jpeg_gradient_roundtrip_within_quant_error(sub):
+    from financial_anomaly_detection_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    x = np.linspace(0, 255, 61)
+    y = np.linspace(0, 255, 45)
+    gx, gy = np.meshgrid(x, y)
+    img = np.stack([gx, gy, (gx + gy) / 2], -1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant=4, subsample_420=sub))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert out.shape == img.shape  # odd sizes: pad + crop handled
+    assert err.mean() < 2.0 and err.max() <= (8 if sub else 4)
+
+
+def test_jpeg_grayscale_and_noise_tight_at_quant1():
+    from financial_anomaly_detection_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(33, 29), dtype=np.uint8).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(gray, quant=1))
+    assert out.shape == gray.shape
+    # grayscale skips color-space rounding: quant=1 is near-lossless
+    assert np.abs(out.astype(int) - gray.astype(int)).max() <= 1
+    rgb = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8).astype(np.uint8)
+    out2 = decode_jpeg(encode_jpeg(rgb, quant=1))
+    assert np.abs(out2.astype(int) - rgb.astype(int)).max() <= 2  # YCbCr rounding
+
+
+def test_jpeg_rejects_bad_and_unsupported():
+    from financial_anomaly_detection_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg at all")
+    img = np.full((8, 8), 99, dtype=np.uint8)
+    good = encode_jpeg(img, quant=2)
+    # flip SOF0 -> SOF2 (progressive) -> must refuse, not mis-decode
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        decode_jpeg(prog)
+    # truncated entropy data -> error (callers fall to the stub tier)
+    with pytest.raises(Exception):
+        decode_jpeg(good[: len(good) - 6])
+
+
+def test_jpeg_multimodal_path_decodes_real(spark, sf_dir):
+    from financial_anomaly_detection_spark.operators.multimodal import (
+        attach_jpeg_payload,
+        decode_image_features,
+    )
+    from financial_anomaly_detection_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(24)
+    media = attach_jpeg_payload(docs, "doc_id")
+    feats = decode_image_features(media, "doc_id", "payload").collect()
+    assert len(feats) == 24
+    assert {r["decoder"] for r in feats} <= {"jpeg-purepy", "pil"}
+    for r in feats:
+        i = r["doc_id"]
+        assert r["width"] == 16 + (i // 9) % 9 and r["height"] == 16 + i % 9
+        assert r["channels"] == 3
+        assert 0.0 < r["mean_intensity"] < 255.0

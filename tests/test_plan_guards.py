@@ -87,6 +87,7 @@ EXPECTED = {
     "triangle_count_copurchase": (0, {}),
     "dedup_rapid_repeats": (0, {"events": 3}),
     "fuzzy_name_pairs_ed1": (0, {"customer": 1}),
+    "markov_transition_matrix": (0, {"events": 4}),
 }
 
 
