@@ -10,7 +10,12 @@ multimodal decode tier can be REAL rather than stubbed:
   training-data pipeline generates for itself. The matching encoder
   exists so tests can round-trip arbitrary arrays through real bytes.
 - **WAV** (RIFF PCM): stdlib ``wave`` handles the container; samples
-  decode to int16 numpy arrays.
+  decode to int16 numpy arrays. **G.711 mu-law/A-law** (fmt tags 7/6,
+  ITU-T G.711 — the classic compressed telephony formats, round 5)
+  decode through a manual RIFF walk + vectorized expansion (``wave``
+  refuses non-PCM); the matching compressor is the exact
+  nearest-decode-level quantizer, so companding is idempotent on all
+  256 codes and round-trip SNR hits the textbook ~39 dB.
 - **AVI** (RIFF 'AVI ' form, Microsoft AVI RIFF File Reference —
   public): chunk walker + MainAVIHeader/BITMAPINFOHEADER parsing +
   uncompressed 24-bit DIB frame decode ('00db' chunks, BGR rows
@@ -195,15 +200,136 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+# --- G.711 companding (ITU-T G.711, public) --------------------------------
+#
+# mu-law/A-law are the classic COMPRESSED telephony WAV formats (fmt
+# tags 7 / 6). The stdlib `wave` module refuses non-PCM, so compressed
+# WAVs get a manual RIFF walk + the G.711 expansion formulas — pure
+# integer math, vectorized.
+
+
+def _mulaw_decode(u8: np.ndarray) -> np.ndarray:
+    u = (~u8.astype(np.int64)) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = ((mant << 3) + 0x84 << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _alaw_decode(a8: np.ndarray) -> np.ndarray:
+    a = a8.astype(np.int64) ^ 0x55
+    sign = a & 0x80  # A-law: sign bit SET means positive (G.711 Table 2)
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1))
+    return np.where(sign, mag, -mag).astype(np.int16)
+
+
+def _nearest_level_encoder(decode_fn):
+    """Exact compander inversion: the encoder maps a sample to the
+    code whose DECODE level is nearest — built from the decode table
+    itself, so encode(decode(c)) == c for all 256 codes by
+    construction (no re-derived segment formulas to get wrong)."""
+    levels = decode_fn(np.arange(256, dtype=np.uint8)).astype(np.int64)
+    order = np.argsort(levels, kind="stable")
+    sorted_levels = levels[order]
+    cuts = (sorted_levels[1:] + sorted_levels[:-1]) // 2
+
+    def encode(x: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(cuts, x.astype(np.int64), side="right")
+        return order[idx].astype(np.uint8)
+
+    return encode
+
+
+_mulaw_encode = _nearest_level_encoder(_mulaw_decode)
+_alaw_encode = _nearest_level_encoder(_alaw_decode)
+
+
+def _walk_wav_chunks(raw: bytes):
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        yield cid, raw[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+
+
 def decode_wav(raw: bytes) -> tuple[int, np.ndarray]:
-    """Decode RIFF/PCM WAV bytes → (sample_rate, int16 array (n, channels))."""
-    with wave.open(io.BytesIO(raw), "rb") as w:
-        if w.getsampwidth() != 2:
-            raise ValueError(f"only 16-bit PCM supported, got {w.getsampwidth()*8}-bit")
-        rate = w.getframerate()
-        n = w.getnframes()
-        data = np.frombuffer(w.readframes(n), dtype="<i2")
-        return rate, data.reshape(-1, w.getnchannels())
+    """Decode WAV bytes → (sample_rate, int16 array (n, channels)).
+
+    PCM (fmt 1) goes through the stdlib ``wave`` reader; G.711
+    mu-law/A-law (fmt 7/6 — compressed telephony audio) take the
+    manual RIFF walk + vectorized expansion, since ``wave`` refuses
+    non-PCM compression types.
+    """
+    try:
+        with wave.open(io.BytesIO(raw), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise ValueError(
+                    f"only 16-bit PCM supported, got {w.getsampwidth()*8}-bit"
+                )
+            rate = w.getframerate()
+            n = w.getnframes()
+            data = np.frombuffer(w.readframes(n), dtype="<i2")
+            return rate, data.reshape(-1, w.getnchannels())
+    except wave.Error:
+        pass  # non-PCM: walk the RIFF ourselves
+    fmt = None
+    payload = None
+    for cid, body in _walk_wav_chunks(raw):
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            payload = body
+    if fmt is None or payload is None:
+        raise ValueError("WAV missing fmt/data chunks")
+    tag, channels, rate = fmt[0], fmt[1], fmt[2]
+    u8 = np.frombuffer(payload, dtype=np.uint8)
+    if tag == 7:  # G.711 mu-law
+        pcm = _mulaw_decode(u8)
+    elif tag == 6:  # G.711 A-law
+        pcm = _alaw_decode(u8)
+    else:
+        raise ValueError(f"unsupported WAV format tag {tag}")
+    return rate, pcm.reshape(-1, max(channels, 1))
+
+
+def wav_format_tag(raw: bytes) -> int | None:
+    """The fmt-chunk format tag (1=PCM, 6=A-law, 7=mu-law), or None."""
+    try:
+        for cid, body in _walk_wav_chunks(raw):
+            if cid == b"fmt ":
+                return struct.unpack("<H", body[:2])[0]
+    except ValueError:
+        pass
+    return None
+
+
+def encode_wav_g711(
+    samples: np.ndarray, sample_rate: int = 8000, law: str = "mu"
+) -> bytes:
+    """Encode int16 samples as a compressed G.711 WAV (fmt tag 7/6)."""
+    arr = np.ascontiguousarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    channels = arr.shape[1]
+    comp = _mulaw_encode(arr.reshape(-1)) if law == "mu" else _alaw_encode(arr.reshape(-1))
+    tag = 7 if law == "mu" else 6
+    fmt = struct.pack(
+        "<HHIIHH", tag, channels, sample_rate, sample_rate * channels, channels, 8
+    )
+    data = comp.tobytes()
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    body = b"WAVE" + chunk(b"fmt ", fmt) + chunk(b"data", data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:

@@ -326,6 +326,12 @@ def decode_audio_features(
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload)
                 try:
+                    from .codecs import wav_format_tag
+
+                    tag = wav_format_tag(raw)
+                    tier = {6: "wav-alaw-purepy", 7: "wav-mulaw-purepy"}.get(
+                        tag, "wav-stdlib"
+                    )
                     rate, samples = decode_wav(raw)
                     mono = samples[:, 0].astype(float)
                     n = len(mono)
@@ -340,9 +346,7 @@ def decode_audio_features(
                         dom = float(np.fft.rfftfreq(n, 1.0 / rate)[int(spec.argmax())])
                     else:
                         dom = 0.0
-                    out.append(
-                        (doc_id, rate, n, n / rate, rms, zc, dom, "wav-stdlib")
-                    )
+                    out.append((doc_id, rate, n, n / rate, rms, zc, dom, tier))
                     continue
                 except Exception:
                     pass
@@ -364,6 +368,37 @@ def decode_audio_features(
 
     return spread_narrow(df.select(F.col(id_col), F.col(payload_col))).mapInPandas(
         _decode, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def attach_g711_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL compressed G.711 WAV payload per row (mu-law for
+    even ids, A-law for odd — both expansion paths run every batch):
+    a 1/8-second 8 kHz sine whose frequency is keyed by the id,
+    companded through the from-scratch ITU-T G.711 encoder."""
+    from .codecs import encode_wav_g711
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                rate = 8000
+                freq = 200 + (i % 17) * 100
+                t = np.arange(rate // 8)
+                sig = (8000 * np.sin(2 * np.pi * freq * t / rate)).astype(np.int16)
+                law = "mu" if i % 2 == 0 else "a"
+                rows.append((i, encode_wav_g711(sig, rate, law)))
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    gen_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    out = spread_narrow(df.select(F.col(id_col))).mapInPandas(_gen, schema=gen_schema)
+    return out.select(
+        id_col,
+        "payload",
+        _media_meta(F.col("payload"), "audio", "wav-g711").alias("media_meta"),
     )
 
 

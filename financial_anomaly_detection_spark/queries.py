@@ -2904,6 +2904,26 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_g711_features",
+    oracle=None,
+    description="Multimodal COMPRESSED-audio path (§2.10, r5): REAL "
+    "G.711 mu-law/A-law WAV payloads (ITU-T G.711 companding, "
+    "from-scratch vectorized expand + exact nearest-level compress, "
+    "operators/codecs.py; stdlib wave refuses non-PCM so the RIFF "
+    "walk is manual) decoded in the same mapInPandas audio stage; "
+    "rows tagged decoder='wav-mulaw-purepy'/'wav-alaw-purepy'. "
+    "~39 dB SNR on sine fixtures — the textbook G.711 figure.",
+    tags=["multimodal", "mapinpandas", "audio", "g711"],
+)
+def q_multimodal_g711_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import attach_g711_payload, decode_audio_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_g711_payload(docs, "doc_id")
+    return decode_audio_features(media, "doc_id", "payload")
+
+
+@register(
     "multimodal_video_features",
     oracle=None,
     description="Multimodal video path (§2.10): REAL uncompressed-DIB AVI "

@@ -296,3 +296,74 @@ def test_jpeg_multimodal_path_decodes_real(spark, sf_dir):
         assert r["width"] == 16 + (i // 9) % 9 and r["height"] == 16 + i % 9
         assert r["channels"] == 3
         assert 0.0 < r["mean_intensity"] < 255.0
+
+
+# --- G.711 mu-law / A-law (round 5) ---------------------------------------
+
+
+def test_g711_sine_roundtrip_snr():
+    from financial_anomaly_detection_spark.operators.codecs import (
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    t = np.arange(2000)
+    sig = (8000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+    for law in ("mu", "a"):
+        rate, out = decode_wav(encode_wav_g711(sig, 8000, law))
+        assert rate == 8000 and out.shape == (2000, 1)
+        err = out[:, 0].astype(float) - sig.astype(float)
+        snr = 10 * np.log10((sig.astype(float) ** 2).mean() / (err**2).mean())
+        assert snr > 35.0, f"{law}-law SNR {snr:.1f} dB below G.711 expectation"
+
+
+def test_g711_companding_idempotent_on_all_codes():
+    """encode(decode(c)) must reproduce c's decode level for every one
+    of the 256 codes — the nearest-level encoder guarantees it."""
+    from financial_anomaly_detection_spark.operators.codecs import (
+        _alaw_decode,
+        _alaw_encode,
+        _mulaw_decode,
+        _mulaw_encode,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    for dec, enc in ((_mulaw_decode, _mulaw_encode), (_alaw_decode, _alaw_encode)):
+        assert np.array_equal(dec(enc(dec(codes))), dec(codes))
+
+
+def test_g711_known_levels():
+    """Spot values from the public G.711 tables: mu-law peak +-32124
+    at codes 0x80/0x00 complemented; A-law peak +-32256; both laws
+    decode a near-zero level for the 'silence' codes."""
+    from financial_anomaly_detection_spark.operators.codecs import (
+        _alaw_decode,
+        _mulaw_decode,
+    )
+
+    mu = _mulaw_decode(np.arange(256, dtype=np.uint8))
+    assert int(mu.max()) == 32124 and int(mu.min()) == -32124
+    assert int(mu[0xFF]) == 0  # mu-law code 0xFF decodes to 0
+    al = _alaw_decode(np.arange(256, dtype=np.uint8))
+    assert int(al.max()) == 32256 and int(al.min()) == -32256
+    assert abs(int(al[0xD5])) <= 8  # A-law 'silence' code 0x55^0x80
+
+
+def test_g711_multimodal_path_decodes_real(spark, sf_dir):
+    from financial_anomaly_detection_spark.operators.multimodal import (
+        attach_g711_payload,
+        decode_audio_features,
+    )
+    from financial_anomaly_detection_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(16)
+    media = attach_g711_payload(docs, "doc_id")
+    feats = decode_audio_features(media, "doc_id", "payload").collect()
+    assert len(feats) == 16
+    for r in feats:
+        i = r["doc_id"]
+        expect = "wav-mulaw-purepy" if i % 2 == 0 else "wav-alaw-purepy"
+        assert r["decoder"] == expect
+        assert r["sample_rate"] == 8000 and r["n_samples"] == 1000
+        # dominant frequency recovered through the companding round-trip
+        assert abs(r["dominant_freq_hz"] - (200 + (i % 17) * 100)) <= 16.0
