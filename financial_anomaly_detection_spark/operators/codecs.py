@@ -349,6 +349,8 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 # --- AVI (RIFF video container) -------------------------------------------
 
 RIFF_SIGNATURE = b"RIFF"
+# 'MJPG' as the little-endian biCompression u32
+MJPG_FOURCC_U32 = struct.unpack("<I", b"MJPG")[0]
 
 
 def _walk_riff(raw: bytes, pos: int, end: int):
@@ -405,6 +407,18 @@ def decode_avi(raw: bytes) -> tuple[float, np.ndarray]:
     _scan(12, len(raw))
     if width is None or not frames_raw:
         raise ValueError("no avih header / no frame chunks")
+    fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
+    if compression == MJPG_FOURCC_U32:
+        # Motion JPEG (round 5): every '00dc' chunk is a standalone
+        # baseline JPEG — decoded by the from-scratch T.81 codec. The
+        # first COMPRESSED video stream the tier decodes for real.
+        decoded = [decode_jpeg(fb) for fb in frames_raw]
+        frames = np.stack(
+            [f if f.ndim == 3 else np.repeat(f[..., None], 3, axis=2) for f in decoded]
+        )
+        if frames.shape[1] != height or frames.shape[2] != width:
+            raise ValueError("MJPEG frame size disagrees with AVI header")
+        return fps, frames
     if compression not in (0, None):
         raise ValueError(f"compressed AVI stream (biCompression={compression})")
     if bit_count not in (24, None):
@@ -419,15 +433,42 @@ def decode_avi(raw: bytes) -> tuple[float, np.ndarray]:
         )
         bgr = rows[:, : width * 3].reshape(height, width, 3)
         frames[i] = bgr[::-1, :, ::-1]  # bottom-up rows, BGR -> RGB
-    fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
     return fps, frames
 
 
-def encode_avi(frames: np.ndarray, fps: float = 8.0) -> bytes:
-    """Encode uint8 RGB frames (n, H, W, 3) as a real uncompressed AVI
-    ('DIB ' fourcc, 24-bit BI_RGB, bottom-up BGR rows, 4-byte row
-    padding) so tests can round-trip arbitrary arrays through real
-    container bytes."""
+def avi_compression(raw: bytes) -> int | None:
+    """The video stream's biCompression u32 (0=BI_RGB, 'MJPG'=Motion
+    JPEG), or None when the bytes aren't a parseable AVI."""
+    try:
+        if raw[:4] != RIFF_SIGNATURE or raw[8:12] != b"AVI ":
+            return None
+        result = None
+
+        def _scan(pos: int, end: int) -> None:
+            nonlocal result
+            for fourcc, _lt, dstart, dlen in _walk_riff(raw, pos, end):
+                if fourcc == b"LIST":
+                    _scan(dstart, dstart + dlen)
+                elif fourcc == b"strf" and dlen >= 20:
+                    result = struct.unpack("<I", raw[dstart + 16 : dstart + 20])[0]
+
+        _scan(12, len(raw))
+        return result
+    except (ValueError, struct.error):
+        return None
+
+
+def encode_avi(
+    frames: np.ndarray, fps: float = 8.0, codec: str = "DIB", quant: int = 4
+) -> bytes:
+    """Encode uint8 RGB frames (n, H, W, 3) as a real AVI.
+
+    ``codec="DIB"`` (default): uncompressed 24-bit BI_RGB, bottom-up
+    BGR rows, 4-byte row padding. ``codec="MJPG"`` (round 5): Motion
+    JPEG — every frame a standalone baseline JPEG from the from-scratch
+    T.81 encoder ('00dc' chunks, biCompression='MJPG'), i.e. a REAL
+    compressed video stream; ``quant`` is the per-frame quantization
+    step."""
     arr = np.ascontiguousarray(frames, dtype=np.uint8)
     n, height, width, _ = arr.shape
     stride = (width * 3 + 3) & ~3
@@ -441,30 +482,37 @@ def encode_avi(frames: np.ndarray, fps: float = 8.0) -> bytes:
         return chunk(b"LIST", ltype + data)
 
     frame_bytes = []
-    for f in arr:
-        bgr_bottom_up = f[::-1, :, ::-1]
-        rows = np.zeros((height, stride), dtype=np.uint8)
-        rows[:, : width * 3] = bgr_bottom_up.reshape(height, width * 3)
-        frame_bytes.append(rows.tobytes())
-    frame_size = stride * height
+    if codec == "MJPG":
+        for f in arr:
+            frame_bytes.append(encode_jpeg(f, quant=quant))
+        frame_size = max(len(fb) for fb in frame_bytes)
+        frame_id, fourcc_s, compression, bitcount = b"00dc", b"MJPG", MJPG_FOURCC_U32, 24
+    else:
+        for f in arr:
+            bgr_bottom_up = f[::-1, :, ::-1]
+            rows = np.zeros((height, stride), dtype=np.uint8)
+            rows[:, : width * 3] = bgr_bottom_up.reshape(height, width * 3)
+            frame_bytes.append(rows.tobytes())
+        frame_size = stride * height
+        frame_id, fourcc_s, compression, bitcount = b"00db", b"DIB ", 0, 24
 
     avih = struct.pack(
         "<10I16x",
         usec, frame_size * int(fps), 0, 0x10, n, 0, 1, frame_size, width, height,
     )
     strh = (
-        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, int(fps), 0, n, frame_size, -1, 0)
+        b"vids" + fourcc_s + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, int(fps), 0, n, frame_size, -1, 0)
         + struct.pack("<4H", 0, 0, width, height)
     )
     strf = struct.pack(
-        "<iiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 0, 0, 0, 0
+        "<iiiHHIIiiII", 40, width, height, 1, bitcount, compression, frame_size, 0, 0, 0, 0
     )
     hdrl = list_chunk(
         b"hdrl",
         chunk(b"avih", avih)
         + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    movi = list_chunk(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    movi = list_chunk(b"movi", b"".join(chunk(frame_id, fb) for fb in frame_bytes))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 

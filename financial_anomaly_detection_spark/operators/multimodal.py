@@ -441,6 +441,46 @@ def attach_avi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def attach_mjpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL COMPRESSED Motion-JPEG AVI payload per row: 6
+    frames of smooth id-keyed gradients (content JPEG carries
+    faithfully), each frame a standalone baseline JPEG from the
+    from-scratch T.81 encoder inside the RIFF container."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                h, w, n = 16, 24, 6
+                yy, xx = np.mgrid[0:h, 0:w]
+                frames = np.stack(
+                    [
+                        np.stack(
+                            [
+                                np.clip(xx * 4 + f * 8 + (i * 7) % 97, 0, 255),
+                                np.clip(yy * 5 + (i * 5) % 83, 0, 255),
+                                np.clip((xx + yy) * 3 + (i * 3) % 71, 0, 255),
+                            ],
+                            axis=2,
+                        )
+                        for f in range(n)
+                    ]
+                ).astype(np.uint8)
+                rows.append((i, encode_avi(frames, fps=8.0, codec="MJPG", quant=4)))
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    gen_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    out = spread_narrow(df.select(F.col(id_col))).mapInPandas(_gen, schema=gen_schema)
+    return out.select(
+        id_col,
+        "payload",
+        _media_meta(F.col("payload"), "video", "avi-mjpeg").alias("media_meta"),
+    )
+
+
 def decode_video_features(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -463,6 +503,13 @@ def decode_video_features(
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload)
                 try:
+                    from .codecs import MJPG_FOURCC_U32, avi_compression
+
+                    tier = (
+                        "avi-mjpeg-purepy"
+                        if avi_compression(raw) == MJPG_FOURCC_U32
+                        else "avi-purepy"
+                    )
                     fps, frames = decode_avi(raw)
                     n, h, w = frames.shape[:3]
                     arr = frames.astype(np.float64)
@@ -477,7 +524,7 @@ def decode_video_features(
                         (
                             doc_id, n, w, h, fps,
                             n / fps if fps else 0.0,
-                            float(arr.mean()), motion, sampled, "avi-purepy",
+                            float(arr.mean()), motion, sampled, tier,
                         )
                     )
                     continue

@@ -2924,6 +2924,27 @@ def q_multimodal_g711_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mjpeg_features",
+    oracle=None,
+    description="Multimodal COMPRESSED-video path (§2.10, r5): REAL "
+    "Motion-JPEG AVI payloads — every '00dc' frame a standalone "
+    "baseline JPEG from the from-scratch T.81 codec inside the RIFF "
+    "container (biCompression='MJPG') — decoded by the same "
+    "pure-stdlib pipeline in the video mapInPandas stage; rows tagged "
+    "decoder='avi-mjpeg-purepy'. Closes the r4 'compressed video "
+    "falls to the stub' note for the MJPEG family (H.264-class "
+    "inter-frame codecs remain honestly stubbed).",
+    tags=["multimodal", "mapinpandas", "video", "mjpeg"],
+)
+def q_multimodal_mjpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import attach_mjpeg_payload, decode_video_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_mjpeg_payload(docs, "doc_id")
+    return decode_video_features(media, "doc_id", "payload")
+
+
+@register(
     "multimodal_video_features",
     oracle=None,
     description="Multimodal video path (§2.10): REAL uncompressed-DIB AVI "

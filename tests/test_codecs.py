@@ -367,3 +367,51 @@ def test_g711_multimodal_path_decodes_real(spark, sf_dir):
         assert r["sample_rate"] == 8000 and r["n_samples"] == 1000
         # dominant frequency recovered through the companding round-trip
         assert abs(r["dominant_freq_hz"] - (200 + (i % 17) * 100)) <= 16.0
+
+
+# --- Motion JPEG in AVI (round 5) -----------------------------------------
+
+
+def test_mjpeg_avi_roundtrip_and_compression():
+    from financial_anomaly_detection_spark.operators.codecs import (
+        decode_avi,
+        encode_avi,
+    )
+
+    h, w, n = 24, 32, 5
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = np.stack(
+        [
+            np.stack(
+                [(xx * 4 + k * 8) % 256, (yy * 6) % 256, ((xx + yy) * 3) % 256],
+                -1,
+            ).astype(np.uint8)
+            for k in range(n)
+        ]
+    )
+    raw = encode_avi(frames, fps=10.0, codec="MJPG", quant=4)
+    fps, out = decode_avi(raw)
+    assert fps == 10.0 and out.shape == frames.shape
+    err = np.abs(out.astype(int) - frames.astype(int))
+    assert err.mean() < 2.0 and err.max() <= 8
+    # it actually compresses: far below the uncompressed DIB size
+    dib = encode_avi(frames, fps=10.0)
+    assert len(raw) < len(dib) / 2
+
+
+def test_mjpeg_multimodal_path_decodes_real(spark, sf_dir):
+    from financial_anomaly_detection_spark.operators.multimodal import (
+        attach_mjpeg_payload,
+        decode_video_features,
+    )
+    from financial_anomaly_detection_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(12)
+    media = attach_mjpeg_payload(docs, "doc_id")
+    feats = decode_video_features(media, "doc_id", "payload").collect()
+    assert len(feats) == 12
+    for r in feats:
+        assert r["decoder"] == "avi-mjpeg-purepy"
+        assert r["n_frames"] == 6 and r["width"] == 24 and r["height"] == 16
+        assert r["fps"] == 8.0
+        assert r["motion_score"] > 0.0  # frames genuinely differ
