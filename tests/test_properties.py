@@ -227,3 +227,56 @@ def test_skyline_decomposition_matches_bruteforce(spark, pts):
 
     want = sorted(i for i in range(len(pts)) if not dominated_by_any(i))
     assert got == want
+
+
+# --- codec properties (round 5; pure-python, no Spark) ---------------------
+
+
+@given(
+    st.integers(8, 24),
+    st.integers(8, 24),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=20, deadline=None)
+def test_jpeg_444_quant1_roundtrip_bound(h, w, seed):
+    """At quant=1 the only loss is DCT + YCbCr rounding: every pixel of
+    ANY image must round-trip within +-2 (4:4:4)."""
+    import numpy as np
+
+    from financial_anomaly_detection_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.int64).astype("uint8")
+    out = decode_jpeg(encode_jpeg(img, quant=1))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+@given(st.integers(0, 2**32 - 1), st.sampled_from(["mu", "a"]))
+@settings(max_examples=20, deadline=None)
+def test_g711_relative_error_bound(seed, law):
+    """G.711 quantization error is relative (companding): bounded by
+    ~7% of magnitude plus the segment-0 step, plus clipping above the
+    law's peak level."""
+    import numpy as np
+
+    from financial_anomaly_detection_spark.operators.codecs import (
+        _alaw_decode,
+        _alaw_encode,
+        _mulaw_decode,
+        _mulaw_encode,
+    )
+
+    dec, enc, peak = (
+        (_mulaw_decode, _mulaw_encode, 32124)
+        if law == "mu"
+        else (_alaw_decode, _alaw_encode, 32256)
+    )
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32768, 32768, size=512).astype(np.int16)
+    err = np.abs(dec(enc(x)).astype(int) - x.astype(int))
+    bound = 0.07 * np.abs(x.astype(int)) + 16 + np.maximum(np.abs(x.astype(int)) - peak, 0)
+    assert (err <= bound).all()
