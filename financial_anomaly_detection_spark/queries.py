@@ -7247,6 +7247,93 @@ def q_markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "theilsen_daily_trend",
+    # Theil-Sen robust trend (Theil 1950 / Sen 1968): per channel, the
+    # median of all pairwise slopes of the daily event-count series —
+    # the outlier-proof answer to "is this channel growing or dying"
+    # that OLS gets wrong on one spiky day. Exactness follows the
+    # repo's percentile discipline (percentile_thresholds precedent):
+    # slopes are exact-integer dy over exact-integer dx divided ONCE
+    # in doubles (bit-identical inputs -> bit-identical quotients in
+    # both engines), the median interpolates those doubles, and the
+    # output is sround-stabilized. Pair count is C(days, 2) per series
+    # — bounded by the WINDOW length, not data volume: at 100 TB the
+    # daily partial agg compresses the scan to |channels|x|days| rows
+    # before any join.
+    oracle=f"""
+        WITH d AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        AS BIGINT) AS day,
+                   COUNT(*) AS c
+            FROM events GROUP BY 1, 2
+        ), dd AS (
+            SELECT event_type, COUNT(*) AS n_days FROM d GROUP BY event_type
+        ), pairs AS (
+            SELECT a.event_type,
+                   CAST(b.c - a.c AS DOUBLE) / (b.day - a.day) AS slope
+            FROM d a JOIN d b
+              ON a.event_type = b.event_type AND a.day < b.day
+        ), pa AS (
+            SELECT event_type, COUNT(*) AS n_pairs,
+                   quantile_cont(slope, 0.5) AS med
+            FROM pairs GROUP BY event_type
+        )
+        SELECT pa.event_type,
+               CAST(dd.n_days AS BIGINT) AS n_days,
+               CAST(pa.n_pairs AS BIGINT) AS n_pairs,
+               {sround_sql('pa.med', 6)} AS theil_sen_slope
+        FROM pa JOIN dd USING (event_type)
+    """,
+    description="Theil-Sen robust daily trend per channel: one daily "
+    "partial agg (|channels|x|days| rows), C(days,2) pairwise exact "
+    "slopes, interpolated median, sround output. The robust drift "
+    "companion to the KS/Mann-Whitney family; fully parallel and "
+    "window-bounded at 100 TB.",
+    tags=["anomaly", "drift", "robust-stats"],
+)
+def q_theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    d = d.localCheckpoint(eager=True)  # consumed by both join sides + counts
+    pairs = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            (
+                (F.col("b.c") - F.col("a.c")).cast("double")
+                / (F.col("b.day") - F.col("a.day"))
+            ).alias("slope"),
+        )
+    )
+    days = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.percentile("slope", F.lit(0.5)).alias("_med"),
+        )
+        .join(F.broadcast(days), "event_type")
+        .select(
+            "event_type",
+            F.col("n_days").cast("long"),
+            F.col("n_pairs").cast("long"),
+            sround(F.col("_med"), 6).alias("theil_sen_slope"),
+        )
+    )
+
+
+@register(
     "stream_replay_scoring",
     # Driver-visible evidence for the STREAMING serving path (W1/W6/W7):
     # foreachBatch executes the same DataFrame plan per micro-batch, so
@@ -7480,6 +7567,7 @@ _PRIORITY_R05 = [
     "dedup_rapid_repeats",
     "fuzzy_name_pairs_ed1",
     "markov_transition_matrix",
+    "theilsen_daily_trend",
     # oracle-backed, freshest green r1/r2 (VERDICT r4 stale list)
     "ml_recon_mse_threshold",
     "ml_fusion_scores_precomputed",

@@ -88,6 +88,8 @@ EXPECTED = {
     "dedup_rapid_repeats": (0, {"events": 3}),
     "fuzzy_name_pairs_ed1": (0, {"customer": 1}),
     "markov_transition_matrix": (0, {"events": 4}),
+    # daily count table pinned via localCheckpoint -> no parquet scan
+    "theilsen_daily_trend": (0, {}),
 }
 
 
