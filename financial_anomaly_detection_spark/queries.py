@@ -7025,12 +7025,28 @@ def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(e.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
+        # pinned: consumed by both orientation joins + the node count
+        .localCheckpoint(eager=True)
     )
+    # Both counts are needed for the OUTPUT anyway — reuse them to
+    # pick the degree-join strategy by MEASURED size (the repo's
+    # tier-by-measurement rule): post-checkpoint stats blind the
+    # optimizer here, and at x30 its mis-planned broadcast OOMed the
+    # driver build while blanket SMJ hints cost 2x at x10. Explicit
+    # broadcast while the node table is genuinely broadcast-sized
+    # (~16 B/row -> 5M nodes ~ 80 MB), sort-merge (spill-safe) beyond.
+    n_edges = e.count()
+    n_nodes = deg.count()
+
+    def deg_side(new_name: str, deg_name: str):
+        d = deg.withColumnRenamed("v", new_name).withColumnRenamed("deg", deg_name)
+        return F.broadcast(d) if n_nodes <= 5_000_000 else d.hint("merge")
+
     # total order: okey = deg * 2^32 + id (partkey < 2^32); orient
-    # every edge from smaller okey to larger
+    # every edge from smaller okey to larger.
     keyed = (
-        e.join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
-        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+        e.join(deg_side("a", "da"), "a")
+        .join(deg_side("b", "db"), "b")
         .select(
             "a",
             "b",
@@ -7057,8 +7073,6 @@ def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
         ["v", "w"],
     )
-    n_edges = e.count()
-    n_nodes = deg.count()
     tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
     return tri.select(
         F.lit(n_edges).cast("long").alias("n_edges"),
