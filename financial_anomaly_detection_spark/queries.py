@@ -7541,6 +7541,221 @@ def q_stream_replay_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5b: time-series diagnostics (CUSUM / OLS / rolling median)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cusum_changepoint_daily",
+    # CUSUM changepoint screen (Page 1954): per channel, the running
+    # cumulative deviation from the series mean over the daily-total
+    # series; the day where |S_k| peaks is the classic single-shift
+    # changepoint estimate. Exactness: the mean is rational, so the
+    # statistic is kept INTEGER by scaling through n — stat_k =
+    # n*prefix_k - k*total is n*S_k with no division anywhere.
+    # Headroom: n_days is window-bounded (~1e3) and prefix/total are
+    # int64 cents, so n*prefix < 9.2e18 up to ~1e4 days x 1e12 cents/
+    # day (~$1e10/day/channel) — far past 100 TB; beyond that swap the
+    # two products to DECIMAL(38,0) (driftstats precedent).
+    # Scale shape: one daily partial agg compresses the scan to
+    # |channels| x |days| rows; every window below is partitioned by
+    # channel over that tiny frame — no global window, no
+    # single-partition exchange.
+    oracle="""
+        WITH d AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        AS BIGINT) AS day,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ), s AS (
+            SELECT event_type, day, c,
+                   CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                           ORDER BY day) AS BIGINT) AS rk
+            FROM d
+        ), t AS (
+            SELECT event_type, CAST(SUM(c) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_days
+            FROM d GROUP BY event_type
+        ), st AS (
+            SELECT s.event_type, s.day, t.n_days,
+                   t.n_days * s.p - s.rk * t.total AS stat
+            FROM s JOIN t USING (event_type)
+        ), pick AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY ABS(stat) DESC, day) AS pr
+            FROM st
+        )
+        SELECT event_type,
+               CAST(n_days AS BIGINT) AS n_days,
+               CAST(day AS BIGINT) AS changepoint_day,
+               CAST(ABS(stat) AS BIGINT) AS cusum_stat_scaled
+        FROM pick WHERE pr = 1
+    """,
+    description="CUSUM changepoint per channel (Page 1954) on the daily "
+    "cents series: integer n-scaled cumulative deviation, argmax day "
+    "with deterministic ties. Daily partial agg first, so every window "
+    "runs over |channels|x|days| rows — no global window at any scale.",
+    tags=["anomaly", "drift", "changepoint", "time-series"],
+)
+def q_cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    d = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(F.sum(cents).cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # consumed by the window AND the totals
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    s = d.select(
+        "event_type",
+        "day",
+        F.sum("c").over(wd.rowsBetween(Window.unboundedPreceding, 0)).alias("p"),
+        F.row_number().over(wd).cast("long").alias("rk"),
+    )
+    t = d.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    st = s.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        (F.col("n_days") * F.col("p") - F.col("rk") * F.col("total")).alias("stat"),
+    )
+    pick = st.withColumn(
+        "pr",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.abs(F.col("stat")).desc(), F.col("day")
+            )
+        ),
+    ).filter(F.col("pr") == 1)
+    return pick.select(
+        "event_type",
+        F.col("n_days").cast("long"),
+        F.col("day").cast("long").alias("changepoint_day"),
+        F.abs(F.col("stat")).cast("long").alias("cusum_stat_scaled"),
+    )
+
+
+@register(
+    "ols_trend_daily",
+    # Closed-form OLS + Pearson r per channel over the daily cents
+    # series, via the normal equations on exact integer power sums
+    # (n, Sx, Sy, Sxy, Sxx, Syy). First-order sums stay int64; every
+    # PRODUCT of sums is computed in DECIMAL(38,0) on both engines
+    # (Syy alone is ~c^2 x days, which overflows int64 once daily
+    # totals pass ~5e8 cents — the driftstats lesson, applied from the
+    # start). The single decimal->double cast feeds one division and
+    # one sqrt, bit-identical ops on bit-identical inputs in both
+    # engines, then sround. Complements theilsen_daily_trend (robust)
+    # with the classical estimator + goodness-of-fit.
+    oracle=f"""
+        WITH d AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        AS BIGINT) AS day,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ), a AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                   CAST(SUM(day) AS DECIMAL(38,0)) AS sx,
+                   CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+                   CAST(SUM(day * y) AS DECIMAL(38,0)) AS sxy,
+                   CAST(SUM(day * day) AS DECIMAL(38,0)) AS sxx,
+                   CAST(SUM(CAST(y AS DECIMAL(38,0))
+                            * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+            FROM d GROUP BY event_type
+        ), m AS (
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n_days,
+                   CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+                   CAST(n * sxx - sx * sx AS DOUBLE) AS denx,
+                   CAST(n * syy - sy * sy AS DOUBLE) AS deny,
+                   CAST(sy * sxx - sx * sxy AS DOUBLE) AS inum
+            FROM a
+        )
+        SELECT event_type, n_days,
+               {sround_sql('num / NULLIF(denx, 0.0) / 100.0', 6)}
+                   AS ols_slope_dollars_per_day,
+               {sround_sql('inum / NULLIF(denx, 0.0) / 100.0', 6)}
+                   AS ols_intercept_dollars,
+               {sround_sql('num / NULLIF(sqrt(denx) * sqrt(deny), 0.0)', 6)}
+                   AS pearson_r
+        FROM m
+    """,
+    description="Per-channel OLS slope/intercept + Pearson r on daily "
+    "cents via integer normal equations: first-order sums int64, "
+    "products of sums DECIMAL(38,0) (overflow-safe past 100 TB), one "
+    "decimal->double cast before the only division/sqrt. Classical "
+    "companion to the Theil-Sen robust trend.",
+    tags=["anomaly", "trend", "regression", "time-series"],
+)
+def q_ols_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.sum(cents).cast("long").alias("y"))
+    dec38 = "decimal(38,0)"
+    a = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec38).alias("n"),
+        F.sum("day").cast(dec38).alias("sx"),
+        F.sum("y").cast(dec38).alias("sy"),
+        F.sum(F.col("day") * F.col("y")).cast(dec38).alias("sxy"),
+        F.sum(F.col("day") * F.col("day")).cast(dec38).alias("sxx"),
+        F.sum(F.col("y").cast(dec38) * F.col("y").cast(dec38))
+        .cast(dec38)
+        .alias("syy"),
+    )
+    m = a.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("denx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("deny"),
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+        .cast("double")
+        .alias("inum"),
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        sround(
+            F.col("num") / F.nullif(F.col("denx"), F.lit(0.0)) / F.lit(100.0), 6
+        ).alias("ols_slope_dollars_per_day"),
+        sround(
+            F.col("inum") / F.nullif(F.col("denx"), F.lit(0.0)) / F.lit(100.0), 6
+        ).alias("ols_intercept_dollars"),
+        sround(
+            F.col("num")
+            / F.nullif(F.sqrt(F.col("denx")) * F.sqrt(F.col("deny")), F.lit(0.0)),
+            6,
+        ).alias("pearson_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
 #
@@ -7582,6 +7797,8 @@ _PRIORITY_R05 = [
     "fuzzy_name_pairs_ed1",
     "markov_transition_matrix",
     "theilsen_daily_trend",
+    "cusum_changepoint_daily",
+    "ols_trend_daily",
     # oracle-backed, freshest green r1/r2 (VERDICT r4 stale list)
     "ml_recon_mse_threshold",
     "ml_fusion_scores_precomputed",
