@@ -448,3 +448,77 @@ def simhash_near_dup_pairs(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def longest_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_span: int = 20,
+    max_gram_df: int = 50,
+) -> DataFrame:
+    """Longest shared token span per document pair — the span-level
+    refinement of :func:`duplicate_chunks` (Lee et al. 2021's
+    suffix-array substring dedup, re-expressed relationally).
+
+    A run of ``k`` consecutive shared ``n``-grams on one alignment
+    diagonal (pos_a - pos_b constant) is a shared span of ``k + n - 1``
+    tokens, so the suffix-array scan becomes: positional n-gram
+    explode -> md5-keyed equi-join (the shuffle key is a 32-char
+    digest, never text) -> gaps-and-islands run-length per
+    (pair, diagonal) -> max. Grams in more than ``max_gram_df`` docs
+    are dropped first (boilerplate carries no alignment information;
+    same DF-cap guard as jaccard_candidates, bounding join fan-out by
+    ``max_gram_df**2`` per gram).
+
+    Returns (doc_a, doc_b, max_span_tokens, n_shared_grams) for pairs
+    whose longest shared span reaches ``min_span`` tokens.
+    """
+    toks = tokens_col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.struct(
+            i.alias("pos"), F.md5(F.concat_ws(" ", F.slice(toks, i, n))).alias("key")
+        ),
+    )
+    e = (
+        spread_narrow(df)
+        .filter(F.size(toks) >= n)
+        .select(F.col(id_col).alias("_id"), F.explode(grams).alias("g"))
+        .select("_id", F.col("g.pos").alias("pos"), F.col("g.key").alias("key"))
+    )
+    hot = (
+        e.groupBy("key")
+        .agg(F.countDistinct("_id").alias("_df"))
+        .filter(F.col("_df") > max_gram_df)
+        .select("key")
+    )
+    e = e.join(F.broadcast(hot), "key", "left_anti")
+    pairs = (
+        e.alias("x")
+        .join(e.alias("y"), "key")
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(
+            F.col("x._id").alias("doc_a"),
+            F.col("y._id").alias("doc_b"),
+            F.col("x.pos").alias("pa"),
+            (F.col("x.pos") - F.col("y.pos")).alias("diag"),
+        )
+        # no distinct needed: (pa, diag) fixes (x.pos, y.pos), and a
+        # doc holds exactly one gram per position — rows are unique
+    )
+    wd = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        pairs.withColumn("_grp", F.col("pa") - F.row_number().over(wd))
+        .groupBy("doc_a", "doc_b", "diag", "_grp")
+        .agg(F.count(F.lit(1)).alias("_run"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("_run") + F.lit(n - 1)).cast("long").alias("max_span_tokens"),
+            F.sum("_run").cast("long").alias("n_shared_grams"),
+        )
+        .filter(F.col("max_span_tokens") >= min_span)
+    )

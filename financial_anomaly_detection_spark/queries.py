@@ -7755,6 +7755,375 @@ def q_ols_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rolling_median_daily",
+    # Trailing 7-day rolling MEDIAN of the daily cents series per
+    # channel — the robust smoother (rolling mean exists as EWMA; the
+    # median ignores one spiky day entirely). Spark has no native
+    # window median, so the window collects the (bounded, <=7-element)
+    # frame as an array and indexes the two middles after sort — an
+    # O(frame) in-partition expression, NOT a UDF. The oracle mirrors
+    # the identical list construction (list(...) OVER w -> list_sort)
+    # instead of DuckDB's MEDIAN() so both engines interpolate the
+    # same way on even frames: integer cents are exact in doubles, so
+    # (a+b)/2.0/100.0 is bit-identical. Windows partition by channel
+    # over the post-aggregation daily frame — never over raw events.
+    oracle="""
+        WITH d AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        AS BIGINT) AS day,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ), arr AS (
+            SELECT event_type, day, c,
+                   list_sort(list(c) OVER (PARTITION BY event_type ORDER BY day
+                                           ROWS BETWEEN 6 PRECEDING
+                                           AND CURRENT ROW)) AS win
+            FROM d
+        )
+        SELECT event_type, day,
+               CAST(c AS BIGINT) AS day_cents,
+               CAST(len(win) AS BIGINT) AS frame_n,
+               (CAST(win[CAST((len(win) + 1) // 2 AS INTEGER)] AS DOUBLE)
+                + CAST(win[CAST(len(win) // 2 + 1 AS INTEGER)] AS DOUBLE))
+                   / 2.0 / 100.0 AS rolling_median_dollars
+        FROM arr
+    """,
+    description="Per-channel trailing 7-day rolling median of daily "
+    "cents: windowed collect + sort over the bounded frame (<=7 "
+    "elements), exact half-cent interpolation on even frames. The "
+    "robust companion to ewma_amounts; all windows run on the "
+    "|channels|x|days| aggregate, never on raw events.",
+    tags=["window", "robust-stats", "time-series"],
+)
+def q_rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.sum(cents).cast("long").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    arr = d.withColumn("win", F.sort_array(F.collect_list("c").over(w)))
+    m = F.size("win")
+    lo = F.element_at("win", ((m + 1) / 2).cast("int"))
+    hi = F.element_at("win", (m / 2 + 1).cast("int"))
+    return arr.select(
+        "event_type",
+        "day",
+        F.col("c").cast("long").alias("day_cents"),
+        m.cast("long").alias("frame_n"),
+        ((lo.cast("double") + hi.cast("double")) / F.lit(2.0) / F.lit(100.0)).alias(
+            "rolling_median_dollars"
+        ),
+    )
+
+
+@register(
+    "max_concurrent_sessions",
+    # Interval-overlap aggregation by sweep line: how many user
+    # sessions (30-min-gap sessionization, the sessionize_events
+    # definition) are active simultaneously, maxed per day. The naive
+    # form is an interval self-join (quadratic in overlap density);
+    # the sweep line is two rows per session (+1 at start, -1 one
+    # microsecond after end => inclusive-end semantics at tick
+    # granularity), a net-delta agg per distinct tick, and ONE global
+    # running sum — which is exactly the operator Spark cannot express
+    # without an Exchange SinglePartition, so it runs on the two-pass
+    # distributed prefix scan (operators/prefix.py, Blelloch
+    # decomposition). Integer addition is associative, so the bucketed
+    # scan is bit-identical to the oracle's sequential window.
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                                > 1800000000
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id,
+                   SUM(is_start) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id,
+                   epoch_us(ts) AS t
+            FROM marked
+        ), sess AS (
+            SELECT user_id, session_id,
+                   MIN(t) AS s, MAX(t) AS e
+            FROM sessions GROUP BY 1, 2
+        ), deltas AS (
+            SELECT s AS t, 1 AS delta FROM sess
+            UNION ALL
+            SELECT e + 1 AS t, -1 AS delta FROM sess
+        ), net AS (
+            SELECT t, CAST(SUM(delta) AS BIGINT) AS d
+            FROM deltas GROUP BY t
+        ), run AS (
+            SELECT t, d,
+                   CAST(SUM(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS active
+            FROM net
+        )
+        SELECT CAST(date_diff('day', DATE '2024-01-01',
+                              CAST(make_timestamp(t) AS DATE)) AS BIGINT) AS day,
+               CAST(MAX(active) AS BIGINT) AS max_concurrent,
+               CAST(COUNT(*) AS BIGINT) AS n_ticks
+        FROM run GROUP BY 1
+    """,
+    description="Max concurrent sessions per day via sweep line: "
+    "sessionize -> (+1/-1) boundary deltas -> net per tick -> global "
+    "running sum on the two-pass distributed prefix scan (no "
+    "single-partition exchange) -> per-day max. Replaces the quadratic "
+    "interval self-join with two shuffles linear in session count.",
+    tags=["window", "session", "prefix-scan", "time-series"],
+)
+def q_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.prefix import ordered_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_start = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    sessions = ev.select(
+        "user_id",
+        F.sum(is_start)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+        F.unix_micros("ts").alias("t"),
+    )
+    sess = sessions.groupBy("user_id", "session_id").agg(
+        F.min("t").alias("s"), F.max("t").alias("e")
+    )
+    deltas = sess.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
+        sess.select((F.col("e") + 1).alias("t"), F.lit(-1).alias("delta"))
+    )
+    net = deltas.groupBy("t").agg(F.sum("delta").cast("long").alias("d"))
+    run = ordered_prefix_sum(net, "t", "d", out_col="_before")
+    return (
+        run.withColumn("active", (F.col("_before") + F.col("d")).cast("long"))
+        .groupBy(
+            F.datediff(
+                F.timestamp_micros("t").cast("date"),
+                F.lit("2024-01-01").cast("date"),
+            )
+            .cast("long")
+            .alias("day")
+        )
+        .agg(
+            F.max("active").cast("long").alias("max_concurrent"),
+            F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-5b: span-level dedup + collocations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "longest_dup_span_pairs",
+    # Span-level exact-substring dedup (Lee et al. 2021): the longest
+    # shared TOKEN SPAN per document pair, not just "do they share a
+    # 5-gram" (duplicate_chunks_across_docs). k consecutive shared
+    # 8-grams on one alignment diagonal (pos_a - pos_b constant) = a
+    # shared span of k+7 tokens — the suffix-array scan as a
+    # positional-gram join + gaps-and-islands run length. Shuffle key
+    # is the md5 digest of the gram (32 chars), never document text;
+    # grams in >50 docs are dropped first (the jaccard_candidates DF
+    # cap: boilerplate has no alignment value and fans out
+    # quadratically).
+    oracle=r"""
+        WITH w AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents
+        ), e0 AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   md5(array_to_string(t[i:i+7], ' ')) AS key
+            FROM w, unnest(range(1, len(t) - 6)) AS r(i)
+            WHERE len(t) >= 8
+        ), hot AS (
+            SELECT key FROM e0
+            GROUP BY key HAVING COUNT(DISTINCT doc_id) > 50
+        ), e AS (
+            SELECT * FROM e0 WHERE key NOT IN (SELECT key FROM hot)
+        ), pairs AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   x.pos AS pa, x.pos - y.pos AS diag
+            FROM e x JOIN e y USING (key)
+            WHERE x.doc_id < y.doc_id
+        ), isl AS (
+            SELECT doc_a, doc_b, diag,
+                   pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                           ORDER BY pa) AS grp
+            FROM pairs
+        ), runs AS (
+            SELECT doc_a, doc_b, diag, grp, COUNT(*) AS run
+            FROM isl GROUP BY 1, 2, 3, 4
+        )
+        SELECT CAST(doc_a AS BIGINT) AS doc_a,
+               CAST(doc_b AS BIGINT) AS doc_b,
+               CAST(MAX(run) + 7 AS BIGINT) AS max_span_tokens,
+               CAST(SUM(run) AS BIGINT) AS n_shared_grams
+        FROM runs GROUP BY 1, 2
+        HAVING MAX(run) + 7 >= 20
+    """,
+    description="Longest shared token span per doc pair (substring-"
+    "level dedup, Lee et al. 2021): positional 8-gram md5 join, "
+    "diagonal gaps-and-islands run length, DF-capped hot grams. "
+    "Span >= 20 tokens. The pair-granular refinement of "
+    "duplicate_chunks_across_docs.",
+    tags=["dedup", "text", "llm-pipeline"],
+)
+def q_longest_dup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import longest_duplicate_spans
+
+    out = longest_duplicate_spans(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=8,
+        min_span=20,
+        max_gram_df=50,
+    )
+    return out.select(
+        F.col("doc_a").cast("long"),
+        F.col("doc_b").cast("long"),
+        "max_span_tokens",
+        "n_shared_grams",
+    )
+
+
+@register(
+    "pmi_collocations",
+    # Collocation extraction by pointwise mutual information (Church &
+    # Hanks 1990): bigrams whose observed frequency most exceeds the
+    # independence expectation. The log is monotone, so ranking by the
+    # PMI *ratio* c_xy * N_uni^2 / (N_bi * c_x * c_y) avoids any
+    # cross-engine log ulp issues entirely; the ratio is computed in
+    # doubles with one fixed association order on bit-identical
+    # integer inputs. Corpus scale shape: two token-keyed partial
+    # aggs (unigrams, bigrams) + two equi-joins of the bigram table
+    # against the unigram counts; top-k via TakeOrdered with a total
+    # order (ratio desc, bigram) — no global window.
+    oracle=r"""
+        WITH toks AS (
+            SELECT list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       x -> regexp_matches(x, '^[a-z]+$')
+                   ) AS t
+            FROM documents
+        ), uni AS (
+            SELECT u.x AS tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks, unnest(t) AS u(x) GROUP BY 1
+        ), bi AS (
+            SELECT t[i] || ' ' || t[i+1] AS bigram,
+                   t[i] AS x, t[i+1] AS y
+            FROM toks, unnest(range(1, len(t))) AS r(i)
+        ), bc AS (
+            SELECT bigram, any_value(x) AS x, any_value(y) AS y,
+                   CAST(COUNT(*) AS BIGINT) AS c_xy
+            FROM bi GROUP BY bigram
+        ), tot AS (
+            SELECT CAST((SELECT SUM(c) FROM uni) AS BIGINT) AS nu,
+                   CAST((SELECT SUM(c_xy) FROM bc) AS BIGINT) AS nb
+        ), scored AS (
+            SELECT bc.bigram, bc.c_xy, ux.c AS c_x, uy.c AS c_y,
+                   ((CAST(bc.c_xy AS DOUBLE) * CAST(tot.nu AS DOUBLE))
+                        * CAST(tot.nu AS DOUBLE))
+                   / ((CAST(tot.nb AS DOUBLE) * CAST(ux.c AS DOUBLE))
+                        * CAST(uy.c AS DOUBLE)) AS ratio
+            FROM bc
+            JOIN uni ux ON bc.x = ux.tok
+            JOIN uni uy ON bc.y = uy.tok
+            CROSS JOIN tot
+            WHERE bc.c_xy >= 5
+        )
+        SELECT bigram, c_xy, c_x, c_y,
+               floor(ratio * 1000000.0 + 0.5) / 1000000.0 AS pmi_ratio
+        FROM scored
+        ORDER BY ratio DESC, bigram
+        LIMIT 100
+    """,
+    description="Top-100 collocations by PMI ratio (Church & Hanks "
+    "1990): unigram + bigram partial aggs, two equi-joins, log-free "
+    "monotone ranking in doubles over exact integer counts, TakeOrdered "
+    "top-k with a deterministic total order.",
+    tags=["text", "nlp", "llm-pipeline"],
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x: x.rlike("^[a-z]+$"),
+    )
+    td = d.select(toks.alias("t")).localCheckpoint(eager=True)
+    uni = td.select(F.explode("t").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    # F.sequence(1, size-1) DESCENDS for <2-token docs (the round-4
+    # short-doc lesson) — gate the whole expression on size >= 2
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.struct(
+                F.element_at("t", i).alias("x"),
+                F.element_at("t", i + 1).alias("y"),
+            ),
+        ),
+    )  # .when leaves <2-token docs NULL; explode() drops NULL arrays
+    bi = td.select(F.explode(bigrams).alias("b")).select(
+        F.col("b.x").alias("x"), F.col("b.y").alias("y")
+    )
+    bc = (
+        bi.groupBy(F.concat_ws(" ", "x", "y").alias("bigram"))
+        .agg(
+            F.any_value("x").alias("x"),
+            F.any_value("y").alias("y"),
+            F.count(F.lit(1)).cast("long").alias("c_xy"),
+        )
+        .filter(F.col("c_xy") >= 5)
+    )
+    tot_u = uni.agg(F.sum("c").cast("long").alias("nu"))
+    tot_b = bi.agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
+    scored = (
+        bc.join(ux, "x")
+        .join(uy, "y")
+        .join(F.broadcast(tot_u))
+        .join(F.broadcast(tot_b))
+        .select(
+            "bigram",
+            "c_xy",
+            "c_x",
+            "c_y",
+            (
+                (F.col("c_xy").cast("double") * F.col("nu").cast("double"))
+                * F.col("nu").cast("double")
+                / (
+                    (F.col("nb").cast("double") * F.col("c_x").cast("double"))
+                    * F.col("c_y").cast("double")
+                )
+            ).alias("ratio"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("ratio").desc(), "bigram")
+        .limit(100)
+        .select("bigram", "c_xy", "c_x", "c_y", sround(F.col("ratio"), 6).alias("pmi_ratio"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -7799,6 +8168,10 @@ _PRIORITY_R05 = [
     "theilsen_daily_trend",
     "cusum_changepoint_daily",
     "ols_trend_daily",
+    "rolling_median_daily",
+    "max_concurrent_sessions",
+    "longest_dup_span_pairs",
+    "pmi_collocations",
     # oracle-backed, freshest green r1/r2 (VERDICT r4 stale list)
     "ml_recon_mse_threshold",
     "ml_fusion_scores_precomputed",

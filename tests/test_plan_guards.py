@@ -138,7 +138,13 @@ def test_no_unplanned_nested_loop_join(spark, sf_dir, name):
 # all: the sequence-packing prefix sum was a global Window.orderBy
 # (every row through ONE task) until round 4; the two-pass parallel
 # form (operators/prefix.py) must not regress.
-NO_SINGLE_PARTITION = ["pack_sequences_2048", "curation_pipeline_e2e"]
+NO_SINGLE_PARTITION = [
+    "pack_sequences_2048",
+    "curation_pipeline_e2e",
+    # round-5b sweep line: the global running concurrency sum must run
+    # on the two-pass prefix scan, not a global window
+    "max_concurrent_sessions",
+]
 
 
 @pytest.mark.parametrize("name", NO_SINGLE_PARTITION)
