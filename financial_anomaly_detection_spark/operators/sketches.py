@@ -75,3 +75,78 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("est"))
     )
+
+
+def quantile_sketch_knots(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_groups: int = 32,
+    knots_per_group: int = 200,
+) -> DataFrame:
+    """Mergeable quantile summary (GK/KLL-family, deterministic form).
+
+    Folds an unbounded value stream into ``n_groups * knots_per_group``
+    weighted knots — the quantile analog of the CMS/HLL/KMV tier: per-
+    key exact state is O(n); the sketch is O(G*k) regardless of volume.
+
+    Determinism & layout-independence: rows are assigned to one of
+    ``n_groups`` summary groups by a HASH OF THE ROW ID (not by Spark
+    partition), so the sketch is a pure function of the data — same
+    discipline as the md5 hash surrogates, and unlike
+    partition-local sketching it survives repartitioning bit-for-bit.
+    Each group is summarized by an Arrow-batched ``applyInPandas``
+    (numpy sort + evenly spaced rank knots): knot j of a group holds
+    (value at rank ceil(j*n/k), weight = rank step), so per-group rank
+    error is <= n_g/k and total error after the weighted merge is
+    <= N/k (0.5% at k=200) — pytest-asserted against exact ranks.
+
+    Returns (value, w): merged weighted knots, grouped by value.
+    """
+    import pandas as pd
+
+    spark_schema = "value long, w long"
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        v = np.sort(pdf["v"].to_numpy())
+        n = len(v)
+        k = min(knots_per_group, n)
+        ranks = np.ceil(np.arange(1, k + 1) * n / k).astype("int64")
+        prev = np.concatenate(([0], ranks[:-1]))
+        return pd.DataFrame({"value": v[ranks - 1], "w": ranks - prev})
+
+    groups = df.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).alias("g"),
+        F.col(value_col).alias("v"),
+    )
+    knots = groups.groupBy("g").applyInPandas(summarize, schema=spark_schema)
+    return knots.groupBy("value").agg(F.sum("w").cast("long").alias("w"))
+
+
+def quantile_sketch_estimates(
+    knots: DataFrame, quantiles: list[float]
+) -> DataFrame:
+    """Quantile estimates from merged knots, fully relational: the
+    running weight is the two-pass distributed prefix scan (no
+    single-partition exchange), and each estimate is the smallest
+    knot value whose cumulative weight reaches ceil(q*N)."""
+    from .prefix import ordered_prefix_sum
+
+    run = ordered_prefix_sum(knots, "value", "w", out_col="_before")
+    run = run.withColumn("cum", (F.col("_before") + F.col("w")).cast("long"))
+    total = knots.agg(F.sum("w").cast("long").alias("n_total"))
+    qdf = run.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "q double"
+    )
+    return (
+        run.join(F.broadcast(total))
+        .join(F.broadcast(qdf))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n_total")))
+        .groupBy("q")
+        .agg(
+            F.min("value").alias("est"),
+            F.any_value("n_total").alias("n_total"),
+        )
+    )

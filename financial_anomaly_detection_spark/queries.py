@@ -6955,6 +6955,35 @@ def q_bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_pairs(li: DataFrame) -> DataFrame:
+    """Distinct part co-purchase edges (a < b): parts sharing an order.
+
+    Per-order pair expansion as ONE groupBy + JVM array comprehension
+    (C(k,2) with k = lineitems/order, bounded) — measured 2x cheaper
+    than the equivalent self-join on l_orderkey, which scans and
+    shuffles lineitem twice. Shared by the triangle-count and BFS
+    graph queries (identical edge definition in their oracles)."""
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ps"), i + 2, F.greatest(F.size("ps") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        per_order.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
+
+
 @register(
     "triangle_count_copurchase",
     # Triangle counting on the part co-purchase graph via DEGREE-
@@ -6995,28 +7024,8 @@ def q_bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    # per-order pair expansion as ONE groupBy + JVM array comprehension
-    # (C(k,2) with k = lineitems/order, bounded) — measured 2x cheaper
-    # than the equivalent self-join on l_orderkey, which scans and
-    # shuffles lineitem twice
-    per_order = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ps")
-    )
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("ps"),
-            lambda x, i: F.transform(
-                F.slice(
-                    F.col("ps"), i + 2, F.greatest(F.size("ps") - i - 1, F.lit(0))
-                ),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
     e = (
-        per_order.select(F.explode(pair_expr).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .distinct()
+        _copurchase_pairs(li)
         # pinned: consumed by degrees, orientation, wedges, and closure
         .localCheckpoint(eager=True)
     )
@@ -8124,6 +8133,116 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "bfs_reachability_copurchase",
+    # Bounded-depth BFS (2 hops) from the min-partkey seed over the
+    # part co-purchase graph — the iterative-join skeleton every
+    # distributed graph pass (label propagation, connected components,
+    # PageRank) reduces to, made driver-checkable: the oracle is a
+    # recursive CTE, the Spark side is per-level frontier expansion
+    # with localCheckpoint pinning (each level: one equi-join on the
+    # edge list + distinct + anti-join against visited). Levels are
+    # data-parallel; depth is the only sequential dimension, fixed at
+    # 2 — at 100 TB each level is a shuffle linear in frontier-incident
+    # edges, and the checkpoint caps lineage growth (the classic
+    # iterative-algorithm failure mode).
+    oracle="""
+        WITH RECURSIVE pairs AS (
+            SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ), edges AS (
+            SELECT a AS s, b AS d FROM pairs
+            UNION ALL
+            SELECT b, a FROM pairs
+        ), seed AS (
+            SELECT MIN(l_partkey) AS v FROM lineitem
+        ), bfs(v, hop) AS (
+            SELECT v, 0 FROM seed
+            UNION
+            SELECT e.d, bfs.hop + 1
+            FROM bfs JOIN edges e ON e.s = bfs.v
+            WHERE bfs.hop < 2
+        )
+        SELECT CAST(v AS BIGINT) AS node,
+               CAST(MIN(hop) AS BIGINT) AS min_hops
+        FROM bfs GROUP BY v
+    """,
+    description="2-hop BFS from the min-partkey seed over the part "
+    "co-purchase graph: per-level frontier join + distinct + "
+    "anti-join vs visited, localCheckpoint per level (bounded "
+    "lineage). The iterative-join skeleton under label-prop / CC / "
+    "PageRank, with a recursive-CTE oracle.",
+    tags=["graph", "iterative", "join"],
+)
+def q_bfs_reachability_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    e = _copurchase_pairs(li).localCheckpoint(eager=True)
+    edges = (
+        e.select(F.col("a").alias("s"), F.col("b").alias("d"))
+        .unionAll(e.select(F.col("b").alias("s"), F.col("a").alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    # seed stays in-plan: a 1-row aggregate, broadcast into the joins
+    frontier = li.agg(F.min("l_partkey").alias("v")).withColumn("hop", F.lit(0))
+    visited = frontier.localCheckpoint(eager=True)
+    frontier = visited
+    for hop in (1, 2):
+        # hop 1's frontier is the single seed row — always broadcast;
+        # later frontiers can approach graph size on power-law graphs,
+        # so leave the join strategy to AQE's measured sizes
+        fr = frontier.select(F.col("v").alias("s"))
+        nxt = (
+            edges.join(F.broadcast(fr) if hop == 1 else fr, "s")
+            .select(F.col("d").alias("v"))
+            .distinct()
+            .join(visited.select("v"), "v", "left_anti")
+            .withColumn("hop", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select(
+        F.col("v").cast("long").alias("node"),
+        F.col("hop").cast("long").alias("min_hops"),
+    )
+
+
+
+@register(
+    "quantile_sketch_values",
+    # Rows-only: the sketch is approximate by construction (rank error
+    # <= N/k, pytest-bounded in tests/test_extensions.py); no SQL
+    # oracle can reproduce it without re-implementing the sketch.
+    oracle=None,
+    description="Mergeable quantile sketch (GK/KLL-family) over event "
+    "value cents: id-hash group assignment (layout-independent), "
+    "Arrow-batched per-group rank knots (G*k rows total), weighted "
+    "merge + distributed prefix scan for the final estimates — the "
+    "quantile member of the sketch family (CMS / HLL / KMV). "
+    "Deterministic: a pure function of the data, not the partitioning.",
+    tags=["sketch", "quantile", "approx"],
+)
+def q_quantile_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import quantile_sketch_estimates, quantile_sketch_knots
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_id", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents")
+    )
+    knots = quantile_sketch_knots(cents, "cents", "event_id")
+    est = quantile_sketch_estimates(
+        knots, [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+    )
+    return est.select(
+        "q",
+        F.col("est").cast("long").alias("est_cents"),
+        (F.col("est").cast("double") / F.lit(100.0)).alias("est_dollars"),
+        F.col("n_total").cast("long"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -8172,6 +8291,7 @@ _PRIORITY_R05 = [
     "max_concurrent_sessions",
     "longest_dup_span_pairs",
     "pmi_collocations",
+    "bfs_reachability_copurchase",
     # oracle-backed, freshest green r1/r2 (VERDICT r4 stale list)
     "ml_recon_mse_threshold",
     "ml_fusion_scores_precomputed",

@@ -561,3 +561,46 @@ def test_simhash_vector_signature_deterministic(spark):
     b = {r["vec_id"]: r["simhash"] for r in simhash_vector_signatures(df.repartition(7)).collect()}
     assert a == b  # layout-independent
     assert len(set(a.values())) > 1  # signatures actually discriminate
+
+
+
+def test_quantile_sketch_rank_error_and_determinism(spark, sf_dir):
+    """The mergeable quantile sketch's estimates must sit within the
+    documented rank-error bound (N/k per group level => <=1% of N with
+    margin), and be a pure function of the DATA — identical after
+    repartitioning, because group assignment hashes the row id, not
+    the partition."""
+    from financial_anomaly_detection_spark.operators.sketches import (
+        quantile_sketch_estimates,
+        quantile_sketch_knots,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    knots = quantile_sketch_knots(cents, "cents", "event_id")
+    est = {
+        r["q"]: r["est"]
+        for r in quantile_sketch_estimates(knots, qs).collect()
+    }
+    n = cents.count()
+    for q in qs:
+        # exact rank of the estimate: how many values are <= it
+        rank = cents.filter(F.col("cents") <= est[q]).count()
+        assert abs(rank - q * n) <= 0.01 * n + 1, (
+            f"q={q}: est={est[q]} has rank {rank}, want ~{q * n:.0f} "
+            f"(err {abs(rank - q * n) / n:.4%})"
+        )
+
+    # layout-independence: wildly different partitioning, same sketch
+    knots2 = quantile_sketch_knots(
+        cents.repartition(7, "cents"), "cents", "event_id"
+    )
+    est2 = {
+        r["q"]: r["est"]
+        for r in quantile_sketch_estimates(knots2, qs).collect()
+    }
+    assert est == est2
