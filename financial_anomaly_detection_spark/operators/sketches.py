@@ -91,15 +91,18 @@ def quantile_sketch_knots(
     key exact state is O(n); the sketch is O(G*k) regardless of volume.
 
     Determinism & layout-independence: rows are assigned to one of
-    ``n_groups`` summary groups by a HASH OF THE ROW ID (not by Spark
-    partition), so the sketch is a pure function of the data — same
-    discipline as the md5 hash surrogates, and unlike
-    partition-local sketching it survives repartitioning bit-for-bit.
+    ``n_groups`` summary groups by an MD5 HASH OF THE ROW ID (the
+    ``_bucket`` discipline above — not by Spark partition), so the
+    sketch is a pure function of the data, survives repartitioning
+    bit-for-bit, AND is reproducible in any engine with md5 — which is
+    what lets the registered query carry a full DuckDB value-hash
+    oracle despite the Arrow/numpy execution path.
     Each group is summarized by an Arrow-batched ``applyInPandas``
     (numpy sort + evenly spaced rank knots): knot j of a group holds
-    (value at rank ceil(j*n/k), weight = rank step), so per-group rank
-    error is <= n_g/k and total error after the weighted merge is
-    <= N/k (0.5% at k=200) — pytest-asserted against exact ranks.
+    (value at rank ceil(j*n/k), weight = rank step — ceil computed in
+    INTEGER arithmetic, (j*n + k - 1) // k), so per-group rank error
+    is <= n_g/k and total error after the weighted merge is <= N/k
+    (0.5% at k=200) — pytest-asserted against exact ranks.
 
     Returns (value, w): merged weighted knots, grouped by value.
     """
@@ -113,12 +116,18 @@ def quantile_sketch_knots(
         v = np.sort(pdf["v"].to_numpy())
         n = len(v)
         k = min(knots_per_group, n)
-        ranks = np.ceil(np.arange(1, k + 1) * n / k).astype("int64")
+        j = np.arange(1, k + 1, dtype="int64")
+        ranks = (j * n + k - 1) // k  # integer ceil(j*n/k)
         prev = np.concatenate(([0], ranks[:-1]))
         return pd.DataFrame({"value": v[ranks - 1], "w": ranks - prev})
 
     groups = df.select(
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).alias("g"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % n_groups
+        ).alias("g"),
         F.col(value_col).alias("v"),
     )
     knots = groups.groupBy("g").applyInPandas(summarize, schema=spark_schema)

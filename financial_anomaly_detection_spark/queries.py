@@ -8212,16 +8212,65 @@ def q_bfs_reachability_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "quantile_sketch_values",
-    # Rows-only: the sketch is approximate by construction (rank error
-    # <= N/k, pytest-bounded in tests/test_extensions.py); no SQL
-    # oracle can reproduce it without re-implementing the sketch.
-    oracle=None,
+    # Fully oracle-backed DESPITE the Arrow/numpy execution path: the
+    # sketch is a deterministic pure function of the data (md5 group
+    # assignment + integer-ceil rank knots), so DuckDB reproduces the
+    # identical knots relationally — rank r of group g is a knot iff
+    # floor(r*k/n) > floor((r-1)*k/n) (the j-interval emptiness test
+    # for ceil(j*n/k) = r), weight = gap to the previous knot rank.
+    # The rank-ERROR bound (<= N/k) is separately pytest-asserted; the
+    # oracle here pins the sketch's exact value, making the
+    # approximate operator itself hash-checkable — same discipline as
+    # minhash_exact_md5 / hll_exact_md5.
+    oracle="""
+        WITH base AS (
+            SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 32 AS g,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events
+        ), r AS (
+            SELECT g, cents,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY cents)
+                        AS BIGINT) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+            FROM base
+        ), kn AS (
+            SELECT g, cents AS value, rn
+            FROM r
+            WHERE (rn * 200) // n > ((rn - 1) * 200) // n
+        ), kw AS (
+            SELECT g, value,
+                   rn - COALESCE(LAG(rn) OVER (PARTITION BY g ORDER BY rn), 0)
+                       AS w
+            FROM kn
+        ), merged AS (
+            SELECT value, CAST(SUM(w) AS BIGINT) AS w FROM kw GROUP BY value
+        ), run AS (
+            SELECT value,
+                   CAST(SUM(w) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum
+            FROM merged
+        ), tot AS (
+            SELECT CAST(SUM(w) AS BIGINT) AS n_total FROM merged
+        ), qs AS (
+            SELECT CAST(unnest([0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99])
+                        AS DOUBLE) AS q
+        )
+        SELECT qs.q,
+               CAST(MIN(run.value) AS BIGINT) AS est_cents,
+               CAST(MIN(run.value) AS DOUBLE) / 100.0 AS est_dollars,
+               CAST(ANY_VALUE(tot.n_total) AS BIGINT) AS n_total
+        FROM qs
+        CROSS JOIN tot
+        JOIN run ON run.cum >= CAST(ceil(qs.q * tot.n_total) AS BIGINT)
+        GROUP BY qs.q
+    """,
     description="Mergeable quantile sketch (GK/KLL-family) over event "
-    "value cents: id-hash group assignment (layout-independent), "
-    "Arrow-batched per-group rank knots (G*k rows total), weighted "
-    "merge + distributed prefix scan for the final estimates — the "
-    "quantile member of the sketch family (CMS / HLL / KMV). "
-    "Deterministic: a pure function of the data, not the partitioning.",
+    "value cents: md5 group assignment (layout-independent and engine-"
+    "reproducible), Arrow-batched per-group rank knots (G*k rows "
+    "total), weighted merge + distributed prefix scan for the final "
+    "estimates — the quantile member of the sketch family (CMS / HLL "
+    "/ KMV), with a full value-hash oracle.",
     tags=["sketch", "quantile", "approx"],
 )
 def q_quantile_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8240,6 +8289,313 @@ def q_quantile_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est").cast("long").alias("est_cents"),
         (F.col("est").cast("double") / F.lit(100.0)).alias("est_dollars"),
         F.col("n_total").cast("long"),
+    )
+
+
+
+@register(
+    "acf_daily_lags",
+    # Autocorrelation function of the daily cents series per channel,
+    # lags 1..7 — the dependence diagnostic under seasonality/drift
+    # monitoring (Box & Jenkins). Exactness: r_l's numerator and
+    # denominator are scaled by n^2 — (n*x_k - T)(n*x_{k+l} - T) is
+    # integer — and every product is DECIMAL(38,0) on both engines
+    # (the ols_trend_daily discipline: n*x ~ 1e9 cents-scale products
+    # square past int64 fast). One decimal->double cast each, one
+    # division, sround. Scale shape: daily partial agg first; the lag
+    # pairing is an equi-join on (channel, day+lag) over the
+    # |channels| x |days| frame, never raw events.
+    oracle=f"""
+        WITH d AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        AS BIGINT) AS day,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ), t AS (
+            SELECT event_type, CAST(SUM(x) AS BIGINT) AS tot,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM d GROUP BY event_type
+        ), c AS (
+            SELECT d.event_type, d.day,
+                   CAST(t.n AS DECIMAL(38,0)) * d.x
+                       - CAST(t.tot AS DECIMAL(38,0)) AS dev,
+                   t.n
+            FROM d JOIN t USING (event_type)
+        ), den AS (
+            SELECT event_type,
+                   CAST(SUM(dev * dev) AS DECIMAL(38,0)) AS den
+            FROM c GROUP BY event_type
+        ), lags AS (
+            SELECT unnest(range(1, 8)) AS lag
+        ), num AS (
+            SELECT a.event_type, l.lag,
+                   CAST(SUM(a.dev * b.dev) AS DECIMAL(38,0)) AS num,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM c a
+            CROSS JOIN lags l
+            JOIN c b ON b.event_type = a.event_type AND b.day = a.day + l.lag
+            GROUP BY 1, 2
+        )
+        SELECT num.event_type, CAST(num.lag AS BIGINT) AS lag,
+               num.n_pairs,
+               {sround_sql('CAST(num.num AS DOUBLE) / NULLIF(CAST(den.den AS DOUBLE), 0.0)', 6)}
+                   AS acf
+        FROM num JOIN den USING (event_type)
+    """,
+    description="Lag-1..7 autocorrelation of daily cents per channel: "
+    "n^2-scaled integer deviations, DECIMAL(38,0) products, one "
+    "decimal->double division, sround. Lag pairing is an equi-join on "
+    "the post-aggregation daily frame.",
+    tags=["anomaly", "drift", "time-series"],
+)
+def q_acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.sum(cents).cast("long").alias("x"))
+    t = d.groupBy("event_type").agg(
+        F.sum("x").cast("long").alias("tot"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    dec38 = "decimal(38,0)"
+    c = (
+        d.join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            "day",
+            (F.col("n").cast(dec38) * F.col("x") - F.col("tot").cast(dec38)).alias(
+                "dev"
+            ),
+        )
+        .localCheckpoint(eager=True)  # consumed by den + the 7-lag join
+    )
+    den = c.groupBy("event_type").agg(
+        F.sum(F.col("dev") * F.col("dev")).cast(dec38).alias("den")
+    )
+    lags = c.sparkSession.range(1, 8).select(F.col("id").alias("lag"))
+    num = (
+        c.alias("a")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            c.alias("b"),
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.day") == F.col("a.day") + F.col("lag")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), "lag")
+        .agg(
+            F.sum(F.col("a.dev") * F.col("b.dev")).cast(dec38).alias("num"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+    return num.join(F.broadcast(den), "event_type").select(
+        "event_type",
+        F.col("lag").cast("long"),
+        "n_pairs",
+        sround(
+            F.col("num").cast("double")
+            / F.nullif(F.col("den").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("acf"),
+    )
+
+
+@register(
+    "dow_seasonality_index",
+    # Day-of-week seasonal index per channel: mean daily cents on that
+    # weekday over the channel's overall mean daily cents — the
+    # multiplicative seasonal profile used to deseasonalize monitoring
+    # thresholds. Pure rational arithmetic: the ratio of two exact
+    # integer products divided ONCE in doubles. Weekday numbering is
+    # pinned to ISO (1=Mon..7=Sun) explicitly on both engines —
+    # DuckDB's dayofweek() (0=Sun) and Spark's dayofweek() (1=Sun)
+    # disagree, so neither is used.
+    oracle=f"""
+        WITH d AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ), k AS (
+            SELECT event_type, CAST(date_part('isodow', day) AS BIGINT) AS isodow,
+                   c FROM d
+        ), per_dow AS (
+            SELECT event_type, isodow,
+                   CAST(SUM(c) AS BIGINT) AS sum_dow,
+                   CAST(COUNT(*) AS BIGINT) AS n_dow
+            FROM k GROUP BY 1, 2
+        ), tot AS (
+            SELECT event_type, CAST(SUM(c) AS BIGINT) AS sum_all,
+                   CAST(COUNT(*) AS BIGINT) AS n_all
+            FROM k GROUP BY 1
+        )
+        SELECT p.event_type, p.isodow, p.n_dow,
+               {sround_sql('CAST(p.sum_dow * t.n_all AS DOUBLE) / CAST(p.n_dow * t.sum_all AS DOUBLE)', 6)}
+                   AS seasonal_index
+        FROM per_dow p JOIN tot t USING (event_type)
+    """,
+    description="Multiplicative day-of-week seasonal index per channel "
+    "(mean daily cents on weekday / overall mean): exact integer "
+    "cross-products, one division, ISO weekday pinned explicitly on "
+    "both engines. Two tiny aggs over the daily frame.",
+    tags=["time-series", "seasonality", "aggregate"],
+)
+def q_dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    d = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(cents).cast("long").alias("c")
+    )
+    k = d.select(
+        "event_type",
+        (F.weekday("day") + F.lit(1)).cast("long").alias("isodow"),
+        "c",
+    ).localCheckpoint(eager=True)
+    per_dow = k.groupBy("event_type", "isodow").agg(
+        F.sum("c").cast("long").alias("sum_dow"),
+        F.count(F.lit(1)).cast("long").alias("n_dow"),
+    )
+    tot = k.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("sum_all"),
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+    )
+    return per_dow.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "isodow",
+        "n_dow",
+        sround(
+            (F.col("sum_dow") * F.col("n_all")).cast("double")
+            / (F.col("n_dow") * F.col("sum_all")).cast("double"),
+            6,
+        ).alias("seasonal_index"),
+    )
+
+
+@register(
+    "rrf_fusion_topk",
+    # Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009): fuse
+    # two heterogeneous document rankers — embedding cosine similarity
+    # to the vec_id=0 query vector, and metadata proximity (|n_chars -
+    # doc 0's n_chars|) — into one list via sum of 1/(60+rank).
+    # Exactness: ranks come from ROW_NUMBER over total orders
+    # (quantized-integer cosine desc, id asc), and the RRF sum is
+    # INTEGER-SCALED — floor(1e9/(60+rank)) — so fusion is exact
+    # bigint addition, no float-sum order sensitivity. Scale shape:
+    # each ranker cuts to its top-100 via TakeOrdered FIRST; the
+    # rank window then runs over a bounded 100-row list (the standard
+    # RRF contract: fuse top-k lists, not the corpus).
+    oracle=f"""
+        WITH q AS (
+            SELECT embedding AS qv,
+                   (SELECT n_chars FROM documents WHERE doc_id = 0) AS qn
+            FROM embeddings WHERE vec_id = 0
+        ), cos AS (
+            SELECT e.vec_id AS doc_id,
+                   CAST(floor(
+                       {_DUCK_DOT.format(a='e.embedding', b='q.qv')}
+                       / (sqrt({_DUCK_DOT.format(a='e.embedding', b='e.embedding')})
+                          * sqrt({_DUCK_DOT.format(a='q.qv', b='q.qv')}))
+                       * 1000000000.0 + 0.5) AS BIGINT) AS qcos
+            FROM embeddings e CROSS JOIN q
+        ), ra AS (
+            SELECT doc_id, rank_a FROM (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY qcos DESC, doc_id) AS rank_a
+                FROM cos
+            ) WHERE rank_a <= 100
+        ), rb AS (
+            SELECT doc_id, rank_b FROM (
+                SELECT d.doc_id,
+                       ROW_NUMBER() OVER (
+                           ORDER BY ABS(d.n_chars - q.qn), d.doc_id) AS rank_b
+                FROM documents d CROSS JOIN q
+            ) WHERE rank_b <= 100
+        ), fused AS (
+            SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+                   CAST(COALESCE(CAST(1000000000 AS BIGINT) // (60 + rank_a), 0)
+                      + COALESCE(CAST(1000000000 AS BIGINT) // (60 + rank_b), 0)
+                        AS BIGINT) AS rrf_scaled,
+                   CAST(COALESCE(rank_a, 0) AS BIGINT) AS rank_a,
+                   CAST(COALESCE(rank_b, 0) AS BIGINT) AS rank_b
+            FROM ra FULL OUTER JOIN rb USING (doc_id)
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, rrf_scaled, rank_a, rank_b
+        FROM fused
+        ORDER BY rrf_scaled DESC, doc_id
+        LIMIT 50
+    """,
+    description="Reciprocal Rank Fusion of two rankers (embedding "
+    "cosine + metadata proximity): integer-scaled 1/(60+rank) scores "
+    "so fusion is exact bigint addition; each ranker cut to top-100 "
+    "by TakeOrdered before any rank window (bounded-list RRF "
+    "contract). Unranked side contributes 0 via full outer join.",
+    tags=["retrieval", "fusion", "llm-pipeline"],
+)
+def q_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    from .functions.vectorfn import dot, l2_norm
+
+    q = (
+        em.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
+        .crossJoin(
+            docs.filter(F.col("doc_id") == 0).select(F.col("n_chars").alias("qn"))
+        )
+    )
+    cos = em.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.floor(
+            dot("embedding", "qv") / (l2_norm("embedding") * l2_norm("qv"))
+            * F.lit(1000000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("qcos"),
+        F.col("qn"),
+    )
+    # top-100 cut via TakeOrdered BEFORE any rank window: the window
+    # then orders a bounded 100-row list (standard RRF contract)
+    top_a = cos.orderBy(F.col("qcos").desc(), "doc_id").limit(100)
+    ra = top_a.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("qcos").desc(), "doc_id"))
+        .cast("long")
+        .alias("rank_a"),
+    )
+    prox = docs.crossJoin(F.broadcast(q)).select(
+        "doc_id", F.abs(F.col("n_chars") - F.col("qn")).alias("dist")
+    )
+    top_b = prox.orderBy("dist", "doc_id").limit(100)
+    rb = top_b.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy("dist", "doc_id"))
+        .cast("long")
+        .alias("rank_b"),
+    )
+    fused = ra.join(rb, "doc_id", "full_outer").select(
+        "doc_id",
+        # exact integer reciprocal-rank units: DIV truncation matches
+        # DuckDB // on positive operands — no float rank sums anywhere
+        F.expr(
+            "coalesce(CAST(1000000000 AS BIGINT) div (60 + rank_a), 0)"
+            " + coalesce(CAST(1000000000 AS BIGINT) div (60 + rank_b), 0)"
+        )
+        .cast("long")
+        .alias("rrf_scaled"),
+        F.coalesce(F.col("rank_a"), F.lit(0)).cast("long").alias("rank_a"),
+        F.coalesce(F.col("rank_b"), F.lit(0)).cast("long").alias("rank_b"),
+    )
+    return (
+        fused.orderBy(F.col("rrf_scaled").desc(), "doc_id")
+        .limit(50)
+        .select(F.col("doc_id").cast("long"), "rrf_scaled", "rank_a", "rank_b")
     )
 
 
@@ -8292,6 +8648,10 @@ _PRIORITY_R05 = [
     "longest_dup_span_pairs",
     "pmi_collocations",
     "bfs_reachability_copurchase",
+    "quantile_sketch_values",
+    "acf_daily_lags",
+    "dow_seasonality_index",
+    "rrf_fusion_topk",
     # oracle-backed, freshest green r1/r2 (VERDICT r4 stale list)
     "ml_recon_mse_threshold",
     "ml_fusion_scores_precomputed",
