@@ -518,3 +518,87 @@ def ann_topk(
     if tier not in fns:
         raise ValueError(f"unknown ANN tier {tier!r}; one of {sorted(fns)}")
     return fns[tier](candidates, queries, id_col, vec_col, k=k, **tier_kwargs)
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.97,
+    nlist: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by coarse clustering + within-cluster cosine.
+
+    The paper's point is the SHAPE: the quadratic cosine check is
+    confined to cluster-sized blocks, so web-scale corpora dedup in
+    O(sum cluster_size^2) instead of O(N^2). This implementation
+    reuses the IVF coarse quantizer discipline (ivf_topk above):
+    Lloyd's k-means on a bounded key-determined sample driver-side,
+    broadcast-argmin cell assignment JVM-side, then a cell-local
+    self-join keeps only pairs with cosine >= ``threshold``.
+
+    Keep rule (deterministic): a row is DROPPED iff some smaller-id
+    row in its cluster matches it at >= threshold — the keep-first
+    analog of the paper's keep-one-per-group, in one relational pass.
+    Exact duplicate vectors always share a cell (identical distances,
+    deterministic argmin tie-break), so true duplicates cannot escape
+    across cluster boundaries; near-duplicates straddling a boundary
+    are the documented approximation, as in the paper.
+
+    Returns the KEPT rows: (id_col, cell).
+    """
+    import numpy as np
+
+    from .partitioning import spread_narrow
+
+    cand = spread_narrow(df).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_e"))
+    if nlist is None:
+        nlist = auto_nlist(cand.count())
+    train = cand.orderBy("_id").limit(25_000)
+    X = np.stack(
+        train.select(F.col("_e").cast("array<double>").alias("_e"))
+        .toPandas()["_e"]
+        .to_numpy()
+    )
+    centers = _lloyd_kmeans(X, nlist, seed=seed, max_iter=10)
+    cent_df = df.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "_cell int, _centroid array<double>",
+    )
+    assigned = (
+        cand.join(F.broadcast(cent_df))
+        .withColumn(
+            "_d2",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_e").cast("array<double>"),
+                    "_centroid",
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .groupBy("_id")
+        .agg(
+            F.min(F.struct("_d2", "_cell"))["_cell"].alias("_cell"),
+            F.first("_e").alias("_e"),
+        )
+        .localCheckpoint(eager=True)  # consumed by both pair sides + keep
+    )
+    drops = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            (F.col("a._cell") == F.col("b._cell"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .filter(cosine_similarity("a._e", "b._e") >= threshold)
+        .select(F.col("b._id").alias("_id"))
+        .distinct()
+    )
+    return assigned.join(drops, "_id", "left_anti").select(
+        F.col("_id").alias(id_col), F.col("_cell").alias("cell")
+    )

@@ -8599,6 +8599,92 @@ def q_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "semdedup_embeddings",
+    # Rows-only: cluster assignment comes from MLlib-free but still
+    # driver-trained Lloyd k-means (deterministic, yet not SQL-
+    # expressible); correctness is pinned by the planted-duplicate
+    # pytest (tests/test_extensions.py) instead.
+    oracle=None,
+    description="SemDeDup (Abbas et al. 2023): semantic dedup by IVF "
+    "coarse clustering + cell-local cosine >= 0.97, keep-first. The "
+    "quadratic check is confined to cluster blocks — O(sum c^2), not "
+    "O(N^2); exact duplicates provably share a cell. Returns kept "
+    "(vec_id, cell).",
+    tags=["dedup", "similarity", "llm-pipeline"],
+)
+def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import semdedup
+
+    em = load_table(spark, sf_dir, "embeddings")
+    kept = semdedup(em, "vec_id", "embedding", threshold=0.97)
+    return kept.select(F.col("vec_id").cast("long"), F.col("cell").cast("long"))
+
+
+@register(
+    "write_partition_plan",
+    # Write-side layout planning — the op a 100 TB pipeline runs BEFORE
+    # the sink: given the day-partitioned event stream, how many files
+    # per partition hit the target file size, and which days are skewed
+    # enough to need further splitting. Pure integer arithmetic over
+    # one daily agg, hash-exact. The 256 KiB target is the test-scale
+    # stand-in for the production 128 MiB (same math, documented); the
+    # byte estimate is data-derived (payload octet_length + fixed row
+    # overhead), not a constant-per-row guess.
+    oracle="""
+        WITH d AS (
+            SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        AS BIGINT) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(strlen(props) + 48) AS BIGINT) AS est_bytes
+            FROM events GROUP BY 1
+        ), t AS (
+            SELECT CAST(SUM(est_bytes) AS BIGINT) AS total_bytes FROM d
+        )
+        SELECT d.day, d.n_rows, d.est_bytes,
+               CAST(CEIL(CAST(d.est_bytes AS DOUBLE) / 262144.0) AS BIGINT)
+                   AS n_files,
+               CAST(CEIL(CAST(d.n_rows AS DOUBLE)
+                         / CEIL(CAST(d.est_bytes AS DOUBLE) / 262144.0))
+                    AS BIGINT) AS rows_per_file,
+               CAST(d.est_bytes * 1000 // t.total_bytes AS BIGINT)
+                   AS share_permille
+        FROM d CROSS JOIN t
+    """,
+    description="Partitioned-write layout plan per day: data-derived "
+    "byte estimate (payload octet_length + row overhead), target-size "
+    "file counts, rows per file, and per-partition share in exact "
+    "integer permille — the planning pass before .partitionBy(date) "
+    "writes at scale.",
+    tags=["storage", "planning", "aggregate"],
+)
+def q_write_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.octet_length("props") + F.lit(48)).cast("long").alias("est_bytes"),
+    )
+    t = d.agg(F.sum("est_bytes").cast("long").alias("total_bytes"))
+    n_files = F.ceil(F.col("est_bytes").cast("double") / F.lit(262144.0))
+    return d.join(F.broadcast(t)).select(
+        "day",
+        "n_rows",
+        "est_bytes",
+        n_files.cast("long").alias("n_files"),
+        F.ceil(F.col("n_rows").cast("double") / n_files).cast("long").alias(
+            "rows_per_file"
+        ),
+        F.expr("CAST(est_bytes * 1000 div total_bytes AS BIGINT)").alias(
+            "share_permille"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -8615,10 +8701,16 @@ def q_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      mad_robust_outliers (r4's only red row: HUGEINT type artifact,
 #      now cast + round-guarded) and the two drift queries rebuilt on
 #      the DECIMAL(38,0) cores in operators/driftstats.py;
-#   2. queries NEW in r5 (zero driver evidence);
+#   2. queries NEW in r5 (zero driver evidence) — both the early-r5
+#      sketch/graph/fuzzy block and the r5b block (CUSUM/OLS/ACF/
+#      seasonality, rolling median, sweep-line concurrency, span-level
+#      dedup, PMI, BFS, oracle-backed quantile sketch, RRF, write
+#      planning);
 #   3. every oracle-backed query whose freshest green is r1/r2
 #      (the 13 the registry outgrew — VERDICT r4 task 2 list);
-#   4. r3-green unchanged fills to slot 50.
+#   4. r3-green unchanged fills to slot 50 (the r5b additions push
+#      ~12 more r3-greens past the window edge — they keep their
+#      banked green rows and lead the r6 rotation).
 # Everything past slot 50 has a green hash-match row in
 # CORRECTNESS_r03 or _r04.
 _PRIORITY_R05 = [
@@ -8652,6 +8744,7 @@ _PRIORITY_R05 = [
     "acf_daily_lags",
     "dow_seasonality_index",
     "rrf_fusion_topk",
+    "write_partition_plan",
     # oracle-backed, freshest green r1/r2 (VERDICT r4 stale list)
     "ml_recon_mse_threshold",
     "ml_fusion_scores_precomputed",

@@ -604,3 +604,26 @@ def test_quantile_sketch_rank_error_and_determinism(spark, sf_dir):
         for r in quantile_sketch_estimates(knots2, qs).collect()
     }
     assert est == est2
+
+
+
+def test_semdedup_drops_planted_duplicates(spark, sf_dir):
+    """SemDeDup must drop planted exact duplicates (which provably
+    share a cluster cell) and keep their smallest-id originals, while
+    leaving the rest of the corpus untouched at threshold ~1."""
+    from financial_anomaly_detection_spark.operators.similarity import semdedup
+
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dupes = em.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = em.unionByName(dupes)
+    kept = semdedup(corpus, "vec_id", "embedding", threshold=0.999999)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    # every planted copy is gone, every original survives
+    assert all(100000 + i not in kept_ids for i in range(20))
+    assert all(i in kept_ids for i in range(20))
+    # nothing else disappeared at a ~exact-match threshold unless it
+    # has a genuine exact twin (testdata embeddings contain none)
+    n_base = em.count()
+    assert len(kept_ids) == n_base
