@@ -172,3 +172,30 @@ def quantile_sketch_estimates(
             F.any_value("n_total").alias("n_total"),
         )
     )
+
+
+def cms_join_size_estimate(
+    a: DataFrame, a_key: str, b: DataFrame, b_key: str,
+    depth: int = 4, width: int = 256,
+) -> DataFrame:
+    """Join-cardinality estimation by CMS inner product (Cormode &
+    Muthukrishnan 2005, §4.2): |A JOIN B on k| is estimated as the MIN
+    over sketch rows j of sum_bucket cmsA[j][b] * cmsB[j][b] — an
+    upper bound that is exact when no two keys collide in a row.
+
+    This is the optimizer-statistics use of the sketch: both grids are
+    fixed depth*width tables built with one partial-agg shuffle each,
+    so the estimate costs O(grid) however large the join inputs — the
+    shape a 100 TB planner needs BEFORE committing to a join strategy.
+    Returns one row: (est_join_rows,).
+    """
+    ga = count_min_sketch(a.select(F.col(a_key).alias("k")), "k", depth, width)
+    gb = count_min_sketch(b.select(F.col(b_key).alias("k")), "k", depth, width)
+    prod = (
+        ga.alias("x")
+        .join(F.broadcast(gb.alias("y")), ["j", "bucket"])
+        .select("j", (F.col("x.cnt") * F.col("y.cnt")).alias("p"))
+        .groupBy("j")
+        .agg(F.sum("p").alias("ip"))
+    )
+    return prod.agg(F.min("ip").cast("long").alias("est_join_rows"))

@@ -8685,6 +8685,277 @@ def q_write_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "cms_join_cardinality",
+    # Join-size estimation by CMS inner product (Cormode &
+    # Muthukrishnan 2005 §4.2) — the optimizer-statistics use of the
+    # sketch family: estimate |events JOIN orders ON user_id=o_custkey|
+    # from two fixed 4x256 grids (one <=1024-row partial-agg shuffle
+    # per side) instead of executing the join. The estimate is the MIN
+    # over sketch rows of the bucket-wise count product: an upper
+    # bound, exact when no two keys collide in a row; both the
+    # estimate and the true size are in the output so the bound is
+    # visible. All integer arithmetic on md5-derived buckets — the
+    # whole thing is engine-reproducible, so even the ESTIMATOR is
+    # hash-checked.
+    oracle=f"""
+        WITH ka AS (
+            SELECT CAST(user_id AS VARCHAR) AS k FROM events
+        ), kb AS (
+            SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders
+        ), ca AS (
+            SELECT j, bucket, COUNT(*) AS cnt FROM (
+                SELECT k, j,
+                       CASE j
+                         WHEN 0 THEN {_cms_bucket_sql('k', 0)}
+                         WHEN 1 THEN {_cms_bucket_sql('k', 1)}
+                         WHEN 2 THEN {_cms_bucket_sql('k', 2)}
+                         ELSE {_cms_bucket_sql('k', 3)}
+                       END AS bucket
+                FROM ka CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)
+            ) GROUP BY j, bucket
+        ), cb AS (
+            SELECT j, bucket, COUNT(*) AS cnt FROM (
+                SELECT k, j,
+                       CASE j
+                         WHEN 0 THEN {_cms_bucket_sql('k', 0)}
+                         WHEN 1 THEN {_cms_bucket_sql('k', 1)}
+                         WHEN 2 THEN {_cms_bucket_sql('k', 2)}
+                         ELSE {_cms_bucket_sql('k', 3)}
+                       END AS bucket
+                FROM kb CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)
+            ) GROUP BY j, bucket
+        ), ip AS (
+            SELECT ca.j, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS ip
+            FROM ca JOIN cb USING (j, bucket) GROUP BY ca.j
+        ), est AS (
+            SELECT CAST(MIN(ip) AS BIGINT) AS est_join_rows FROM ip
+        ), truth AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS true_join_rows
+            FROM events e JOIN orders o ON e.user_id = o.o_custkey
+        )
+        SELECT est.est_join_rows, truth.true_join_rows
+        FROM est CROSS JOIN truth
+    """,
+    description="CMS inner-product join-cardinality estimate "
+    "(events.user_id x orders.o_custkey): two fixed 4x256 grids, "
+    "bucket-wise count products, min over rows — O(grid) planner "
+    "statistics vs the true join size, both hash-exact.",
+    tags=["sketch", "planning", "join"],
+)
+def q_cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import cms_join_size_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    est = cms_join_size_estimate(ev, "user_id", orders, "o_custkey")
+    truth = (
+        ev.join(orders, ev.user_id == orders.o_custkey)
+        .agg(F.count(F.lit(1)).cast("long").alias("true_join_rows"))
+    )
+    return est.join(F.broadcast(truth))
+
+
+@register(
+    "shuffle_skew_report",
+    # Pre-shuffle skew audit for candidate shuffle keys — the report a
+    # 100 TB job runs BEFORE committing to a partitioning: per key
+    # column, the key count, total rows, the hottest key's count and
+    # identity, the max/mean ratio in exact integer permille (1000 =
+    # perfectly uniform), and the top-10-key share. One partial-agg
+    # shuffle per key column over the post-agg count table; windows
+    # order the (bounded) per-key count tables, never raw events.
+    oracle="""
+        WITH uk AS (
+            SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS cnt
+            FROM events GROUP BY 1
+        ), tk AS (
+            SELECT event_type AS key, COUNT(*) AS cnt
+            FROM events GROUP BY 1
+        ), u AS (
+            SELECT 'user_id' AS key_col, key, cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rk
+            FROM uk
+            UNION ALL
+            SELECT 'event_type', key, cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rk
+            FROM tk
+        )
+        SELECT key_col,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+               MIN(CASE WHEN rk = 1 THEN key END) AS hottest_key,
+               CAST(MAX(cnt) * COUNT(*) * 1000
+                    // SUM(cnt) AS BIGINT) AS skew_permille,
+               CAST(SUM(CASE WHEN rk <= 10 THEN cnt ELSE 0 END) * 1000
+                    // SUM(cnt) AS BIGINT) AS top10_share_permille
+        FROM u GROUP BY key_col
+    """,
+    description="Shuffle-key skew audit (user_id, event_type): hottest "
+    "key, max/mean ratio and top-10 share in exact integer permille — "
+    "the decide-before-you-shuffle report behind salting / AQE skew "
+    "hints. Windows run over per-key count tables, never raw rows.",
+    tags=["planning", "skew", "aggregate"],
+)
+def q_shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def branch(col: Column, name: str) -> DataFrame:
+        counts = ev.groupBy(col.cast("string").alias("key")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        ranked = counts.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.col("cnt").desc(), "key"))
+        )
+        return ranked.agg(
+            F.lit(name).alias("key_col"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.max("cnt").cast("long").alias("max_key_rows"),
+            F.min(F.when(F.col("rk") == 1, F.col("key"))).alias("hottest_key"),
+            F.expr("CAST(MAX(cnt) * COUNT(*) * 1000 div SUM(cnt) AS BIGINT)").alias(
+                "skew_permille"
+            ),
+            F.expr(
+                "CAST(SUM(CASE WHEN rk <= 10 THEN cnt ELSE 0 END) * 1000"
+                " div SUM(cnt) AS BIGINT)"
+            ).alias("top10_share_permille"),
+        )
+
+    return branch(F.col("user_id"), "user_id").unionByName(
+        branch(F.col("event_type"), "event_type")
+    )
+
+
+@register(
+    "table_profile_events",
+    # Column-level data-quality profile of the fact table — the EDA /
+    # contract-check pass every ingest pipeline runs: per column, row
+    # count, null count, exact distinct count, and typed min/max
+    # normalized to engine-neutral integers (epoch micros for ts,
+    # cents for value) or raw strings. One aggregate pass per column
+    # branch, unioned; numeric min/max never go through double→string
+    # formatting (engines disagree on that — the integer discipline
+    # again).
+    oracle="""
+        SELECT 'event_id' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+               CAST(MIN(event_id) AS VARCHAR) AS min_val,
+               CAST(MAX(event_id) AS VARCHAR) AS max_val
+        FROM events
+        UNION ALL
+        SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+               CAST(COUNT(DISTINCT user_id) AS BIGINT),
+               CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+        FROM events
+        UNION ALL
+        SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+               CAST(COUNT(DISTINCT event_type) AS BIGINT),
+               MIN(event_type), MAX(event_type)
+        FROM events
+        UNION ALL
+        SELECT 'ts_us', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(ts) AS BIGINT),
+               CAST(COUNT(DISTINCT epoch_us(ts)) AS BIGINT),
+               CAST(MIN(epoch_us(ts)) AS VARCHAR),
+               CAST(MAX(epoch_us(ts)) AS VARCHAR)
+        FROM events
+        UNION ALL
+        SELECT 'value_cents', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(value) AS BIGINT),
+               CAST(COUNT(DISTINCT CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT),
+               CAST(MIN(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS VARCHAR),
+               CAST(MAX(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS VARCHAR)
+        FROM events
+        UNION ALL
+        SELECT 'props', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(props) AS BIGINT),
+               CAST(COUNT(DISTINCT props) AS BIGINT),
+               MIN(props), MAX(props)
+        FROM events
+    """,
+    description="Per-column profile of events (rows, nulls, exact "
+    "distincts, typed min/max in engine-neutral units): the ingest "
+    "contract check. Six aggregate branches over one cached scan; "
+    "distinct counts are exact (the approximate tier is "
+    "approx_distinct_users / hll_exact_md5).",
+    tags=["profiling", "quality", "aggregate"],
+)
+def q_table_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").localCheckpoint(eager=True)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+
+    def prof(name: str, col: Column, distinct_col: Column, as_str) -> DataFrame:
+        return ev.agg(
+            F.lit(name).alias("col"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).cast("long").alias("n_null"),
+            F.countDistinct(distinct_col).cast("long").alias("n_distinct"),
+            as_str(F.min(distinct_col)).alias("min_val"),
+            as_str(F.max(distinct_col)).alias("max_val"),
+        )
+
+    s = lambda c: c.cast("string")  # noqa: E731
+    ident = lambda c: c  # noqa: E731
+    return (
+        prof("event_id", F.col("event_id"), F.col("event_id"), s)
+        .unionByName(prof("user_id", F.col("user_id"), F.col("user_id"), s))
+        .unionByName(prof("event_type", F.col("event_type"), F.col("event_type"), ident))
+        .unionByName(prof("ts_us", F.col("ts"), F.unix_micros("ts"), s))
+        .unionByName(prof("value_cents", F.col("value"), cents, s))
+        .unionByName(prof("props", F.col("props"), F.col("props"), ident))
+    )
+
+
+@register(
+    "trigram_event_sequences",
+    # Sequential-pattern mining, length-3 (the order-aware extension of
+    # markov_transition_matrix's pairs): per user, consecutive
+    # event-type triples by event time, counted corpus-wide — the
+    # "what do users do next" inventory behind funnel design. One
+    # (user)-keyed sort shuffle; lead() twice inside the per-user
+    # window; top-25 via TakeOrdered with a total order.
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type AS a,
+                   LEAD(event_type, 1) OVER w AS b,
+                   LEAD(event_type, 2) OVER w AS c
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT a || '>' || b || '>' || c AS trigram,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+        GROUP BY 1
+        ORDER BY n DESC, trigram
+        LIMIT 25
+    """,
+    description="Top-25 length-3 sequential event patterns per user "
+    "timeline (lead x2 in the per-user window, corpus-wide counts, "
+    "TakeOrdered with deterministic ties) — the order-aware extension "
+    "of the Markov transition matrix.",
+    tags=["sequence", "window", "analytics"],
+)
+def q_trigram_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    counts = seq.groupBy(
+        F.concat_ws(">", "a", "b", "c").alias("trigram")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return counts.orderBy(F.col("n").desc(), "trigram").limit(25)
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -8745,6 +9016,10 @@ _PRIORITY_R05 = [
     "dow_seasonality_index",
     "rrf_fusion_topk",
     "write_partition_plan",
+    "cms_join_cardinality",
+    "shuffle_skew_report",
+    "table_profile_events",
+    "trigram_event_sequences",
     # oracle-backed, freshest green r1/r2 (VERDICT r4 stale list)
     "ml_recon_mse_threshold",
     "ml_fusion_scores_precomputed",
