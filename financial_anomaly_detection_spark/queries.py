@@ -8802,26 +8802,43 @@ def q_cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
 
+    # deliberately NO rank window over the per-key count table: key
+    # cardinality is unbounded at scale, so a global ordered window
+    # here would single-partition (the source-level plan guard rejects
+    # it). The hottest key is a struct-min aggregate; the top-10 mass
+    # is a TakeOrdered limit.
     def branch(col: Column, name: str) -> DataFrame:
         counts = ev.groupBy(col.cast("string").alias("key")).agg(
             F.count(F.lit(1)).alias("cnt")
         )
-        ranked = counts.withColumn(
-            "rk", F.row_number().over(Window.orderBy(F.col("cnt").desc(), "key"))
-        )
-        return ranked.agg(
+        counts = counts.localCheckpoint(eager=True)  # stats + top-10 consumers
+        stats = counts.agg(
             F.lit(name).alias("key_col"),
             F.count(F.lit(1)).cast("long").alias("n_keys"),
             F.sum("cnt").cast("long").alias("n_rows"),
             F.max("cnt").cast("long").alias("max_key_rows"),
-            F.min(F.when(F.col("rk") == 1, F.col("key"))).alias("hottest_key"),
-            F.expr("CAST(MAX(cnt) * COUNT(*) * 1000 div SUM(cnt) AS BIGINT)").alias(
-                "skew_permille"
-            ),
+            # min over (-cnt, key): largest count, smallest key on ties
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("key").alias("k")))[
+                "k"
+            ].alias("hottest_key"),
+        )
+        top10 = (
+            counts.orderBy(F.col("cnt").desc(), "key")
+            .limit(10)
+            .agg(F.sum("cnt").cast("long").alias("_top10_rows"))
+        )
+        return stats.join(F.broadcast(top10)).select(
+            "key_col",
+            "n_keys",
+            "n_rows",
+            "max_key_rows",
+            "hottest_key",
             F.expr(
-                "CAST(SUM(CASE WHEN rk <= 10 THEN cnt ELSE 0 END) * 1000"
-                " div SUM(cnt) AS BIGINT)"
-            ).alias("top10_share_permille"),
+                "CAST(max_key_rows * n_keys * 1000 div n_rows AS BIGINT)"
+            ).alias("skew_permille"),
+            F.expr("CAST(_top10_rows * 1000 div n_rows AS BIGINT)").alias(
+                "top10_share_permille"
+            ),
         )
 
     return branch(F.col("user_id"), "user_id").unionByName(
@@ -8956,6 +8973,316 @@ def q_trigram_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.col("n").desc(), "trigram").limit(25)
 
 
+
+@register(
+    "seasonal_robust_outliers",
+    # Seasonality-aware robust anomaly screen: composes the
+    # dow_seasonality_index frame with the mad_robust_outliers
+    # discipline — each daily total is judged against the median and
+    # MAD of ITS OWN WEEKDAY within its channel, so a quiet Sunday is
+    # not flagged merely for being a Sunday. Same x2/x4 integer-median
+    # scaling and exact rational 3*1.4826 cut as the per-channel MAD
+    # screen; every comparison is integer, the flag set is bit-exact.
+    # All days are emitted with their flag (not just outliers), so the
+    # result is non-empty at every scale factor.
+    oracle="""
+        WITH d AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(date_part('isodow', CAST(ts AS DATE)) AS BIGINT)
+                       AS isodow,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS c
+            FROM events GROUP BY 1, 2, 3
+        ), m AS (
+            SELECT event_type, isodow,
+                   CAST(round(2.0 * quantile_cont(c, 0.5)) AS BIGINT) AS med2
+            FROM d GROUP BY 1, 2
+        ), dv AS (
+            SELECT d.event_type, d.day, d.isodow, d.c, m.med2,
+                   abs(2 * d.c - m.med2) AS dev2
+            FROM d JOIN m USING (event_type, isodow)
+        ), s AS (
+            SELECT event_type, isodow,
+                   CAST(round(2.0 * quantile_cont(dev2, 0.5)) AS BIGINT) AS mad4
+            FROM dv GROUP BY 1, 2
+        )
+        SELECT dv.event_type,
+               CAST(date_diff('day', DATE '2024-01-01', dv.day) AS BIGINT)
+                   AS day,
+               dv.isodow,
+               CAST(dv.c AS BIGINT) AS day_cents,
+               CAST(dv.med2 AS BIGINT) AS dow_median_x2,
+               CAST(s.mad4 AS BIGINT) AS dow_mad_x4,
+               CAST(CASE WHEN 20000 * dv.dev2 > 3 * 14826 * s.mad4
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+        FROM dv JOIN s USING (event_type, isodow)
+    """,
+    description="Seasonality-aware robust outlier screen: daily cents "
+    "judged against the median/MAD of their own (channel, weekday) "
+    "cell — x2/x4 integer median scaling, exact rational 3*1.4826 "
+    "cut, all-integer comparisons. Composes the seasonal index frame "
+    "with the MAD discipline.",
+    tags=["anomaly", "robust-stats", "seasonality", "time-series"],
+)
+def q_seasonal_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    d = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        (F.weekday(F.col("ts").cast("date")) + F.lit(1)).cast("long").alias("isodow"),
+    ).agg(F.sum(cents).cast("long").alias("c"))
+    m = d.groupBy("event_type", "isodow").agg(
+        F.round(F.lit(2.0) * F.percentile("c", F.lit(0.5))).cast("long").alias("med2")
+    )
+    dv = d.join(F.broadcast(m), ["event_type", "isodow"]).withColumn(
+        "dev2", F.abs(2 * F.col("c") - F.col("med2"))
+    )
+    s = dv.groupBy("event_type", "isodow").agg(
+        F.round(F.lit(2.0) * F.percentile("dev2", F.lit(0.5)))
+        .cast("long")
+        .alias("mad4")
+    )
+    return dv.join(F.broadcast(s), ["event_type", "isodow"]).select(
+        "event_type",
+        F.datediff("day", F.lit("2024-01-01").cast("date")).cast("long").alias("day"),
+        "isodow",
+        F.col("c").cast("long").alias("day_cents"),
+        F.col("med2").cast("long").alias("dow_median_x2"),
+        F.col("mad4").cast("long").alias("dow_mad_x4"),
+        (20000 * F.col("dev2") > 3 * 14826 * F.col("mad4"))
+        .cast("long")
+        .alias("is_outlier"),
+    )
+
+
+@register(
+    "referential_integrity_audit",
+    # Cross-table foreign-key audit — the ingest contract check every
+    # warehouse load runs: for each declared child->parent key
+    # relationship, the child row count, orphan count (child keys with
+    # no parent), and orphan rate in exact integer permille. Each
+    # branch is one anti-join where the parent KEY SET is broadcast
+    # (parents are dimension-sized); nothing but counts crosses the
+    # wire. Exact integers end to end.
+    oracle="""
+        SELECT 'orders.o_custkey->customer' AS relationship,
+               CAST(COUNT(*) AS BIGINT) AS n_child,
+               CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphans,
+               CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    * 1000 // COUNT(*) AS BIGINT) AS orphan_permille
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                    * 1000 // COUNT(*) AS BIGINT)
+        FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                    * 1000 // COUNT(*) AS BIGINT)
+        FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        UNION ALL
+        SELECT 'events.user_id->customer',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    * 1000 // COUNT(*) AS BIGINT)
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    description="Foreign-key integrity audit over four declared "
+    "child->parent relationships: orphan counts and rates in exact "
+    "integer permille, parent key sets broadcast, one count-only "
+    "aggregate per branch.",
+    tags=["quality", "join", "aggregate"],
+)
+def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    ev = load_table(spark, sf_dir, "events")
+
+    def branch(rel: str, child: DataFrame, ck: str, parent: DataFrame, pk: str):
+        joined = child.select(F.col(ck).alias("_k")).join(
+            F.broadcast(parent.select(F.col(pk).alias("_k"), F.lit(1).alias("_hit"))),
+            "_k",
+            "left",
+        )
+        return joined.agg(
+            F.lit(rel).alias("relationship"),
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.sum(F.col("_hit").isNull().cast("long")).cast("long").alias("n_orphans"),
+            F.expr(
+                "CAST(SUM(CASE WHEN _hit IS NULL THEN 1 ELSE 0 END)"
+                " * 1000 div COUNT(*) AS BIGINT)"
+            ).alias("orphan_permille"),
+        )
+
+    return (
+        branch("orders.o_custkey->customer", orders, "o_custkey", customer, "c_custkey")
+        .unionByName(
+            branch("lineitem.l_partkey->part", lineitem, "l_partkey", part, "p_partkey")
+        )
+        .unionByName(
+            branch(
+                "lineitem.l_suppkey->supplier",
+                lineitem,
+                "l_suppkey",
+                supplier,
+                "s_suppkey",
+            )
+        )
+        .unionByName(
+            branch("events.user_id->customer", ev, "user_id", customer, "c_custkey")
+        )
+    )
+
+
+@register(
+    "hll_weekly_rollup",
+    # Sketch MERGEABILITY across time partitions — the property that
+    # makes sketch tables worth materializing at 100 TB: daily HLL
+    # registers (the hll_exact_md5 math per day) roll up to weekly by
+    # plain MAX per register, and the rolled-up registers are verified
+    # EQUAL to registers built directly from the weekly data (max is
+    # associative — checked, not assumed, per week in the output).
+    # Daily register tables are what you'd persist; any window (week,
+    # month, arbitrary day ranges) then aggregates register-sized
+    # data instead of rescanning events. Integer-exact end to end.
+    oracle="""
+        WITH base AS (
+            SELECT DISTINCT
+                   CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        AS BIGINT) // 7 AS week,
+                   CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        AS BIGINT) AS day,
+                   CAST(user_id AS VARCHAR) AS k
+            FROM events
+        ), h AS (
+            SELECT week, day, ('0x' || substr(md5(k), 1, 8))::BIGINT AS h
+            FROM base
+        ), r AS (
+            SELECT week, day, h // {suffix} AS j,
+                   CASE WHEN strpos(lpad(bin(h % {suffix}), 26, '0'), '1') = 0
+                        THEN 27
+                        ELSE strpos(lpad(bin(h % {suffix}), 26, '0'), '1')
+                   END AS rho
+            FROM h
+        ), daily AS (
+            SELECT week, day, j, MAX(rho) AS register FROM r GROUP BY 1, 2, 3
+        ), merged AS (
+            SELECT week, j, MAX(register) AS register FROM daily GROUP BY 1, 2
+        ), direct AS (
+            SELECT week, j, MAX(rho) AS register FROM r GROUP BY 1, 2
+        ), eq AS (
+            SELECT m.week,
+                   CAST(MIN(CASE WHEN m.register = d.register
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS merged_eq_direct
+            FROM merged m JOIN direct d ON m.week = d.week AND m.j = d.j
+            GROUP BY m.week
+        ), z AS (
+            SELECT week,
+                   CAST(SUM(CAST(1 AS BIGINT) << (27 - register))
+                        + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << 27)
+                        AS BIGINT) AS z_scaled
+            FROM merged GROUP BY week
+        ), t AS (
+            SELECT week, CAST(COUNT(DISTINCT k) AS BIGINT) AS true_distinct,
+                   CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+            FROM base GROUP BY week
+        )
+        SELECT z.week,
+               CAST(z.z_scaled AS BIGINT) AS z_scaled,
+               CAST((CAST(709 AS BIGINT) * 4096 * 134217728)
+                    // (1000 * z.z_scaled) AS BIGINT) AS est,
+               t.true_distinct, t.n_days, eq.merged_eq_direct
+        FROM z JOIN t USING (week) JOIN eq USING (week)
+    """.replace("{suffix}", str(_HLL_SUFFIX)).replace("{m}", str(_HLL_M)),
+    description="HLL register mergeability across time partitions: "
+    "daily registers roll up to weekly by MAX per register, verified "
+    "equal to direct weekly registers (associativity checked per "
+    "week); weekly estimates from the merged sketch vs true distinct "
+    "counts. The materialize-daily-sketch-tables pattern, "
+    "integer-exact.",
+    tags=["sketch", "aggregate", "time-series"],
+)
+def q_hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).cast(
+        "long"
+    )
+    base = ev.select(
+        (day / 7).cast("long").alias("week"),
+        day.alias("day"),
+        F.col("user_id").cast("string").alias("k"),
+    ).distinct()
+    h = F.conv(F.substring(F.md5("k"), 1, 8), 16, 10).cast("long")
+    r = base.select("week", "day", h.alias("h")).select(
+        "week",
+        "day",
+        F.expr(f"h div {_HLL_SUFFIX}").alias("j"),
+        F.expr(
+            f"CASE WHEN instr(lpad(bin(h % {_HLL_SUFFIX}), 26, '0'), '1') = 0 "
+            f"THEN 27 ELSE instr(lpad(bin(h % {_HLL_SUFFIX}), 26, '0'), '1') END"
+        ).alias("rho"),
+    ).localCheckpoint(eager=True)  # daily + direct + truth consumers
+    daily = r.groupBy("week", "day", "j").agg(F.max("rho").alias("register"))
+    merged = daily.groupBy("week", "j").agg(F.max("register").alias("register"))
+    direct = r.groupBy("week", "j").agg(F.max("rho").alias("register"))
+    eq = (
+        merged.alias("m")
+        .join(
+            direct.alias("d"),
+            (F.col("m.week") == F.col("d.week")) & (F.col("m.j") == F.col("d.j")),
+        )
+        .groupBy(F.col("m.week").alias("week"))
+        .agg(
+            F.min((F.col("m.register") == F.col("d.register")).cast("long"))
+            .cast("long")
+            .alias("merged_eq_direct")
+        )
+    )
+    z = merged.groupBy("week").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(27 - register AS INT))"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << 27).cast("long")
+        )
+        .cast("long")
+        .alias("z_scaled")
+    )
+    t = base.groupBy("week").agg(
+        F.countDistinct("k").cast("long").alias("true_distinct"),
+        F.countDistinct("day").cast("long").alias("n_days"),
+    )
+    return (
+        z.join(F.broadcast(t), "week")
+        .join(F.broadcast(eq), "week")
+        .select(
+            "week",
+            "z_scaled",
+            F.expr(
+                "(CAST(709 AS BIGINT) * 4096 * 134217728) div (1000 * z_scaled)"
+            )
+            .cast("long")
+            .alias("est"),
+            "true_distinct",
+            "n_days",
+            "merged_eq_direct",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -9020,6 +9347,9 @@ _PRIORITY_R05 = [
     "shuffle_skew_report",
     "table_profile_events",
     "trigram_event_sequences",
+    "seasonal_robust_outliers",
+    "referential_integrity_audit",
+    "hll_weekly_rollup",
     # oracle-backed, freshest green r1/r2 (VERDICT r4 stale list)
     "ml_recon_mse_threshold",
     "ml_fusion_scores_precomputed",

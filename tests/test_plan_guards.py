@@ -90,6 +90,35 @@ EXPECTED = {
     "markov_transition_matrix": (0, {"events": 4}),
     # daily count table pinned via localCheckpoint -> no parquet scan
     "theilsen_daily_trend": (0, {}),
+    # round-5b additions. NLJ allowances are all intentional bounded
+    # broadcasts: the two-pass prefix scan's triangular subtotal join
+    # (max_concurrent/quantile_sketch), single-row scalar/total joins
+    # (pmi/write_plan/cms_join/skew/acf's 7-row lag table), and rrf's
+    # single-row query-vector join + bounded top-100 rank lists.
+    "cusum_changepoint_daily": (0, {}),
+    "ols_trend_daily": (0, {"events": 3}),
+    "acf_daily_lags": (1, {}),
+    "dow_seasonality_index": (0, {}),
+    "rolling_median_daily": (0, {"events": 3}),
+    "max_concurrent_sessions": (1, {}),
+    "longest_dup_span_pairs": (0, {"documents": 2}),
+    "pmi_collocations": (2, {}),
+    "bfs_reachability_copurchase": (0, {}),
+    "quantile_sketch_values": (3, {"events": 2}),
+    "rrf_fusion_topk": (4, {"embeddings": 2, "documents": 2}),
+    "semdedup_embeddings": (0, {}),
+    "write_partition_plan": (1, {"events": 2}),
+    "cms_join_cardinality": (1, {"events": 1, "orders": 1}),
+    "shuffle_skew_report": (2, {}),
+    "table_profile_events": (0, {}),
+    "trigram_event_sequences": (0, {"events": 4}),
+    "seasonal_robust_outliers": (0, {"events": 3}),
+    "referential_integrity_audit": (
+        0,
+        {"orders": 1, "customer": 1, "lineitem": 1, "part": 1,
+         "supplier": 1, "events": 1},
+    ),
+    "hll_weekly_rollup": (0, {"events": 2}),
 }
 
 
@@ -185,6 +214,10 @@ _GLOBAL_WINDOW_ALLOWLIST = [
     # ml_recon_mse_threshold ranks a fixed <=500-row quantized slice —
     # bounded by construction, documented at the call site
     ("queries.py", r'F\.desc\("err_scaled"\)'),
+    # rrf_fusion_topk ranks lists already cut to top-100 by
+    # TakeOrdered — the bounded-list RRF contract (see its docstring)
+    ("queries.py", r'F\.col\("qcos"\)\.desc\(\), "doc_id"'),
+    ("queries.py", r'Window\.orderBy\("dist", "doc_id"\)'),
 ]
 
 

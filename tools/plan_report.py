@@ -107,6 +107,9 @@ QUERIES = [
     "shuffle_skew_report",
     "table_profile_events",
     "trigram_event_sequences",
+    "seasonal_robust_outliers",
+    "referential_integrity_audit",
+    "hll_weekly_rollup",
 ]
 
 
