@@ -203,3 +203,109 @@ def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         language_id(text_col).alias("lang_guess"),
         rolling_fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    max_word_len: int = 20,
+) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich, Haddow & Birch
+    2016, "Neural Machine Translation of Rare Words with Subword
+    Units") as a sequence of relational plans — the tokenizer-training
+    pass of an LLM data pipeline, distributed.
+
+    Classic word-level BPE: the corpus is compressed to a WORD-TYPE
+    frequency table first (the only pass over raw text — at 100 TB
+    everything after touches |vocab| rows, not the corpus), each word
+    becomes a symbol array (characters + a ``</w>`` end marker), and
+    each round (a) counts adjacent symbol pairs weighted by word
+    frequency, (b) takes the most frequent pair (deterministic ties:
+    lexicographically smallest), and (c) rewrites every word's symbol
+    array with a greedy left-to-right fold — ``F.aggregate`` over the
+    array, merging where the accumulator's last symbol is the pair's
+    left and the incoming symbol is its right. A symbol created by a
+    merge can never falsely re-trigger as the pair's left within the
+    same round (that would need left+right == left), so the fold is
+    exactly the reference algorithm's non-overlapping left-to-right
+    replacement — pytest-pinned against a textbook Python BPE.
+
+    Everything stays in-plan: the winning pair is a 1-row broadcast
+    joined into the rewrite expression, never a driver value; each
+    round's vocabulary is pinned with ``localCheckpoint`` (bounded
+    lineage across the merge loop, as in BFS).
+
+    Returns (rank, left, right, merged, pair_freq), rank 1..n_merges.
+    """
+    words = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda x: x.rlike("^[a-z]+$"),
+                )
+            ).alias("word")
+        )
+        .filter(F.length("word") <= max_word_len)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = words.select(
+        F.concat(
+            F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))"),
+            F.array(F.lit("</w>")),
+        ).alias("syms"),
+        "freq",
+    ).localCheckpoint(eager=True)
+
+    spark = df.sparkSession
+    merges = None
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i - 1] AS a, syms[i] AS b))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("pair_freq"))
+        )
+        best = (
+            pairs.orderBy(F.col("pair_freq").desc(), "a", "b")
+            .limit(1)
+            .select(
+                F.lit(rank).alias("rank"),
+                F.col("a").alias("left"),
+                F.col("b").alias("right"),
+                F.concat("a", "b").alias("merged"),
+                F.col("pair_freq").cast("long").alias("pair_freq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merges = best if merges is None else merges.unionByName(best)
+        vocab = (
+            vocab.join(F.broadcast(best.select("left", "right", "merged")))
+            .select(
+                F.aggregate(
+                    "syms",
+                    F.array().cast("array<string>"),
+                    lambda acc, s: F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == F.col("left"))
+                        & (s == F.col("right")),
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(F.col("merged")),
+                        ),
+                    ).otherwise(F.concat(acc, F.array(s))),
+                ).alias("syms"),
+                "freq",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return merges

@@ -9283,6 +9283,30 @@ def q_hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_train_merges",
+    # Rows-only: the merge loop's argmax-per-round is iterative (like
+    # BFS) and not single-statement SQL; correctness is pinned
+    # merge-for-merge against a textbook Python BPE implementation in
+    # tests/test_extensions.py instead.
+    oracle=None,
+    description="BPE tokenizer merge training (Sennrich 2016) as "
+    "relational plans: corpus -> word-type frequency table (the only "
+    "raw-text pass), then per round a pair-count partial agg, an "
+    "in-plan 1-row argmax broadcast, and a greedy left-to-right "
+    "F.aggregate rewrite of the symbol arrays — no driver-side "
+    "values, bounded lineage via per-round checkpoints. The "
+    "tokenizer-training member of the LLM-pipeline family.",
+    tags=["text", "tokenizer", "llm-pipeline"],
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textops import bpe_train_merges
+
+    return bpe_train_merges(
+        load_table(spark, sf_dir, "documents"), "text", n_merges=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------

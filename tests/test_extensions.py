@@ -627,3 +627,52 @@ def test_semdedup_drops_planted_duplicates(spark, sf_dir):
     # has a genuine exact twin (testdata embeddings contain none)
     n_base = em.count()
     assert len(kept_ids) == n_base
+
+
+def test_bpe_train_matches_textbook_reference(spark, sf_dir):
+    """The relational BPE trainer must reproduce the textbook
+    algorithm (Sennrich 2016) merge-for-merge: same pairs in the same
+    order with the same weighted frequencies, including deterministic
+    lexicographic tie-breaks."""
+    import re
+    from collections import Counter
+
+    from financial_anomaly_detection_spark.operators.textops import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_merges = 8
+
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_freq"])
+        for r in bpe_train_merges(docs, "text", n_merges=n_merges)
+        .orderBy("rank")
+        .collect()
+    ]
+
+    # textbook reference on the same word-frequency table
+    freqs = Counter()
+    for row in docs.select("text").collect():
+        for w in re.split(r"\s+", (row["text"] or "").strip().lower()):
+            if re.fullmatch(r"[a-z]+", w) and len(w) <= 20:
+                freqs[w] += 1
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in freqs.items()}
+    want = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        (a, b), freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, a, b, freq))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+
+    assert got == want
