@@ -238,20 +238,32 @@ def bpe_train_merges(
 
     Returns (rank, left, right, merged, pair_freq), rank 1..n_merges.
     """
-    words = (
-        df.select(
-            F.explode(
-                F.filter(
-                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                    lambda x: x.rlike("^[a-z]+$"),
-                )
-            ).alias("word")
-        )
-        .filter(F.length("word") <= max_word_len)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
+    merges, _ = _bpe_train(df, text_col, n_merges, max_word_len)
+    return merges
+
+
+def _bpe_words(df: DataFrame, text_col: str, max_word_len: int):
+    """Lowercase alpha word stream (the shared tokenization contract
+    of the BPE trainer and the per-document tokenizer)."""
+    return df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda x: x.rlike("^[a-z]+$"),
+            )
+        ).alias("word")
+    ).filter(F.length("word") <= max_word_len)
+
+
+def _bpe_train(df: DataFrame, text_col: str, n_merges: int, max_word_len: int):
+    """Core merge loop. Returns (merges, vocab): the ranked merge
+    table and the word-type table AFTER all merges — (word, syms,
+    freq), i.e. each word type's final subword segmentation."""
+    words = _bpe_words(df, text_col, max_word_len).groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq")
     )
     vocab = words.select(
+        "word",
         F.concat(
             F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))"),
             F.array(F.lit("</w>")),
@@ -259,7 +271,6 @@ def bpe_train_merges(
         "freq",
     ).localCheckpoint(eager=True)
 
-    spark = df.sparkSession
     merges = None
     for rank in range(1, n_merges + 1):
         pairs = (
@@ -291,6 +302,7 @@ def bpe_train_merges(
         vocab = (
             vocab.join(F.broadcast(best.select("left", "right", "merged")))
             .select(
+                "word",
                 F.aggregate(
                     "syms",
                     F.array().cast("array<string>"),
@@ -308,4 +320,42 @@ def bpe_train_merges(
             )
             .localCheckpoint(eager=True)
         )
-    return merges
+    return merges, vocab
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 10,
+    max_word_len: int = 20,
+) -> DataFrame:
+    """Apply trained BPE merges to tokenize every document — the
+    serving half of the tokenizer: train on the word-TYPE table
+    (``_bpe_train``), then each document's token count is one
+    word-keyed join against the segmented vocabulary (word ->
+    |subwords|) plus a per-document sum. The expensive merge loop
+    never touches per-document data; the apply pass is a single
+    equi-join however many merges were trained.
+
+    Returns (id_col, n_words, n_bpe_tokens) per document.
+    """
+    _, vocab = _bpe_train(df, text_col, n_merges, max_word_len)
+    seg = vocab.select("word", F.size("syms").alias("n_sub"))
+    doc_words = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda x: x.rlike("^[a-z]+$"),
+            )
+        ).alias("word"),
+    ).filter(F.length("word") <= max_word_len)
+    return (
+        doc_words.join(seg, "word")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
+        )
+    )

@@ -9307,6 +9307,27 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_tokenize_docs",
+    # Rows-only like the trainer (iterative argmax loop); the apply
+    # path is pinned against the reference segmentation per document
+    # in the same pytest.
+    oracle=None,
+    description="Per-document token counts under the trained BPE "
+    "vocabulary: the merge loop runs on the word-TYPE table only, "
+    "then every document tokenizes via ONE word-keyed equi-join "
+    "against the segmented vocabulary — the serving half of the "
+    "tokenizer, corpus cost independent of merge count.",
+    tags=["text", "tokenizer", "llm-pipeline"],
+)
+def q_bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textops import bpe_token_counts
+
+    return bpe_token_counts(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n_merges=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------

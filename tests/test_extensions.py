@@ -676,3 +676,28 @@ def test_bpe_train_matches_textbook_reference(spark, sf_dir):
         vocab = new_vocab
 
     assert got == want
+
+    # the serving half: per-document token counts from the segmented
+    # word-type vocabulary must match the reference segmentation
+    from financial_anomaly_detection_spark.operators.textops import (
+        bpe_token_counts,
+    )
+
+    seg_len = {"".join(w).replace("</w>", ""): len(syms) for syms, c in vocab.items() for w in [syms]}
+    got_counts = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_counts(docs, "doc_id", "text", n_merges=n_merges).collect()
+    }
+    want_counts = {}
+    for row in docs.select("doc_id", "text").collect():
+        words = [
+            w
+            for w in re.split(r"\s+", (row["text"] or "").strip().lower())
+            if re.fullmatch(r"[a-z]+", w) and len(w) <= 20
+        ]
+        if words:
+            want_counts[row["doc_id"]] = (
+                len(words),
+                sum(seg_len[w] for w in words),
+            )
+    assert got_counts == want_counts
