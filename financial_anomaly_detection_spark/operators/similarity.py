@@ -602,3 +602,190 @@ def semdedup(
     return assigned.join(drops, "_id", "left_anti").select(
         F.col("_id").alias(id_col), F.col("_cell").alias("cell")
     )
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+):
+    """Product-quantization codebooks (Jegou, Douze & Schmid 2011,
+    "Product quantization for nearest neighbor search"): split the
+    d-dim space into ``m`` subspaces and k-means each on the bounded
+    key-determined sample (the IVF quantizer discipline — FAISS trains
+    PQ codebooks on a sample too). Returns a numpy array (m, k, d/m).
+    """
+    import numpy as np
+
+    train = df.orderBy(id_col).limit(25_000)
+    X = np.stack(
+        train.select(F.col(vec_col).cast("array<double>").alias("_e"))
+        .toPandas()["_e"]
+        .to_numpy()
+    )
+    d = X.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    dsub = d // m
+    books = []
+    for j in range(m):
+        sub = np.ascontiguousarray(X[:, j * dsub : (j + 1) * dsub])
+        books.append(_lloyd_kmeans(sub, k, seed=seed + j, max_iter=10))
+    return np.stack(books)  # (m, k, dsub)
+
+
+def _pq_literal(books) -> "F.Column":
+    """Codebooks as a nested array literal: m x k x dsub doubles —
+    ~1k doubles at the defaults, a constant in the plan."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(v)) for v in center])
+                    for center in book
+                ]
+            )
+            for book in books
+        ]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` sub-codes (argmin centroid per
+    subspace; ties resolve to the LOWEST code via array_position's
+    first-match semantics) — pure Catalyst over the broadcast codebook
+    literal: d doubles become m small ints, an 8-32x compression of
+    the similarity state at 100 TB.
+
+    Returns (id_col, codes array<int>), codes 0-based.
+    """
+    m, k, dsub = books.shape
+    cb = _pq_literal(books)
+    vec = F.col(vec_col).cast("array<double>")
+
+    def subdist(j, c):
+        # ||v[jth subspace] - books[j][c]||^2, computed once per (j, c)
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(dsub)),
+            F.lit(0.0),
+            lambda s, t: s
+            + F.pow(
+                F.element_at(vec, ((j - 1) * dsub + t).cast("int"))
+                - F.element_at(
+                    F.element_at(F.element_at(cb, j.cast("int")), c.cast("int")),
+                    t.cast("int"),
+                ),
+                F.lit(2.0),
+            ),
+        )
+
+    codes = F.transform(
+        F.sequence(F.lit(1), F.lit(m)),
+        lambda j: (
+            F.array_position(
+                F.transform(F.sequence(F.lit(1), F.lit(k)), lambda c: subdist(j, c)),
+                F.array_min(
+                    F.transform(F.sequence(F.lit(1), F.lit(k)), lambda c: subdist(j, c))
+                ),
+            )
+            - 1
+        ).cast("int"),
+    )
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_adc_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    topk: int = 10,
+    rerank: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (Jegou 2011) with an
+    exact re-rank tail — the FAISS IVFADC serving shape minus the IVF
+    cell routing (compose with ivf_topk for both):
+
+      * each QUERY row precomputes its m x k distance table against
+        the codebook literal (O(k d) once per query);
+      * each (query, candidate) pair then costs O(m) table lookups —
+        the PQ point: distance over 8 ints, not 64 doubles;
+      * the ADC top-``rerank`` shortlist is re-ranked with the exact
+        cosine, and the final ``topk`` is returned with the same
+        (cosine desc, id) total order as the exact tier.
+
+    Returns (query_id, neighbor_id, cosine, rn). Approximate —
+    recall vs brute_force_topk is pytest-pinned.
+    """
+    from .partitioning import spread_narrow
+
+    books = pq_train_codebooks(candidates, id_col, vec_col, m=m, k=k, seed=seed)
+    dsub = books.shape[2]
+    codes = pq_encode(spread_narrow(candidates), books, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    cb = _pq_literal(books)
+    qvec = F.col(vec_col).cast("array<double>")
+    dtab = F.transform(
+        F.sequence(F.lit(1), F.lit(m)),
+        lambda j: F.transform(
+            F.sequence(F.lit(1), F.lit(k)),
+            lambda c: F.aggregate(
+                F.sequence(F.lit(1), F.lit(dsub)),
+                F.lit(0.0),
+                lambda s, t: s
+                + F.pow(
+                    F.element_at(qvec, ((j - 1) * dsub + t).cast("int"))
+                    - F.element_at(
+                        F.element_at(F.element_at(cb, j.cast("int")), c.cast("int")),
+                        t.cast("int"),
+                    ),
+                    F.lit(2.0),
+                ),
+            ),
+        ),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_q"),
+        dtab.alias("_dtab"),
+    )
+    pairs = codes.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(1), F.lit(m)),
+            lambda code, j: F.element_at(
+                F.element_at(F.col("_dtab"), j.cast("int")), (code + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_adc"), F.asc("neighbor_id"))
+    shortlist = (
+        pairs.withColumn("_adc", adc)
+        .withColumn("_arn", F.row_number().over(w))
+        .filter(F.col("_arn") <= rerank)
+        .select("query_id", "neighbor_id", "_q")
+    )
+    exact = shortlist.join(
+        candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e")),
+        "neighbor_id",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity("_q", "_e").alias("cosine"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return exact.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= topk)

@@ -9328,6 +9328,123 @@ def q_bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "profile_incremental_merge",
+    # Incremental view maintenance for the customer profile — the
+    # pattern that makes 90-day profiles affordable at 100 TB: persist
+    # DAY-partitioned partial aggregates (sum, count in exact integer
+    # cents) and answer any window by MERGING partials, never
+    # rescanning history. The merged profile is verified EQUAL to the
+    # direct full recompute per customer (sum/count addition is
+    # associative — checked, not assumed, in the output), and the
+    # derived average is the repo's exact decimal-sum / count
+    # discipline on both paths.
+    oracle="""
+        WITH daily AS (
+            SELECT user_id,
+                   CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        AS BIGINT) AS day,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ), merged AS (
+            SELECT user_id, CAST(SUM(s) AS BIGINT) AS sum_cents,
+                   CAST(SUM(c) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY user_id
+        ), direct AS (
+            SELECT user_id,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+        )
+        SELECT m.user_id AS user_id,
+               m.sum_cents, m.n_events, m.n_days,
+               floor(CAST(m.sum_cents AS DOUBLE) / 100.0
+                     / m.n_events * 1e4 + 0.5) / 1e4 AS avg_value,
+               CAST(CASE WHEN m.sum_cents = d.sum_cents
+                          AND m.n_events = d.n_events
+                         THEN 1 ELSE 0 END AS BIGINT) AS merged_eq_direct
+        FROM merged m JOIN direct d ON m.user_id = d.user_id
+    """,
+    description="Incremental profile maintenance: day-partitioned "
+    "(sum, count) partials in exact integer cents merge into the full "
+    "customer profile, verified equal per customer to the direct "
+    "recompute — the persist-daily-partials pattern that answers any "
+    "window without rescanning history.",
+    tags=["profiles", "incremental", "aggregate"],
+)
+def q_profile_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = ev.groupBy(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.sum(cents).cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    merged = daily.groupBy("user_id").agg(
+        F.sum("s").cast("long").alias("sum_cents"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    direct = ev.groupBy("user_id").agg(
+        F.sum(cents).cast("long").alias("d_sum"),
+        F.count(F.lit(1)).cast("long").alias("d_n"),
+    )
+    return merged.join(direct, "user_id").select(
+        F.col("user_id").cast("long"),
+        "sum_cents",
+        "n_events",
+        "n_days",
+        sround(
+            F.col("sum_cents").cast("double")
+            / F.lit(100.0)
+            / F.col("n_events").cast("double"),
+            4,
+        ).alias("avg_value"),
+        (
+            (F.col("sum_cents") == F.col("d_sum"))
+            & (F.col("n_events") == F.col("d_n"))
+        )
+        .cast("long")
+        .alias("merged_eq_direct"),
+    )
+
+
+@register(
+    "ann_pq_topk",
+    # Rows-only like the other approximate ANN tiers (codebooks come
+    # from sampled k-means); recall vs the exact tier is pytest-pinned
+    # (0.88 measured at sf0.01 defaults on structure-free vectors).
+    oracle=None,
+    description="Product-quantization ADC top-k (Jegou 2011, the "
+    "FAISS IVFADC serving shape): sampled per-subspace codebooks, "
+    "pure-Catalyst encoding (d doubles -> m ints, 8-32x state "
+    "compression), per-query m x k distance tables so each pair "
+    "costs O(m) lookups, exact re-rank of the ADC shortlist. The "
+    "compression member of the ANN family (exact / LSH / IVF / "
+    "simhash / PQ).",
+    tags=["similarity", "vector", "topk", "sketch"],
+)
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import pq_adc_topk
+
+    em = load_table(spark, sf_dir, "embeddings")
+    qs = em.filter(F.col("vec_id") % 100 == 0)
+    return pq_adc_topk(em, qs, topk=10).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        sround(F.col("cosine"), 6).alias("cosine"),
+        F.col("rn").cast("long"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -9395,6 +9512,7 @@ _PRIORITY_R05 = [
     "seasonal_robust_outliers",
     "referential_integrity_audit",
     "hll_weekly_rollup",
+    "profile_incremental_merge",
     # oracle-backed, freshest green r1/r2 (VERDICT r4 stale list)
     "ml_recon_mse_threshold",
     "ml_fusion_scores_precomputed",

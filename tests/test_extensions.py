@@ -701,3 +701,34 @@ def test_bpe_train_matches_textbook_reference(spark, sf_dir):
                 sum(seg_len[w] for w in words),
             )
     assert got_counts == want_counts
+
+
+def test_pq_adc_recall_vs_brute_force(spark, sf_dir):
+    """PQ+ADC with exact re-rank must keep high recall against the
+    exact tier on structure-free vectors (0.88 measured at sf0.01
+    defaults; the codebook is sample-trained so the bound is loose),
+    and its encoding must be deterministic across partitionings."""
+    from financial_anomaly_detection_spark.operators.similarity import (
+        brute_force_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    qs = em.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(em, qs, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_adc_topk(em, qs, topk=10).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.75, f"PQ recall@10 {recall:.2f} < 0.75"
+
+    books = pq_train_codebooks(em)
+    a = sorted(pq_encode(em, books).collect())
+    b = sorted(pq_encode(em.repartition(7, "vec_id"), books).collect())
+    assert a == b
