@@ -119,6 +119,10 @@ EXPECTED = {
          "supplier": 1, "events": 1},
     ),
     "hll_weekly_rollup": (0, {"events": 2}),
+    "profile_incremental_merge": (0, {"events": 3}),
+    "bpe_tokenize_docs": (0, {"documents": 2}),
+    # the one NLJ is the broadcast query-set join (ADC pair expansion)
+    "ann_pq_topk": (1, {"embeddings": 2}),
 }
 
 

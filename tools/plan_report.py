@@ -110,6 +110,9 @@ QUERIES = [
     "seasonal_robust_outliers",
     "referential_integrity_audit",
     "hll_weekly_rollup",
+    "profile_incremental_merge",
+    "bpe_tokenize_docs",
+    "ann_pq_topk",
 ]
 
 
