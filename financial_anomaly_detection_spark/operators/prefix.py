@@ -202,6 +202,86 @@ def grouped_prefix_stats(
     )
 
 
+def ordered_rank_desc(
+    df: DataFrame,
+    order_col: str,
+    tie_col: str,
+    out_col: str = "rank",
+    n_buckets: int = 64,
+    pin: bool = True,
+    total_col: str | None = None,
+) -> DataFrame:
+    """Exact global rank in (``order_col`` DESC, ``tie_col`` ASC) order
+    with no single-partition exchange.
+
+    Equivalent to ``rank() OVER (ORDER BY order_col DESC, tie_col)``
+    when ``tie_col`` makes the total order unique (rank == row_number
+    then), but computed as the two-pass parallel scan: rows are
+    bucketed order-preservingly on ``order_col``; each bucket's
+    carry-in is the COUNT of rows in strictly-later (larger-value)
+    buckets, composed via a triangular join on the tiny subtotal
+    table; the within-bucket rank is an ordinary per-bucket window.
+    Ties on ``order_col`` always share a bucket, so the ``tie_col``
+    ordering fully resolves inside one window task. Integer counts are
+    associative, so the result is bit-identical to the sequential
+    ``rank()`` — the DuckDB oracle stays the plain window form.
+
+    ``pin`` materializes the bucketed skeleton once (the scan consumes
+    it twice: subtotals + the per-bucket window); pass ``pin=False``
+    to stay lazy when the input is cheap.
+
+    ``total_col``, when set, also attaches the GLOBAL row count as a
+    column — composed from the same tiny subtotal table inside the
+    triangular join (one unconditioned broadcast join over at most
+    ``n_buckets``² pairs), deliberately NOT a scalar ``agg()``: a
+    global count would itself plan an ``Exchange SinglePartition``,
+    and consumers of this operator (top-p%% flags) need rank AND total
+    with zero single-partition stages in the whole plan.
+    """
+    bounds = df.agg(
+        F.min(F.col(order_col).cast("double")).alias("_lo"),
+        F.max(F.col(order_col).cast("double")).alias("_hi"),
+    )
+    bucketed = df.join(F.broadcast(bounds)).withColumn(
+        "_bucket",
+        F.width_bucket(
+            F.col(order_col).cast("double"),
+            F.col("_lo"),
+            F.col("_hi") + F.lit(1.0),
+            F.lit(n_buckets),
+        ),
+    ).drop("_lo", "_hi")
+    if pin:
+        bucketed = bucketed.localCheckpoint(eager=True)
+
+    sub = bucketed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_bcnt"))
+    # Descending rank: bucket b's carry-in counts rows in LATER buckets
+    # (strictly larger order_col values rank ahead of all of b's rows).
+    # One unconditioned broadcast join over the <=n_buckets-row table
+    # yields carry-in and (optionally) the global total per bucket.
+    aggs = [
+        F.sum(
+            F.when(F.col("y._bucket") > F.col("x._bucket"), F.col("y._bcnt")).otherwise(F.lit(0))
+        ).cast("long").alias("_coffset"),
+    ]
+    if total_col is not None:
+        aggs.append(F.sum("y._bcnt").cast("long").alias(total_col))
+    carry = (
+        sub.alias("x")
+        .join(F.broadcast(sub.alias("y")))
+        .groupBy(F.col("x._bucket").alias("_bucket"))
+        .agg(*aggs)
+    )
+
+    w = Window.partitionBy("_bucket").orderBy(F.desc(order_col), F.asc(tie_col))
+    local = bucketed.withColumn("_lrank", F.row_number().over(w).cast("long"))
+    return (
+        local.join(F.broadcast(carry), "_bucket")
+        .withColumn(out_col, (F.col("_coffset") + F.col("_lrank")).cast("long"))
+        .drop("_bucket", "_lrank", "_coffset")
+    )
+
+
 def ordered_prefix_max(
     df: DataFrame,
     order_col: str,

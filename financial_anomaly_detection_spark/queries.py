@@ -3137,10 +3137,17 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reconstruction error vs the fitted mean vector in exact scaled-int "
     "arithmetic, anomaly flag at the 95th-percentile threshold. The "
     "full AE/PCA scorers (ml_reconstruction_embeddings) share this "
-    "MSE+threshold tail; this pins the math the oracle can verify.",
+    "MSE+threshold tail; this pins the math the oracle can verify. "
+    "The top-5%% flag is an exact global rank computed by the two-pass "
+    "parallel scan (operators/prefix.py:ordered_rank_desc) — no "
+    "Exchange SinglePartition anywhere; the oracle keeps the plain "
+    "rank() window, which is bit-identical (integer counts, unique "
+    "vec_id tiebreak).",
     tags=["ml", "oracle-surrogate"],
 )
 def q_ml_recon_mse_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.prefix import ordered_rank_desc
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos0", "val")
@@ -3157,16 +3164,14 @@ def q_ml_recon_mse_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum(d * d).alias("err_scaled"))
     )
-    total = err.agg(F.count(F.lit(1)).alias("n_total"))
-    w = Window.orderBy(F.desc("err_scaled"), F.asc("vec_id"))
-    k = F.ceil(F.lit(0.05) * F.col("n_total")).cast("long")
-    return (
-        err.crossJoin(F.broadcast(total))
-        .select(
-            F.col("vec_id").cast("long"),
-            F.col("err_scaled").cast("long"),
-            F.when(F.rank().over(w).cast("long") <= k, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("is_anomaly"),
-        )
+    ranked = ordered_rank_desc(
+        err, "err_scaled", "vec_id", out_col="_rnk", total_col="_n_total"
+    )
+    k = F.ceil(F.lit(0.05) * F.col("_n_total")).cast("long")
+    return ranked.select(
+        F.col("vec_id").cast("long"),
+        F.col("err_scaled").cast("long"),
+        F.when(F.col("_rnk") <= k, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("is_anomaly"),
     )
 
 

@@ -160,3 +160,37 @@ def test_prefix_max_first_key_is_null_and_no_single_partition(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "Exchange SinglePartition" not in plan
+
+
+# --- ordered_rank_desc -------------------------------------------------------
+
+
+def test_rank_desc_matches_sequential_window_with_ties(spark):
+    from financial_anomaly_detection_spark.operators.prefix import ordered_rank_desc
+
+    rng = random.Random(29)
+    # heavy value ties on purpose: ties must resolve by the unique tie
+    # key INSIDE one bucket (equal values always co-bucket)
+    data = [(i, rng.randint(0, 40)) for i in range(2500)]
+    df = spark.createDataFrame(data, "id long, v long").repartition(8)
+    got = ordered_rank_desc(df, "v", "id", out_col="rnk", n_buckets=11)
+    w = Window.orderBy(F.desc("v"), F.asc("id"))
+    want = df.withColumn("rnk_w", F.row_number().over(w).cast("long"))
+    j = got.join(want, ["id", "v"])
+    assert j.filter(F.col("rnk") != F.col("rnk_w")).count() == 0
+
+
+def test_rank_desc_total_col_and_no_single_partition(spark):
+    from financial_anomaly_detection_spark.operators.prefix import ordered_rank_desc
+
+    df = spark.createDataFrame([(i, i % 5) for i in range(300)], "id long, v long")
+    out = ordered_rank_desc(
+        df, "v", "id", out_col="rnk", n_buckets=7, pin=False, total_col="n_total"
+    )
+    rows = out.collect()
+    assert all(r["n_total"] == 300 for r in rows)
+    assert sorted(r["rnk"] for r in rows) == list(range(1, 301))
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange SinglePartition" not in plan
