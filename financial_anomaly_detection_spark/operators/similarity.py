@@ -150,10 +150,12 @@ def ivf_topk(
     # orderBy+limit plans as a distributed top-k
     # (TakeOrderedAndProject), so the training set is key-determined —
     # independent of file layout, partition count, and AQE — unlike a
-    # bare limit().
+    # bare limit(). Ordering by md5(id) rather than the id itself keeps
+    # the sample distribution-representative when ids correlate with
+    # time or source order (an id-prefix sample would bias centroids).
     if nlist is None:
         nlist = auto_nlist(cand.count())
-    train = cand.orderBy("neighbor_id").limit(25_000)
+    train = cand.orderBy(F.md5(F.col("neighbor_id").cast("string")), "neighbor_id").limit(25_000)
     X = np.stack(
         train.select(F.col("_e").cast("array<double>").alias("_e"))
         .toPandas()["_e"]
@@ -527,6 +529,7 @@ def semdedup(
     threshold: float = 0.97,
     nlist: int | None = None,
     seed: int = 42,
+    pair_cap: int | None = 256,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by coarse clustering + within-cluster cosine.
@@ -535,17 +538,34 @@ def semdedup(
     confined to cluster-sized blocks, so web-scale corpora dedup in
     O(sum cluster_size^2) instead of O(N^2). This implementation
     reuses the IVF coarse quantizer discipline (ivf_topk above):
-    Lloyd's k-means on a bounded key-determined sample driver-side,
-    broadcast-argmin cell assignment JVM-side, then a cell-local
-    self-join keeps only pairs with cosine >= ``threshold``.
+    Lloyd's k-means on a bounded hash-determined sample driver-side
+    (sampled by md5 of the id, NOT the id prefix — time/source-ordered
+    ids would otherwise bias the centroids and skew the cells),
+    broadcast-argmin cell assignment JVM-side, then cell-local pair
+    generation keeps only pairs with cosine >= ``threshold``.
+
+    ``pair_cap`` bounds the per-cell pair work — the 100 TB knob: a
+    skewed cell of size s would otherwise cost s² cosines. Rows in a
+    cell are ordered by md5(id) (deterministic, distribution-free) and
+    each row is compared only against its ``pair_cap`` predecessors in
+    that order, realized as an EQUI-join on (cell, rn-block) so the
+    join fan-out itself — not just the post-filter survivor set — is
+    O(cell_size * pair_cap). Exact duplicates can NEVER escape the
+    cap: bit-identical vectors share a vector hash, and a second
+    equi-join on (cell, vector_hash) compares all exact twins
+    regardless of distance in the md5 order. Near-duplicates more
+    than ``pair_cap`` apart inside a hot cell are the documented
+    approximation (the paper's own quality/cost dial; boundary-
+    straddling near-dups were already approximate). ``pair_cap=None``
+    restores the uncapped full cell self-join.
 
     Keep rule (deterministic): a row is DROPPED iff some smaller-id
-    row in its cluster matches it at >= threshold — the keep-first
-    analog of the paper's keep-one-per-group, in one relational pass.
+    row among its compared set matches it at >= threshold — the
+    keep-first analog of the paper's keep-one-per-group; the smallest
+    id of any duplicate group always survives.
     Exact duplicate vectors always share a cell (identical distances,
     deterministic argmin tie-break), so true duplicates cannot escape
-    across cluster boundaries; near-duplicates straddling a boundary
-    are the documented approximation, as in the paper.
+    across cluster boundaries.
 
     Returns the KEPT rows: (id_col, cell).
     """
@@ -556,7 +576,7 @@ def semdedup(
     cand = spread_narrow(df).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_e"))
     if nlist is None:
         nlist = auto_nlist(cand.count())
-    train = cand.orderBy("_id").limit(25_000)
+    train = cand.orderBy(F.md5(F.col("_id").cast("string")), "_id").limit(25_000)
     X = np.stack(
         train.select(F.col("_e").cast("array<double>").alias("_e"))
         .toPandas()["_e"]
@@ -588,15 +608,64 @@ def semdedup(
         )
         .localCheckpoint(eager=True)  # consumed by both pair sides + keep
     )
-    drops = (
-        assigned.alias("a")
-        .join(
-            assigned.alias("b"),
-            (F.col("a._cell") == F.col("b._cell"))
-            & (F.col("a._id") < F.col("b._id")),
+    def _abcols(j):
+        return j.select(
+            F.col("a._id").alias("aid"), F.col("a._e").alias("ae"),
+            F.col("b._id").alias("bid"), F.col("b._e").alias("be"),
         )
-        .filter(cosine_similarity("a._e", "b._e") >= threshold)
-        .select(F.col("b._id").alias("_id"))
+
+    if pair_cap is None:
+        pairs = _abcols(
+            assigned.alias("a").join(
+                assigned.alias("b"),
+                (F.col("a._cell") == F.col("b._cell"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+        )
+    else:
+        w_cell = Window.partitionBy("_cell").orderBy(
+            F.md5(F.col("_id").cast("string")), "_id"
+        )
+        ranked = (
+            assigned.withColumn("_rn", F.row_number().over(w_cell))
+            .withColumn("_blk", F.floor((F.col("_rn") - 1) / F.lit(pair_cap)))
+            .withColumn("_vh", F.md5(F.col("_e").cast("array<double>").cast("string")))
+            .localCheckpoint(eager=True)
+        )
+        # band pairs: b joins its own and the previous rn-block (every
+        # predecessor within pair_cap lives there), so the JOIN fan-out
+        # is O(cell * cap) — the cap bounds work, not just survivors
+        probe = ranked.select(
+            "_id", "_cell", "_e", "_rn",
+            F.explode(F.array(F.col("_blk"), F.col("_blk") - 1)).alias("_tblk"),
+        )
+        band = _abcols(
+            ranked.alias("a").join(
+                probe.alias("b"),
+                (F.col("a._cell") == F.col("b._cell"))
+                & (F.col("a._blk") == F.col("b._tblk"))
+                & (F.col("b._rn") - F.col("a._rn") >= 1)
+                & (F.col("b._rn") - F.col("a._rn") <= pair_cap),
+            )
+        )
+        # exact-twin pairs: bit-identical vectors share _vh — compared
+        # whatever their distance in the md5 order (the co-cell exact-
+        # duplicate guarantee survives the cap)
+        twins = _abcols(
+            ranked.alias("a").join(
+                ranked.alias("b"),
+                (F.col("a._cell") == F.col("b._cell"))
+                & (F.col("a._vh") == F.col("b._vh"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+        )
+        pairs = band.unionByName(twins)
+    # a matching pair always drops its LARGER id (band pairs are rn-
+    # ordered, not id-ordered, so orient here): dropped iff some
+    # smaller-id row among the compared set matches
+    drops = (
+        pairs.filter(cosine_similarity("ae", "be") >= threshold)
+        .select(F.greatest("aid", "bid").alias("_id"))
         .distinct()
     )
     return assigned.join(drops, "_id", "left_anti").select(
@@ -614,13 +683,15 @@ def pq_train_codebooks(
 ):
     """Product-quantization codebooks (Jegou, Douze & Schmid 2011,
     "Product quantization for nearest neighbor search"): split the
-    d-dim space into ``m`` subspaces and k-means each on the bounded
-    key-determined sample (the IVF quantizer discipline — FAISS trains
-    PQ codebooks on a sample too). Returns a numpy array (m, k, d/m).
+    d-dim space into ``m`` subspaces and k-means each on a bounded
+    hash-determined sample (the IVF quantizer discipline — FAISS
+    trains PQ codebooks on a sample too; sampling by md5 of the id
+    keeps the sample distribution-representative when ids correlate
+    with time or source order). Returns a numpy array (m, k, d/m).
     """
     import numpy as np
 
-    train = df.orderBy(id_col).limit(25_000)
+    train = df.orderBy(F.md5(F.col(id_col).cast("string")), id_col).limit(25_000)
     X = np.stack(
         train.select(F.col(vec_col).cast("array<double>").alias("_e"))
         .toPandas()["_e"]
@@ -686,17 +757,27 @@ def pq_encode(
             ),
         )
 
+    # The k-element subdistance array is computed ONCE per subspace:
+    # wrapping it as the single element of an array and binding it via
+    # transform's lambda variable forces one materialization that both
+    # array_position and array_min read — Catalyst does not CSE across
+    # independent higher-order lambdas, so two inline copies would
+    # double the encoding cost.
     codes = F.transform(
         F.sequence(F.lit(1), F.lit(m)),
-        lambda j: (
-            F.array_position(
-                F.transform(F.sequence(F.lit(1), F.lit(k)), lambda c: subdist(j, c)),
-                F.array_min(
-                    F.transform(F.sequence(F.lit(1), F.lit(k)), lambda c: subdist(j, c))
+        lambda j: F.element_at(
+            F.transform(
+                F.array(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(k)), lambda c: subdist(j, c)
+                    )
                 ),
-            )
-            - 1
-        ).cast("int"),
+                lambda dists: (
+                    F.array_position(dists, F.array_min(dists)) - 1
+                ).cast("int"),
+            ),
+            1,
+        ),
     )
     return df.select(F.col(id_col), codes.alias("codes"))
 

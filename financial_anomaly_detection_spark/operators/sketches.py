@@ -188,6 +188,12 @@ def cms_join_size_estimate(
     so the estimate costs O(grid) however large the join inputs — the
     shape a 100 TB planner needs BEFORE committing to a join strategy.
     Returns one row: (est_join_rows,).
+
+    The min runs over ALL depth rows: a row j whose buckets do not
+    overlap at all has inner product 0 (true join size 0), so the
+    per-row products are left-joined against the 0..depth-1 index and
+    missing rows coalesce to 0 — an inner join would drop them and
+    overstate (or return NULL for fully disjoint key sets).
     """
     ga = count_min_sketch(a.select(F.col(a_key).alias("k")), "k", depth, width)
     gb = count_min_sketch(b.select(F.col(b_key).alias("k")), "k", depth, width)
@@ -198,4 +204,10 @@ def cms_join_size_estimate(
         .groupBy("j")
         .agg(F.sum("p").alias("ip"))
     )
-    return prod.agg(F.min("ip").cast("long").alias("est_join_rows"))
+    rows = ga.sparkSession.createDataFrame(
+        [(j,) for j in range(depth)], "j int"
+    )
+    full = rows.join(F.broadcast(prod), "j", "left").select(
+        F.coalesce(F.col("ip"), F.lit(0)).alias("ip")
+    )
+    return full.agg(F.min("ip").cast("long").alias("est_join_rows"))

@@ -273,8 +273,12 @@ def _bpe_train(df: DataFrame, text_col: str, n_merges: int, max_word_len: int):
 
     merges = None
     for rank in range(1, n_merges + 1):
+        # size(syms) == 1 guard: sequence(1, 0) is DESCENDING [1, 0] in
+        # Spark, so a fully-merged single-symbol word would index
+        # syms[-1]; such words contribute no pairs (explode drops them)
         pairs = (
-            vocab.select(
+            vocab.filter(F.size("syms") >= 2)
+            .select(
                 F.explode(
                     F.expr(
                         "transform(sequence(1, size(syms) - 1), "
@@ -299,23 +303,36 @@ def _bpe_train(df: DataFrame, text_col: str, n_merges: int, max_word_len: int):
             .localCheckpoint(eager=True)
         )
         merges = best if merges is None else merges.unionByName(best)
+        # LEFT join against the 1-row merge table: when a round finds
+        # no pairs at all (n_merges exceeds what the corpus supports),
+        # ``best`` is empty and an inner join would silently empty the
+        # whole vocabulary — the degenerate round must be a no-op
+        # instead, so the fold is gated on the merge row existing.
         vocab = (
-            vocab.join(F.broadcast(best.select("left", "right", "merged")))
+            vocab.join(
+                F.broadcast(best.select("left", "right", "merged")),
+                F.lit(True),
+                "left",
+            )
             .select(
                 "word",
-                F.aggregate(
-                    "syms",
-                    F.array().cast("array<string>"),
-                    lambda acc, s: F.when(
-                        (F.size(acc) > 0)
-                        & (F.element_at(acc, -1) == F.col("left"))
-                        & (s == F.col("right")),
-                        F.concat(
-                            F.slice(acc, 1, F.size(acc) - 1),
-                            F.array(F.col("merged")),
-                        ),
-                    ).otherwise(F.concat(acc, F.array(s))),
-                ).alias("syms"),
+                F.when(F.col("left").isNull(), F.col("syms"))
+                .otherwise(
+                    F.aggregate(
+                        "syms",
+                        F.array().cast("array<string>"),
+                        lambda acc, s: F.when(
+                            (F.size(acc) > 0)
+                            & (F.element_at(acc, -1) == F.col("left"))
+                            & (s == F.col("right")),
+                            F.concat(
+                                F.slice(acc, 1, F.size(acc) - 1),
+                                F.array(F.col("merged")),
+                            ),
+                        ).otherwise(F.concat(acc, F.array(s))),
+                    )
+                )
+                .alias("syms"),
                 "freq",
             )
             .localCheckpoint(eager=True)

@@ -8734,8 +8734,13 @@ def q_write_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), ip AS (
             SELECT ca.j, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS ip
             FROM ca JOIN cb USING (j, bucket) GROUP BY ca.j
+        ), ipfull AS (
+            -- rows with zero bucket overlap have true inner product 0:
+            -- left-join the depth index so they count in the min
+            SELECT COALESCE(ip.ip, 0) AS ip
+            FROM (SELECT unnest([0,1,2,3]) AS j) d LEFT JOIN ip USING (j)
         ), est AS (
-            SELECT CAST(MIN(ip) AS BIGINT) AS est_join_rows FROM ip
+            SELECT CAST(MIN(ip) AS BIGINT) AS est_join_rows FROM ipfull
         ), truth AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS true_join_rows
             FROM events e JOIN orders o ON e.user_id = o.o_custkey

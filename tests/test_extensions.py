@@ -195,6 +195,27 @@ def test_count_min_sketch_properties(spark):
     assert max(est, key=lambda k: (est[k], k)) == "hot"
 
 
+def test_cms_join_estimate_disjoint_keys_is_zero(spark):
+    """A sketch row with zero overlapping buckets has true inner
+    product 0 — the estimator must return 0 (not NULL, not an
+    overstatement from surviving rows only) for fully disjoint key
+    sets, and stay an upper bound on overlapping ones."""
+    from financial_anomaly_detection_spark.operators.sketches import (
+        cms_join_size_estimate,
+    )
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(50)], "k string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(50)], "k string")
+    # wide grid so 50+50 keys land without bucket collisions
+    est = cms_join_size_estimate(a, "k", b, "k", depth=4, width=4096).collect()
+    assert est[0]["est_join_rows"] == 0
+
+    # sanity: overlapping sets stay an upper bound on the true size
+    c = spark.createDataFrame([(f"a{i}",) for i in range(10)] * 3, "k string")
+    est2 = cms_join_size_estimate(a, "k", c, "k", depth=4, width=4096).collect()
+    assert est2[0]["est_join_rows"] >= 30
+
+
 def test_ann_topk_auto_routing_and_lsh_demotion(spark):
     """auto = exact below the threshold, IVF above; LSH is reachable
     only by name (the tier that lost its default status in r5)."""
@@ -629,6 +650,29 @@ def test_semdedup_drops_planted_duplicates(spark, sf_dir):
     assert len(kept_ids) == n_base
 
 
+def test_semdedup_pair_cap_keeps_exact_twin_guarantee(spark):
+    """With a tiny pair_cap and ONE forced cell (hot-cell worst case),
+    exact duplicates must still be dropped however far apart they sit
+    in the md5 band order (the vector-hash twin join), while the
+    capped band bounds the near-dup comparison fan-out."""
+    import numpy as np
+
+    from financial_anomaly_detection_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(7)
+    base = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(400)]
+    # exact copies of ids 0..9 at ids 9000..9009
+    dupes = [(9000 + i, base[i][1]) for i in range(10)]
+    df = spark.createDataFrame(base + dupes, "vec_id long, embedding array<double>")
+    kept = semdedup(
+        df, "vec_id", "embedding", threshold=0.999999, nlist=1, pair_cap=8
+    )
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert all(9000 + i not in kept_ids for i in range(10))
+    assert all(i in kept_ids for i in range(10))
+    assert len(kept_ids) == 400
+
+
 def test_bpe_train_matches_textbook_reference(spark, sf_dir):
     """The relational BPE trainer must reproduce the textbook
     algorithm (Sennrich 2016) merge-for-merge: same pairs in the same
@@ -701,6 +745,30 @@ def test_bpe_train_matches_textbook_reference(spark, sf_dir):
                 sum(seg_len[w] for w in words),
             )
     assert got_counts == want_counts
+
+
+def test_bpe_exhausted_corpus_rounds_are_noops(spark):
+    """When n_merges exceeds the merges the corpus supports, the
+    post-exhaustion rounds must be no-ops (empty best row left-joined),
+    not silently empty the vocabulary — bpe_token_counts must still
+    return every document with its fully-merged segmentation."""
+    from financial_anomaly_detection_spark.operators.textops import (
+        bpe_token_counts,
+        bpe_train_merges,
+    )
+
+    # one word type: "ab" -> [a, b, </w>] supports exactly 2 merges
+    docs = spark.createDataFrame(
+        [(1, "ab ab"), (2, "ab")], "doc_id long, text string"
+    )
+    merges = bpe_train_merges(docs, "text", n_merges=10).collect()
+    assert len(merges) == 2  # rounds 3..10 found no pairs
+    counts = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_counts(docs, "doc_id", "text", n_merges=10).collect()
+    }
+    # fully merged: each "ab" is ONE token (ab</w>)
+    assert counts == {1: (2, 2), 2: (1, 1)}
 
 
 def test_pq_adc_recall_vs_brute_force(spark, sf_dir):
