@@ -6,9 +6,13 @@ selection"):
     candidate scan; dot products via JVM higher-order functions
     (no UDF, stays in codegen). The oracle-checkable baseline, and
     the FASTEST tier below ~10^5-10^6 candidates.
-  * ``ivf_topk`` — IVF coarse quantizer + nprobe cell equi-join. The
-    default scale tier: the only one measured competitive on BOTH
-    structure-free and clustered corpora.
+  * ``ivf_topk`` — IVF coarse quantizer + nprobe cell equi-join with
+    exact in-cell distances. Competitive on BOTH structure-free and
+    clustered corpora; the default scale tier until r6.
+  * ``ivf_pq_topk`` — IVFADC (IVF routing + residual-PQ asymmetric
+    distances + exact re-rank). The default scale tier since r6:
+    beats both parents at every drilled scale and shuffles m code
+    bytes per candidate instead of d doubles.
   * ``simhash_vector_topk`` — banded signature equi-join, pure
     Catalyst. Wins on structure-free corpora at large ×; pays a
     d×64-projection cost that clustered corpora don't reward.
@@ -496,24 +500,28 @@ def ann_topk(
         (one count-star, parquet-metadata fast) — the JVM-codegen
         brute-force NLJ is measured faster than every approximate
         tier's setup cost at this size;
-      * ``ivf`` otherwise — the only approximate tier measured
-        competitive on BOTH structure-free vectors (×10 drill:
-        59 → 7 s after deterministic sampling) and clustered corpora
-        (11.9 s vs exact 18.1 s on the 60k×200-cluster fixture).
+      * ``ivfpq`` otherwise (since r6) — IVFADC beats BOTH of its
+        parents at every drilled scale (×1/×3/×10: 8.8/4.0/6.0 s vs
+        IVF-flat 13.5/4.9/7.6 s and flat-PQ 22.6/7.2/12.4 s), and its
+        advantage structurally widens with n: the probe join shuffles
+        m code bytes per candidate instead of d doubles.
 
-    ``tier`` may name any tier explicitly: ``exact`` | ``ivf`` |
-    ``simhash`` (wins on structure-free corpora at large ×, flat
-    6.7 s at ×30) | ``lsh`` (BRP-LSH — OPT-IN ONLY: loses to exact
-    through ×30 on structure-free vectors and merely ties IVF on its
-    clustered home fixture, so no auto route selects it; kept for
-    parity with MLlib-based pipelines that already tuned it).
+    ``tier`` may name any tier explicitly: ``exact`` | ``ivf``
+    (IVF-flat — exact distances inside probed cells, no quantization
+    loss beyond routing; the former default) | ``ivfpq`` | ``simhash``
+    (wins on structure-free corpora at large ×, flat 6.7 s at ×30) |
+    ``lsh`` (BRP-LSH — OPT-IN ONLY: loses to exact through ×30 on
+    structure-free vectors and merely ties IVF on its clustered home
+    fixture, so no auto route selects it; kept for parity with
+    MLlib-based pipelines that already tuned it).
     Extra ``tier_kwargs`` pass through to the chosen tier.
     """
     if tier == "auto":
-        tier = "exact" if candidates.count() <= exact_threshold else "ivf"
+        tier = "exact" if candidates.count() <= exact_threshold else "ivfpq"
     fns = {
         "exact": brute_force_topk,
         "ivf": ivf_topk,
+        "ivfpq": ivf_pq_topk,
         "simhash": simhash_vector_topk,
         "lsh": lsh_topk,
     }
@@ -648,21 +656,38 @@ def semdedup(
                 & (F.col("b._rn") - F.col("a._rn") <= pair_cap),
             )
         )
-        # exact-twin pairs: bit-identical vectors share _vh — compared
-        # whatever their distance in the md5 order (the co-cell exact-
-        # duplicate guarantee survives the cap)
-        twins = _abcols(
-            ranked.alias("a").join(
-                ranked.alias("b"),
-                (F.col("a._cell") == F.col("b._cell"))
-                & (F.col("a._vh") == F.col("b._vh"))
-                & (F.col("a._id") < F.col("b._id")),
-            )
+        # exact-twin drops: bit-identical vectors share _vh, and an
+        # identical nonzero pair has cosine 1 >= any threshold, so the
+        # keep-first rule inside a (cell, _vh) group needs NO pair join
+        # at all — a groupBy min-id keeps the twin branch LINEAR even
+        # for million-row duplicate groups (a pair form would be
+        # quadratic in group size, the dedup worst case at 100 TB).
+        # Zero vectors are excluded (cosine is undefined/null there,
+        # and the uncapped path would not drop them either).
+        keep_min = ranked.groupBy("_cell", "_vh").agg(F.min("_id").alias("_keep"))
+        nonzero = F.aggregate(
+            F.col("_e").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, v: acc + v * v,
+        ) > 0
+        twin_drops = (
+            ranked.join(keep_min, ["_cell", "_vh"])
+            # threshold > 1 never matches anything, identical pairs
+            # included — keep the twin branch consistent with that
+            .filter((F.col("_id") > F.col("_keep")) & nonzero & F.lit(threshold <= 1.0))
+            .select("_id")
         )
-        pairs = band.unionByName(twins)
-    # a matching pair always drops its LARGER id (band pairs are rn-
-    # ordered, not id-ordered, so orient here): dropped iff some
-    # smaller-id row among the compared set matches
+        band_drops = (
+            band.filter(cosine_similarity("ae", "be") >= threshold)
+            # band pairs are rn-ordered, not id-ordered — a matching
+            # pair always drops its LARGER id
+            .select(F.greatest("aid", "bid").alias("_id"))
+        )
+        drops = band_drops.unionByName(twin_drops).distinct()
+        return assigned.join(drops, "_id", "left_anti").select(
+            F.col("_id").alias(id_col), F.col("_cell").alias("cell")
+        )
+    # uncapped: dropped iff some smaller-id row in the cell matches
     drops = (
         pairs.filter(cosine_similarity("ae", "be") >= threshold)
         .select(F.greatest("aid", "bid").alias("_id"))
@@ -728,15 +753,59 @@ def pq_encode(
     books,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
+    impl: str = "arrow",
 ) -> DataFrame:
     """Encode every vector as ``m`` sub-codes (argmin centroid per
-    subspace; ties resolve to the LOWEST code via array_position's
-    first-match semantics) — pure Catalyst over the broadcast codebook
-    literal: d doubles become m small ints, an 8-32x compression of
-    the similarity state at 100 TB.
+    subspace; ties resolve to the LOWEST code — numpy argmin and
+    array_position both take the first minimum): d doubles become m
+    small ints, an 8-32x compression of the similarity state at 100 TB.
 
-    Returns (id_col, codes array<int>), codes 0-based.
+    ``impl="arrow"`` (default) is a vectorized numpy kernel over
+    ``mapInPandas`` batches — the encode touches every candidate row
+    and m*k*dsub interpreted higher-order-function evals per row were
+    the measured bottleneck of the PQ tiers (Spark does not codegen
+    lambda functions); the batched argmin is the same kind of Arrow
+    model kernel as the iforest/LOF scorers. ``impl="catalyst"`` keeps
+    the pure-expression form — zero Python in the plan, useful where a
+    stage must stay whole-JVM. Both compute squared L2 per (row,
+    subspace, center) and take the FIRST minimum; summation order over
+    dsub differs (fold vs numpy pairwise), so agreement is pinned by a
+    pytest on the fixed test corpus rather than claimed bit-for-bit.
+
+    Returns (id_col, *keep_cols, codes array<int>), codes 0-based.
     """
+    if impl == "arrow":
+        import numpy as np
+
+        m, k, dsub = books.shape
+        B = books.astype("float64")  # (m, k, dsub)
+        in_cols = [id_col, *keep_cols]
+        field = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        schema = (
+            "".join(f"{c} {field[c]}, " for c in in_cols) + "codes array<int>"
+        )
+        src = df.select(*in_cols, F.col(vec_col).cast("array<double>").alias("_v"))
+
+        def encode(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf["_v"].to_numpy())  # (b, d)
+                codes = np.empty((len(pdf), m), dtype="int32")
+                for j in range(m):
+                    sub = X[:, j * dsub : (j + 1) * dsub]  # (b, dsub)
+                    d2 = ((sub[:, None, :] - B[j][None, :, :]) ** 2).sum(-1)
+                    codes[:, j] = d2.argmin(axis=1)
+                out = pdf[in_cols].copy()
+                out["codes"] = list(codes)
+                yield out
+
+        return src.mapInPandas(encode, schema=schema)
+    if impl != "catalyst":
+        raise ValueError(f"unknown pq_encode impl {impl!r}")
     m, k, dsub = books.shape
     cb = _pq_literal(books)
     vec = F.col(vec_col).cast("array<double>")
@@ -779,7 +848,55 @@ def pq_encode(
             1,
         ),
     )
-    return df.select(F.col(id_col), codes.alias("codes"))
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], codes.alias("codes")
+    )
+
+
+def _adc_table(vec_expr, books):
+    """m x k table of squared L2 distances between each subspace of
+    ``vec_expr`` (an array<double> column) and the codebook centers —
+    O(k*d) built once per row, then every candidate pair costs O(m)
+    lookups. ``vec_expr`` should be a plain attribute (or cheap cast
+    of one): it is referenced m*k*dsub times inside the lambdas and
+    Catalyst does not CSE across higher-order functions."""
+    m, k, dsub = books.shape
+    cb = _pq_literal(books)
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(m)),
+        lambda j: F.transform(
+            F.sequence(F.lit(1), F.lit(k)),
+            lambda c: F.aggregate(
+                F.sequence(F.lit(1), F.lit(dsub)),
+                F.lit(0.0),
+                lambda s, t: s
+                + F.pow(
+                    F.element_at(vec_expr, ((j - 1) * dsub + t).cast("int"))
+                    - F.element_at(
+                        F.element_at(F.element_at(cb, j.cast("int")), c.cast("int")),
+                        t.cast("int"),
+                    ),
+                    F.lit(2.0),
+                ),
+            ),
+        ),
+    )
+
+
+def _adc_sum(codes_col, dtab_col, m: int):
+    """Asymmetric distance: sum over subspaces of the precomputed
+    table entry for the candidate's code — O(m) per pair."""
+    return F.aggregate(
+        F.zip_with(
+            codes_col,
+            F.sequence(F.lit(1), F.lit(m)),
+            lambda code, j: F.element_at(
+                F.element_at(dtab_col, j.cast("int")), (code + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
 
 
 def pq_adc_topk(
@@ -811,48 +928,16 @@ def pq_adc_topk(
     from .partitioning import spread_narrow
 
     books = pq_train_codebooks(candidates, id_col, vec_col, m=m, k=k, seed=seed)
-    dsub = books.shape[2]
     codes = pq_encode(spread_narrow(candidates), books, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "codes"
-    )
-    cb = _pq_literal(books)
-    qvec = F.col(vec_col).cast("array<double>")
-    dtab = F.transform(
-        F.sequence(F.lit(1), F.lit(m)),
-        lambda j: F.transform(
-            F.sequence(F.lit(1), F.lit(k)),
-            lambda c: F.aggregate(
-                F.sequence(F.lit(1), F.lit(dsub)),
-                F.lit(0.0),
-                lambda s, t: s
-                + F.pow(
-                    F.element_at(qvec, ((j - 1) * dsub + t).cast("int"))
-                    - F.element_at(
-                        F.element_at(F.element_at(cb, j.cast("int")), c.cast("int")),
-                        t.cast("int"),
-                    ),
-                    F.lit(2.0),
-                ),
-            ),
-        ),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_q"),
-        dtab.alias("_dtab"),
+        _adc_table(F.col(vec_col).cast("array<double>"), books).alias("_dtab"),
     )
     pairs = codes.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(1), F.lit(m)),
-            lambda code, j: F.element_at(
-                F.element_at(F.col("_dtab"), j.cast("int")), (code + 1).cast("int")
-            ),
-        ),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
+    adc = _adc_sum(F.col("codes"), F.col("_dtab"), m)
     w = Window.partitionBy("query_id").orderBy(F.asc("_adc"), F.asc("neighbor_id"))
     shortlist = (
         pairs.withColumn("_adc", adc)
@@ -870,3 +955,190 @@ def pq_adc_topk(
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return exact.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= topk)
+
+
+def ivf_pq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nlist: int | None = None,
+    nprobe: int = 4,
+    m: int = 8,
+    pq_k: int = 16,
+    rerank: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """IVFADC (Jegou, Douze & Schmid 2011 SV; the FAISS ``IVFx,PQy``
+    default serving index): IVF cell routing composed with PQ
+    asymmetric-distance scoring over RESIDUALS — the two halves this
+    module already ships separately (ivf_topk bounds the candidate
+    set, pq_adc_topk bounds per-pair cost), combined because at 100 TB
+    you need both at once:
+
+      * the coarse quantizer confines each query to ``nprobe`` of
+        ``nlist`` cells (candidate set ~ nprobe/nlist of the corpus);
+      * candidates are PQ-encoded on their RESIDUAL x - centroid(cell)
+        (residual energy is much smaller than vector energy, so the
+        same codebook budget quantizes finer — the paper's IVFADC
+        refinement over encoding raw vectors);
+      * each (query, probed cell) pair precomputes ONE m x pq_k table
+        against the query's own residual q - centroid(cell); each
+        candidate pair then costs O(m) code lookups — the shuffled
+        state per candidate is m small ints, not d doubles (the
+        memory crossover vs IVF-flat);
+      * the ADC top-``rerank`` shortlist is re-ranked with the exact
+        cosine, same (cosine desc, id) total order as the exact tier.
+
+    Execution shape (measured — this is where the composed tier earns
+    its keep over gluing the parents together): both the candidate
+    side (assign + residual + encode) and the query side (probe-cell
+    ranking + per-cell distance tables) are ONE linear Arrow kernel
+    each — vectorized numpy with the centroids and codebooks in the
+    task closure, the same model-kernel discipline as the
+    iforest/LOF scorers. The interpreted higher-order-function argmin
+    over nlist cells and the m*pq_k*dsub codebook literal tree (fine
+    for pq_adc_topk's single table) measured 10.9 s and 5.5 s
+    respectively at the x10 drill — the Arrow kernels collapse both
+    to sub-second. Everything after is a plain (cell) equi-join, a
+    bounded per-query window, and the exact re-rank equi-join.
+
+    Both k-means fits follow the bounded md5-sampled driver-side
+    discipline of ivf_topk/pq_train_codebooks; PQ codebooks train on
+    the SAMPLE's residuals (assigned in numpy), so no cluster-wide
+    residual materialization exists outside the encode kernel.
+    Returns (query_id, neighbor_id, cosine, rn). Approximate — recall
+    vs brute_force_topk is pytest-pinned.
+    """
+    import numpy as np
+
+    from .partitioning import spread_narrow
+
+    cand = spread_narrow(candidates).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e")
+    )
+    if nlist is None:
+        nlist = auto_nlist(cand.count())
+    train = cand.orderBy(
+        F.md5(F.col("neighbor_id").cast("string")), "neighbor_id"
+    ).limit(25_000)
+    X = np.stack(
+        train.select(F.col("_e").cast("array<double>").alias("_e"))
+        .toPandas()["_e"]
+        .to_numpy()
+    )
+    C = _lloyd_kmeans(X, nlist, seed=seed, max_iter=10)  # (nlist, d)
+    d = X.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    dsub = d // m
+    # sample residuals in numpy -> per-subspace codebooks (no Spark-side
+    # residual pass needed for training)
+    sd2 = ((X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :])
+    R = X - C[sd2.argmin(axis=1)]
+    B = np.stack(
+        [
+            _lloyd_kmeans(
+                np.ascontiguousarray(R[:, j * dsub : (j + 1) * dsub]),
+                pq_k,
+                seed=seed + j,
+                max_iter=10,
+            )
+            for j in range(m)
+        ]
+    )  # (m, pq_k, dsub)
+
+    id_type = {f.name: f.dataType.simpleString() for f in cand.schema.fields}[
+        "neighbor_id"
+    ]
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["_e"].to_numpy()).astype("float64")  # (b, d)
+            d2 = (V * V).sum(1)[:, None] - 2.0 * (V @ C.T) + (C * C).sum(1)[None, :]
+            cell = d2.argmin(axis=1)
+            res = V - C[cell]
+            codes = np.empty((len(pdf), m), dtype="int32")
+            for j in range(m):
+                sub = res[:, j * dsub : (j + 1) * dsub]
+                sd = ((sub[:, None, :] - B[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = sd.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"],
+                    "_cell": cell.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    codes = cand.mapInPandas(
+        encode, schema=f"neighbor_id {id_type}, _cell int, codes array<int>"
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q"))
+    q_id_type = {f.name: f.dataType.simpleString() for f in q.schema.fields}[
+        "query_id"
+    ]
+
+    def probe(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf["_q"].to_numpy()).astype("float64")  # (b, d)
+            d2 = (Q * Q).sum(1)[:, None] - 2.0 * (Q @ C.T) + (C * C).sum(1)[None, :]
+            # nprobe nearest cells, ties by cell id (argsort is stable)
+            order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+            out_id, out_q, out_cell, out_tab = [], [], [], []
+            for i in range(len(pdf)):
+                for cell in order[i]:
+                    qres = Q[i] - C[cell]  # the query residual for THIS cell
+                    tab = np.empty((m, pq_k), dtype="float64")
+                    for j in range(m):
+                        sub = qres[j * dsub : (j + 1) * dsub]
+                        tab[j] = ((B[j] - sub[None, :]) ** 2).sum(-1)
+                    out_id.append(pdf["query_id"].iloc[i])
+                    out_q.append(pdf["_q"].iloc[i])
+                    out_cell.append(int(cell))
+                    out_tab.append([row.tolist() for row in tab])
+            yield pd.DataFrame(
+                {
+                    "query_id": out_id,
+                    "_q": out_q,
+                    "_cell": out_cell,
+                    "_dtab": out_tab,
+                }
+            )
+
+    probes = q.mapInPandas(
+        probe,
+        schema=(
+            f"query_id {q_id_type}, _q array<double>, _cell int, "
+            "_dtab array<array<double>>"
+        ),
+    )
+    pairs = probes.join(codes, "_cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_adc"), F.asc("neighbor_id"))
+    shortlist = (
+        pairs.withColumn("_adc", _adc_sum(F.col("codes"), F.col("_dtab"), m))
+        .withColumn("_arn", F.row_number().over(w))
+        .filter(F.col("_arn") <= rerank)
+        .select("query_id", "neighbor_id", "_q")
+    )
+    exact = shortlist.join(
+        candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e")),
+        "neighbor_id",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity("_q", "_e").alias("cosine"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return exact.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= k)

@@ -83,6 +83,7 @@ def quantile_sketch_knots(
     id_col: str,
     n_groups: int = 32,
     knots_per_group: int = 200,
+    partition_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Mergeable quantile summary (GK/KLL-family, deterministic form).
 
@@ -104,11 +105,19 @@ def quantile_sketch_knots(
     is <= n_g/k and total error after the weighted merge is <= N/k
     (0.5% at k=200) — pytest-asserted against exact ranks.
 
-    Returns (value, w): merged weighted knots, grouped by value.
+    ``partition_cols`` (LONG-typed columns of ``df``) build one
+    independent sketch per partition — the materialize-daily-sketches
+    shape: knots keyed by (partition_cols..., value) can be persisted
+    and any coarser window (week, month, ad-hoc ranges) merges
+    knot-sized data by plain weight addition instead of rescanning
+    raw rows (see quantile_sketch_weekly_rollup).
+
+    Returns (*partition_cols, value, w): merged weighted knots.
     """
     import pandas as pd
 
-    spark_schema = "value long, w long"
+    pcols = list(partition_cols)
+    spark_schema = "".join(f"{c} long, " for c in pcols) + "value long, w long"
 
     def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -123,7 +132,9 @@ def quantile_sketch_knots(
         prev = np.concatenate(([0], ranks[:-1]))
         # value at rank r = first value whose cumulative count reaches r
         idx = np.searchsorted(cum, ranks, side="left")
-        return pd.DataFrame({"value": v[idx], "w": ranks - prev})
+        out = {c: pdf[c].iloc[0] for c in pcols}
+        out.update({"value": v[idx], "w": ranks - prev})
+        return pd.DataFrame(out)
 
     # JVM-side weighted pre-aggregation BEFORE the Arrow stage: the
     # shuffle carries one row per DISTINCT (group, value) with its
@@ -132,6 +143,7 @@ def quantile_sketch_knots(
     # (rank-of-sorted-duplicates is count arithmetic either way).
     groups = (
         df.select(
+            *pcols,
             (
                 F.conv(
                     F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
@@ -140,11 +152,11 @@ def quantile_sketch_knots(
             ).alias("g"),
             F.col(value_col).alias("v"),
         )
-        .groupBy("g", "v")
+        .groupBy(*pcols, "g", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    knots = groups.groupBy("g").applyInPandas(summarize, schema=spark_schema)
-    return knots.groupBy("value").agg(F.sum("w").cast("long").alias("w"))
+    knots = groups.groupBy(*pcols, "g").applyInPandas(summarize, schema=spark_schema)
+    return knots.groupBy(*pcols, "value").agg(F.sum("w").cast("long").alias("w"))
 
 
 def quantile_sketch_estimates(

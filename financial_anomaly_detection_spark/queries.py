@@ -8297,6 +8297,149 @@ def q_quantile_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quantile_sketch_weekly_rollup",
+    # Sketch MERGEABILITY across time partitions for the QUANTILE
+    # member of the sketch family — the hll_weekly_rollup discipline:
+    # per-(week, day, group) rank knots (k=8, 4 md5 groups — real
+    # compression at test scale) are the daily sketch table you'd
+    # persist at 100 TB; any coarser window then merges KNOT-sized
+    # data by plain weight addition instead of rescanning raw rows.
+    # Here daily knots roll up to weekly, the weekly median estimate
+    # is read off the merged knots via a per-week running weight, and
+    # the estimate's TRUE rank in the raw weekly data plus the
+    # documented error budget (merged rank error <= sum of per-sketch
+    # n_g/k = n_week/8) are in the output, so the approximation
+    # guarantee is itself hash-checked. Everything is md5-derived
+    # integer arithmetic — engine-reproducible, full value-hash
+    # oracle despite the Arrow execution path.
+    oracle="""
+        WITH base AS (
+            SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        AS BIGINT) // 7 AS week,
+                   CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        AS BIGINT) AS day,
+                   ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 4 AS g,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events
+        ), r AS (
+            SELECT week, day, g, cents,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY week, day, g
+                                           ORDER BY cents) AS BIGINT) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY week, day, g)
+                        AS BIGINT) AS n
+            FROM base
+        ), kn AS (
+            SELECT week, day, g, cents AS value, rn
+            FROM r
+            WHERE (rn * 8) // n > ((rn - 1) * 8) // n
+        ), kw AS (
+            SELECT week, day, g, value,
+                   rn - COALESCE(LAG(rn) OVER (PARTITION BY week, day, g
+                                               ORDER BY rn), 0) AS w
+            FROM kn
+        ), weekly AS (
+            SELECT week, value, CAST(SUM(w) AS BIGINT) AS w
+            FROM kw GROUP BY week, value
+        ), run AS (
+            SELECT week, value,
+                   CAST(SUM(w) OVER (PARTITION BY week ORDER BY value
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM weekly
+        ), tot AS (
+            SELECT week, CAST(SUM(w) AS BIGINT) AS n_week FROM weekly GROUP BY week
+        ), est AS (
+            SELECT run.week, CAST(MIN(run.value) AS BIGINT) AS est_cents,
+                   CAST(ANY_VALUE(tot.n_week) AS BIGINT) AS n_week
+            FROM run JOIN tot ON run.week = tot.week
+            WHERE run.cum >= CAST(ceil(0.5 * tot.n_week) AS BIGINT)
+            GROUP BY run.week
+        ), truth AS (
+            SELECT base.week,
+                   CAST(SUM(CASE WHEN base.cents <= est.est_cents
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS rank_le
+            FROM base JOIN est ON base.week = est.week
+            GROUP BY base.week
+        )
+        SELECT est.week, est.est_cents, est.n_week, truth.rank_le,
+               CAST(ceil(0.5 * est.n_week) AS BIGINT) AS target_rank,
+               CAST(CASE WHEN abs(truth.rank_le
+                                  - CAST(ceil(0.5 * est.n_week) AS BIGINT))
+                         <= CAST(ceil(est.n_week / 8.0) AS BIGINT)
+                    THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+        FROM est JOIN truth ON est.week = truth.week
+    """,
+    description="Quantile-sketch mergeability across time partitions: "
+    "per-(week, day, md5-group) rank knots (k=8) roll up to weekly by "
+    "weight addition; the weekly median estimate is read off the "
+    "merged knots, and its true rank in the raw weekly data plus the "
+    "n/8 error budget are emitted — the materialize-daily-sketch-"
+    "tables pattern with the approximation guarantee hash-checked.",
+    tags=["sketch", "quantile", "approx", "time-series"],
+)
+def q_quantile_sketch_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import quantile_sketch_knots
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).cast(
+        "long"
+    )
+    base = ev.select(
+        (day / 7).cast("long").alias("week"),
+        day.alias("day"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    daily = quantile_sketch_knots(
+        base, "cents", "event_id", n_groups=4, knots_per_group=8,
+        partition_cols=("week", "day"),
+    )
+    # the rollup: weekly sketches from KNOT-sized daily data only
+    weekly = daily.groupBy("week", "value").agg(F.sum("w").cast("long").alias("w"))
+    wnd = (
+        Window.partitionBy("week")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = weekly.withColumn("cum", F.sum("w").over(wnd).cast("long"))
+    tot = weekly.groupBy("week").agg(F.sum("w").cast("long").alias("n_week"))
+    est = (
+        run.join(tot, "week")
+        .filter(F.col("cum") >= F.ceil(F.lit(0.5) * F.col("n_week")).cast("long"))
+        .groupBy("week")
+        .agg(
+            F.min("value").cast("long").alias("est_cents"),
+            F.any_value("n_week").cast("long").alias("n_week"),
+        )
+    )
+    truth = (
+        base.join(F.broadcast(est), "week")
+        .groupBy("week")
+        .agg(
+            F.sum((F.col("cents") <= F.col("est_cents")).cast("long"))
+            .cast("long")
+            .alias("rank_le")
+        )
+    )
+    target = F.ceil(F.lit(0.5) * F.col("n_week")).cast("long")
+    budget = F.ceil(F.col("n_week") / F.lit(8.0)).cast("long")
+    return (
+        est.join(truth, "week")
+        .select(
+            "week",
+            "est_cents",
+            "n_week",
+            "rank_le",
+            target.alias("target_rank"),
+            F.when(F.abs(F.col("rank_le") - target) <= budget, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("within_bound"),
+        )
+    )
+
+
 
 @register(
     "acf_daily_lags",
@@ -9435,7 +9578,7 @@ def q_profile_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,
     description="Product-quantization ADC top-k (Jegou 2011, the "
     "FAISS IVFADC serving shape): sampled per-subspace codebooks, "
-    "pure-Catalyst encoding (d doubles -> m ints, 8-32x state "
+    "Arrow-kernel encoding (d doubles -> m ints, 8-32x state "
     "compression), per-query m x k distance tables so each pair "
     "costs O(m) lookups, exact re-rank of the ADC shortlist. The "
     "compression member of the ANN family (exact / LSH / IVF / "
@@ -9448,6 +9591,33 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     qs = em.filter(F.col("vec_id") % 100 == 0)
     return pq_adc_topk(em, qs, topk=10).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        sround(F.col("cosine"), 6).alias("cosine"),
+        F.col("rn").cast("long"),
+    )
+
+
+@register(
+    "ann_ivfpq_topk",
+    # Rows-only like the other approximate ANN tiers; recall vs the
+    # exact tier is pytest-pinned.
+    oracle=None,
+    description="IVFADC top-k (Jegou 2011 §V, the FAISS IVFx,PQy "
+    "serving index): IVF cell routing composed with residual-PQ "
+    "asymmetric-distance scoring — the candidate set is bounded by "
+    "nprobe/nlist cell routing AND per-pair cost by O(m) code "
+    "lookups, with per-candidate shuffle state of m bytes instead of "
+    "d doubles. The 100 TB default above the IVF-flat memory "
+    "crossover; exact cosine re-rank tail.",
+    tags=["similarity", "vector", "topk", "sketch"],
+)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_pq_topk
+
+    em = load_table(spark, sf_dir, "embeddings")
+    qs = em.filter(F.col("vec_id") % 100 == 0)
+    return ivf_pq_topk(em, qs, k=10).select(
         F.col("query_id").cast("long"),
         F.col("neighbor_id").cast("long"),
         sround(F.col("cosine"), 6).alias("cosine"),

@@ -118,6 +118,30 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
+    """IVFADC (IVF routing + residual-PQ ADC + exact re-rank) must
+    keep recall >= 0.75 vs the exact tier (0.84 measured at sf0.01,
+    nlist=8/nprobe=6 on structure-free vectors — the loss is cell
+    routing, same as IVF-flat, plus the pinned PQ shortlist)."""
+    from financial_anomaly_detection_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, qs, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_topk(emb, qs, k=10, nlist=8, nprobe=6).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.75, f"IVFPQ recall@10 {recall:.2f} < 0.75"
+
+
 def test_distributed_lof_ranks_planted_anomalies(spark):
     import numpy as np
     from financial_anomaly_detection_spark.ml.lof_distributed import distributed_lof
@@ -217,7 +241,8 @@ def test_cms_join_estimate_disjoint_keys_is_zero(spark):
 
 
 def test_ann_topk_auto_routing_and_lsh_demotion(spark):
-    """auto = exact below the threshold, IVF above; LSH is reachable
+    """auto = exact below the threshold, IVFADC above (r6: measured
+    faster than both parents at every drill scale); LSH is reachable
     only by name (the tier that lost its default status in r5)."""
     import numpy as np
     from financial_anomaly_detection_spark.operators import similarity as sim
@@ -236,9 +261,13 @@ def test_ann_topk_auto_routing_and_lsh_demotion(spark):
         tuple(r) for r in expected.collect()
     }
 
-    # force the large-corpus route with a tiny threshold -> IVF
-    ivf_routed = sim.ann_topk(emb, qs, k=5, tier="auto", exact_threshold=10)
-    assert ivf_routed.count() > 0
+    # force the large-corpus route with a tiny threshold -> IVFADC
+    routed = sim.ann_topk(
+        emb, qs, k=5, tier="auto", exact_threshold=10, nlist=4, nprobe=2
+    )
+    assert routed.count() > 0
+    # IVF-flat stays reachable by name
+    assert sim.ann_topk(emb, qs, k=5, tier="ivf", nlist=4, nprobe=2).count() > 0
 
     # lsh only by explicit name; unknown tiers rejected
     assert sim.ann_topk(emb, qs, k=5, tier="lsh", bucket_length=1.0).count() > 0
@@ -800,3 +829,7 @@ def test_pq_adc_recall_vs_brute_force(spark, sf_dir):
     a = sorted(pq_encode(em, books).collect())
     b = sorted(pq_encode(em.repartition(7, "vec_id"), books).collect())
     assert a == b
+    # the Arrow kernel (default) and the pure-Catalyst expression form
+    # agree code-for-code on the fixed test corpus
+    c = sorted(pq_encode(em, books, impl="catalyst").collect())
+    assert a == c

@@ -123,6 +123,9 @@ EXPECTED = {
     "bpe_tokenize_docs": (0, {"documents": 2}),
     # the one NLJ is the broadcast query-set join (ADC pair expansion)
     "ann_pq_topk": (1, {"embeddings": 2}),
+    # IVFADC: Arrow kernels + (cell) equi-join + exact re-rank equi-
+    # join — zero NLJ anywhere
+    "ann_ivfpq_topk": (0, {"embeddings": 2}),
     # round-6: rank skeleton pinned via localCheckpoint (no parquet
     # scan downstream); the one NLJ is the unconditioned broadcast join
     # over the <=64-row bucket subtotal table that composes carry-in
