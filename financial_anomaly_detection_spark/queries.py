@@ -9636,7 +9636,92 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exceeds 50, the overflow rotates across rounds: queries rotated out
 # this round all have green hash-match evidence from a previous round.
 
-# Round-5 window (stalest-evidence-first rotation, same policy as r4):
+# Round-6 window (stalest-evidence-first rotation, same policy as
+# r4/r5), 50 slots:
+#   1. queries whose code/oracle CHANGED in r6 — ml_recon_mse_threshold
+#      (global rank window replaced by the two-pass scan, VERDICT r5
+#      task 1), cms_join_cardinality (disjoint-row left-join fix in
+#      estimator + oracle), quantile_sketch_values (knots operator
+#      gained partition_cols; behavior-identical but re-proven);
+#   2. queries NEW in r6 — quantile_sketch_weekly_rollup (oracle-
+#      backed), ann_ivfpq_topk (rows-only IVFADC);
+#   3. the four rows-only queries that have NEVER had a driver
+#      execution (added after the r5 window was fixed; VERDICT r5
+#      missing #1) — semdedup_embeddings, bpe_train_merges,
+#      bpe_tokenize_docs, ann_pq_topk — all also touched by r6's
+#      operator fixes, so the execution proof is doubly due;
+#   4. 41 of the 46 oracle-backed queries whose freshest green is r3
+#      (two rounds stale). The 5 left out for lack of slots —
+#      string_functions, date_arithmetic, priority_case_pivot,
+#      grouping_sets_order_status, benford_first_digit — are the
+#      lowest-risk constant-shape scalar/pivot queries; they keep
+#      their banked r3 greens and lead the r7 rotation.
+# Everything past slot 50 has a green hash-match row in r3/r4/r5.
+_PRIORITY_R06 = [
+    # changed in round 6 -> needs fresh evidence
+    "ml_recon_mse_threshold",
+    "cms_join_cardinality",
+    "quantile_sketch_values",
+    # new in round 6 (never driver-checked)
+    "quantile_sketch_weekly_rollup",
+    "ann_ivfpq_topk",
+    # rows-only, never driver-executed (r5 gap) + touched in r6
+    "semdedup_embeddings",
+    "bpe_train_merges",
+    "bpe_tokenize_docs",
+    "ann_pq_topk",
+    # oracle-backed, freshest green r3 (41 of 46)
+    "events_scan_filter_project",
+    "time_features_extract",
+    "customer_profile_90d",
+    "merchant_profile_90d",
+    "profile_join_deviation",
+    "window_transform_profile",
+    "asof_profile",
+    "rules_fusion_risk",
+    "percentile_thresholds",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "customers_without_orders",
+    "customers_with_urgent_orders",
+    "set_ops_users",
+    "rank_windows",
+    "distinct_agg_users",
+    "json_extract_props",
+    "dedup_exact_docs",
+    "time_range_self_join",
+    "asof_join_purchase_click",
+    "sessionize_events",
+    "time_range_window_profile",
+    "pivot_event_type_daily",
+    "from_json_props_struct",
+    "except_all_bag_semantics",
+    "q7_nation_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q14_promo_revenue_pct",
+    "q19_disjunctive_predicates",
+    "q2_min_cost_supplier",
+    "q17_small_quantity_revenue",
+    "q10_returned_revenue",
+    "q16_supplier_part_counts",
+    "q20_promo_part_shippers",
+    "q21_waiting_suppliers",
+    "c4_quality_filters",
+    "source_temperature_weights",
+    "rolling_zscore_events",
+    "lof_exact_quantized",
+    # r3-green fills past slot 50 (first in line for r7)
+    "string_functions",
+    "date_arithmetic",
+    "priority_case_pivot",
+    "grouping_sets_order_status",
+    "benford_first_digit",
+]
+
+# Round-5 window kept for provenance (CORRECTNESS_r05 was exactly the
+# first 50 of this ordering).
 #   1. queries whose code/oracle CHANGED in r5 — the repaired
 #      mad_robust_outliers (r4's only red row: HUGEINT type artifact,
 #      now cast + round-guarded) and the two drift queries rebuilt on
@@ -9910,7 +9995,10 @@ _PRIORITY_R03 = [
 
 
 def _ordered_names() -> list[str]:
-    pri = [n for n in _PRIORITY_R05 if n in REGISTRY]
+    pri = [n for n in _PRIORITY_R06 if n in REGISTRY]
+    # r5 ordering fills next (its own stalest-first logic), then the
+    # rest of the registry
+    pri += [n for n in _PRIORITY_R05 if n in REGISTRY and n not in pri]
     pri_set = set(pri)
     # Oracle-backed overflow (green in r1/r2) precedes rows-only entries,
     # which yield weaker no_oracle slots if the driver reads past 50.

@@ -60,6 +60,7 @@ def get_spark(
     app_name: str = "financial-anomaly-detection-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
 
@@ -89,5 +90,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
     )
     for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    # Static-conf overrides (e.g. tools that need the UI REST API for
+    # stage/shuffle metrics set spark.ui.enabled=true).
+    for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
     return configure(builder.getOrCreate())

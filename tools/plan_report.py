@@ -113,6 +113,11 @@ QUERIES = [
     "profile_incremental_merge",
     "bpe_tokenize_docs",
     "ann_pq_topk",
+    # Round-6 additions: IVFADC, quantile-sketch rollup, the two-pass
+    # rank rewrite of the recon threshold.
+    "ann_ivfpq_topk",
+    "quantile_sketch_weekly_rollup",
+    "ml_recon_mse_threshold",
 ]
 
 
