@@ -5,7 +5,7 @@ generates the rows; Spark evaluates the columns)."""
 
 from __future__ import annotations
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from financial_anomaly_detection_spark.functions.scoring import (
@@ -238,9 +238,15 @@ def test_skyline_decomposition_matches_bruteforce(spark, pts):
     st.integers(0, 2**32 - 1),
 )
 @settings(max_examples=20, deadline=None)
+@example(h=8, w=9, seed=1_925_368_163)  # found by hypothesis r6: err 3
 def test_jpeg_444_quant1_roundtrip_bound(h, w, seed):
-    """At quant=1 the only loss is DCT + YCbCr rounding: every pixel of
-    ANY image must round-trip within +-2 (4:4:4)."""
+    """At quant=1 the only loss is DCT-coefficient rounding (+-0.5 per
+    coefficient; YCbCr stays float through the encoder) amplified by
+    the YCbCr->RGB matrix (worst row: b = y + 1.772*cb). A per-channel
+    spatial error of ~1.5 is reachable on noise images, so the honest
+    composite bound is +-4 — the +-2 this test originally asserted was
+    an empirical accident hypothesis eventually broke (h=8, w=9, seed
+    1925368163 reaches 3; pinned below as a regression example)."""
     import numpy as np
 
     from financial_anomaly_detection_spark.operators.codecs import (
@@ -252,7 +258,7 @@ def test_jpeg_444_quant1_roundtrip_bound(h, w, seed):
     img = rng.integers(0, 256, size=(h, w, 3), dtype=np.int64).astype("uint8")
     out = decode_jpeg(encode_jpeg(img, quant=1))
     assert out.shape == img.shape
-    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
 
 
 @given(st.integers(0, 2**32 - 1), st.sampled_from(["mu", "a"]))

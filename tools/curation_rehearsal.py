@@ -52,7 +52,17 @@ SCALES = [1, 10, 30]
 OFFSET = 10_000_000
 
 
+_TAGS = "bcdefghijkmnopqrstuvwxyz23456789"  # 1-char replica tags
+
+
 def replicate_documents(spark, out_dir: str, k: int) -> None:
+    """Word-tagged replicas with TWO constraints the scale_drill rule
+    doesn't need: the C4 gate downstream requires a literal 'the'/'a'
+    stopword (so those stay untagged) and bounded letters-per-word
+    (so the tag is ONE character, shifting the ratio by +1 instead of
+    +3). Everything else is suffixed, keeping replica shingle spaces
+    effectively disjoint so near-dup pairs don't grow k^2 by
+    construction."""
     os.makedirs(out_dir, exist_ok=True)
     base = load_table(spark, SRC, "documents")
     parts = []
@@ -61,12 +71,15 @@ def replicate_documents(spark, out_dir: str, k: int) -> None:
             "doc_id", (F.col("doc_id") + F.lit(i * OFFSET)).cast("long")
         )
         if i > 0:
-            tag = F.lit(f"#r{i}")
+            tag = F.lit(_TAGS[(i - 1) % len(_TAGS)])
             df = df.withColumn(
                 "text",
                 F.array_join(
                     F.transform(
-                        F.split(F.col("text"), r"\s+"), lambda w: F.concat(w, tag)
+                        F.split(F.col("text"), r"\s+"),
+                        lambda w: F.when(w.isin("the", "a"), w).otherwise(
+                            F.concat(w, tag)
+                        ),
                     ),
                     " ",
                 ),
@@ -170,19 +183,23 @@ def main() -> None:
             open(marker, "w").write("ok")
             print(f"# built x{k} in {time.time() - t0:.1f}s", flush=True)
 
+        # the prefix-sum/prefix-filter stages pin intermediates via
+        # localCheckpoint during PLAN CONSTRUCTION — the timed window
+        # must start before composed_spine() or most of the work is
+        # invisible to it
+        before = last_stage_id(spark)
+        t0 = time.time()
         out = composed_spine(spark, d)
+        out.write.format("noop").mode("overwrite").save()
+        sec = round(time.time() - t0, 2)
+        m = stage_metrics(spark, before)
         plan = out._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
             )
         )
         single = plan.count("Exchange SinglePartition")
-        before = last_stage_id(spark)
-        t0 = time.time()
-        out.write.format("noop").mode("overwrite").save()
-        sec = round(time.time() - t0, 2)
         n = out.count()
-        m = stage_metrics(spark, before)
         rec = {
             "scale": k,
             "sec": sec,
