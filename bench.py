@@ -79,6 +79,12 @@ HEADLINE = [
 # heavy enough that host contention shows up in it.
 CANARY = "events_scan_filter_project"
 CANARY_SPREAD_LIMIT = 0.30
+# A ~0.2 s canary jitters by tens of ms from scheduling noise alone;
+# contention that can distort a multi-second query moves the canary by
+# hundreds of ms. Relative spread only counts when the absolute spread
+# clears this floor (r6: a 90 ms end-drift was flagging clean runs,
+# while a genuinely contended sweep moved the canary by 200+ ms).
+CANARY_ABS_FLOOR_SEC = 0.1
 
 # Per-query outlier guard: re-run when slower than RATIO x the prior
 # round; queries under FLOOR seconds are exempt (sub-second noise).
@@ -113,6 +119,10 @@ def run_sweep(spark, sf_dir: str, names: list[str], first_attempt: bool = True):
     except OSError:  # pragma: no cover
         load_start = None
     ncpu = os.cpu_count() or 1
+    # the canary query needs its own JIT warmup or the first attempt's
+    # start triplet measures codegen, not the host (r6: 0.84 -> 0.55 s
+    # warmup trend read as spread 2.63 and burned a full retry)
+    _canary_times(spark, sf_dir, n=1)
     canary_start = _canary_times(spark, sf_dir)
 
     # One failing query must not zero the whole round's bench (round 2
@@ -135,10 +145,14 @@ def run_sweep(spark, sf_dir: str, names: list[str], first_attempt: bool = True):
         load_end = None
 
     all_canary = canary_start + canary_end
-    spread = (max(all_canary) - min(all_canary)) / max(min(all_canary), 1e-9)
+    abs_spread = max(all_canary) - min(all_canary)
+    spread = abs_spread / max(min(all_canary), 1e-9)
     reasons = []
-    if spread > CANARY_SPREAD_LIMIT:
-        reasons.append(f"canary spread {spread:.2f} > {CANARY_SPREAD_LIMIT}")
+    if spread > CANARY_SPREAD_LIMIT and abs_spread > CANARY_ABS_FLOOR_SEC:
+        reasons.append(
+            f"canary spread {spread:.2f} > {CANARY_SPREAD_LIMIT} "
+            f"({abs_spread:.2f}s absolute)"
+        )
     # load BEFORE the sweep is the external-contention signal (the
     # sweep itself saturates the box, so load_end is always high —
     # and so is a retry's load_start; see docstring)
@@ -222,7 +236,8 @@ def main() -> None:
             t2 = t
         timings[name] = min(t, t2)
         reruns[name] = {"prior": p, "first": t, "rerun": t2}
-        if timings[name] > OUTLIER_RATIO * p:
+        # a sub-floor final time is noise however small the prior was
+        if timings[name] > max(OUTLIER_RATIO * p, OUTLIER_FLOOR_SEC):
             outliers.append(name)
     best["total"] = round(sum(timings.values()), 3)
 
