@@ -286,3 +286,38 @@ def test_g711_relative_error_bound(seed, law):
     err = np.abs(dec(enc(x)).astype(int) - x.astype(int))
     bound = 0.07 * np.abs(x.astype(int)) + 16 + np.maximum(np.abs(x.astype(int)) - peak, 0)
     assert (err <= bound).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),  # heavy value ties
+            st.integers(min_value=0, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=80,
+        unique_by=lambda t: t[1],
+    )
+)
+def test_ordered_rank_desc_matches_sequential_window(spark, rows):
+    """ordered_rank_desc == rank()/row_number() over (v DESC, id ASC)
+    for ANY value multiset (negative, tied, skewed) — the bucketed
+    carry-in algebra may not depend on the value distribution; the
+    attached total must equal the row count everywhere."""
+    from pyspark.sql import Window
+
+    from financial_anomaly_detection_spark.operators.prefix import (
+        ordered_rank_desc,
+    )
+
+    df = spark.createDataFrame([(v, i) for v, i in rows], "v long, id long")
+    got = ordered_rank_desc(
+        df, "v", "id", out_col="rnk", n_buckets=5, pin=False, total_col="tot"
+    )
+    w = Window.orderBy(F.desc("v"), F.asc("id"))
+    want = df.withColumn("rnk_w", F.row_number().over(w).cast("long"))
+    j = {r["id"]: r for r in got.collect()}
+    for r in want.collect():
+        assert j[r["id"]]["rnk"] == r["rnk_w"]
+        assert j[r["id"]]["tot"] == len(rows)
