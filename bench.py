@@ -21,8 +21,10 @@ Host-variance guard (round 5): the round-4 artifact committed a 13x
 phantom regression (multimodal_image_features 21 s vs a verified
 ~1.6 s) because the bench host degraded mid-run and nothing noticed.
 Now a cheap fixed canary query runs 3x before and 3x after the
-measured sweep; if the 6 canary times spread more than 30%, or the
-1-minute load average was already elevated before the sweep started,
+measured sweep; if the end-batch median drifts >30% slower than the
+start-batch median, any single canary run spikes to 2x the six-run
+median, or the 1-minute load average was already elevated before the
+sweep started,
 the attempt is tagged ``"degraded": true`` and (once) automatically
 re-run — the cleaner attempt is the one emitted, with both attempts'
 canary evidence kept in ``attempts``. A degraded=false artifact is
@@ -51,6 +53,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -78,13 +81,19 @@ HEADLINE = [
 # Scan-bound, pure-Catalyst, ~0.2 s at sf0.1 — cheap enough to run 6x,
 # heavy enough that host contention shows up in it.
 CANARY = "events_scan_filter_project"
-CANARY_SPREAD_LIMIT = 0.30
-# A ~0.2 s canary jitters by tens of ms from scheduling noise alone;
-# contention that can distort a multi-second query moves the canary by
-# hundreds of ms. Relative spread only counts when the absolute spread
-# clears this floor (r6: a 90 ms end-drift was flagging clean runs,
-# while a genuinely contended sweep moved the canary by 200+ ms).
-CANARY_ABS_FLOOR_SEC = 0.1
+# Degradation = the host got SLOWER while the sweep ran, or a
+# contention spike hit one canary run. A min-max spread over all six
+# runs conflated warm-up (end batch FASTER than start — JIT + page
+# cache) with contention and flagged monotone speed-ups as degraded
+# (r6: two quiet-host attempts burned on end-faster-than-start
+# "spread" 0.53/0.60). Median end-vs-start drift is the directional
+# signal the q21 phantom actually needed (load rose 5.2 -> 14 mid-run,
+# which makes the END batch slower); a max-vs-median spike catches a
+# single contended canary run.
+CANARY_DRIFT_LIMIT = 0.30
+CANARY_DRIFT_FLOOR_SEC = 0.1
+CANARY_SPIKE_RATIO = 2.0
+CANARY_SPIKE_FLOOR_SEC = 0.3
 
 # Per-query outlier guard: re-run when slower than RATIO x the prior
 # round; queries under FLOOR seconds are exempt (sub-second noise).
@@ -112,8 +121,8 @@ def run_sweep(spark, sf_dir: str, names: list[str], first_attempt: bool = True):
     The pre-sweep load check only applies to the FIRST attempt: a
     retry starts seconds after the previous sweep saturated the box,
     so its load average reflects our own work, not external
-    contention — the canary spread is the in-run contention signal
-    for retries."""
+    contention — the canary drift/spike is the in-run contention
+    signal for retries."""
     try:
         load_start = os.getloadavg()[0]
     except OSError:  # pragma: no cover
@@ -145,13 +154,24 @@ def run_sweep(spark, sf_dir: str, names: list[str], first_attempt: bool = True):
         load_end = None
 
     all_canary = canary_start + canary_end
-    abs_spread = max(all_canary) - min(all_canary)
-    spread = abs_spread / max(min(all_canary), 1e-9)
+    med_start = statistics.median(canary_start)
+    med_end = statistics.median(canary_end)
+    drift_abs = med_end - med_start
+    drift = drift_abs / max(med_start, 1e-9)
+    med_all = statistics.median(all_canary)
+    spike_abs = max(all_canary) - med_all
     reasons = []
-    if spread > CANARY_SPREAD_LIMIT and abs_spread > CANARY_ABS_FLOOR_SEC:
+    if drift > CANARY_DRIFT_LIMIT and drift_abs > CANARY_DRIFT_FLOOR_SEC:
         reasons.append(
-            f"canary spread {spread:.2f} > {CANARY_SPREAD_LIMIT} "
-            f"({abs_spread:.2f}s absolute)"
+            f"canary end-drift {drift:.2f} > {CANARY_DRIFT_LIMIT} "
+            f"({drift_abs:.2f}s absolute)"
+        )
+    if (
+        max(all_canary) > CANARY_SPIKE_RATIO * med_all
+        and spike_abs > CANARY_SPIKE_FLOOR_SEC
+    ):
+        reasons.append(
+            f"canary spike {max(all_canary):.2f}s vs median {med_all:.2f}s"
         )
     # load BEFORE the sweep is the external-contention signal (the
     # sweep itself saturates the box, so load_end is always high —
@@ -162,7 +182,9 @@ def run_sweep(spark, sf_dir: str, names: list[str], first_attempt: bool = True):
         "query": CANARY,
         "start": canary_start,
         "end": canary_end,
-        "spread": round(spread, 3),
+        "drift": round(drift, 3),
+        "spike_max": max(all_canary),
+        "median": round(med_all, 3),
         "load1_start": load_start,
         "load1_end": load_end,
     }
@@ -278,7 +300,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "degraded": best["degraded"],
-        "canary_spread": best["canary"]["spread"],
+        "canary_drift": best["canary"]["drift"],
         "n_reruns": len(reruns),
         "outliers": outliers,
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
