@@ -7780,6 +7780,242 @@ def q_ols_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "spearman_daily_corr",
+    # Spearman rank correlation per channel between day index and the
+    # daily cents total — the robust monotone-association companion to
+    # ols_trend_daily's Pearson r (which a single spiky day can drag).
+    # Ranks are EXACT integers: x = day is distinct within a channel so
+    # row_number() is its rank; y ties get the classical average rank,
+    # carried as the integer 2*avg_rank = 2*rank() + tie_count - 1
+    # (Pearson is scale-invariant, so correlating the doubled ranks
+    # gives the same rho with zero fractional values before the final
+    # cast). Moments follow the ols_trend_daily discipline: integer
+    # sums, DECIMAL(38,0) products of sums, ONE decimal->double cast
+    # into the only division/sqrt, then sround. Rank windows partition
+    # by channel over the channels x days daily frame — never over raw
+    # events — so the operator is volume-flat by construction.
+    oracle=f"""
+        WITH d AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        AS BIGINT) AS day,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ), r AS (
+            SELECT event_type,
+                   2 * ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY day) AS rx2,
+                   2 * RANK() OVER (PARTITION BY event_type ORDER BY y)
+                       + COUNT(*) OVER (PARTITION BY event_type, y)
+                       - 1 AS ry2
+            FROM d
+        ), a AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                   CAST(SUM(rx2) AS DECIMAL(38,0)) AS sx,
+                   CAST(SUM(ry2) AS DECIMAL(38,0)) AS sy,
+                   CAST(SUM(rx2 * ry2) AS DECIMAL(38,0)) AS sxy,
+                   CAST(SUM(rx2 * rx2) AS DECIMAL(38,0)) AS sxx,
+                   CAST(SUM(ry2 * ry2) AS DECIMAL(38,0)) AS syy
+            FROM r GROUP BY event_type
+        ), m AS (
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n_days,
+                   CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+                   CAST(n * sxx - sx * sx AS DOUBLE) AS denx,
+                   CAST(n * syy - sy * sy AS DOUBLE) AS deny
+            FROM a
+        )
+        SELECT event_type, n_days,
+               {sround_sql('num / NULLIF(sqrt(denx) * sqrt(deny), 0.0)', 6)}
+                   AS spearman_rho
+        FROM m
+    """,
+    description="Per-channel Spearman rank correlation (day vs daily "
+    "cents): exact integer doubled-ranks (2*avg rank keeps y-tie "
+    "average ranks integral), DECIMAL(38,0) moment products, one "
+    "double cast before the single division/sqrt. Robust monotone "
+    "companion to ols_trend_daily's Pearson r; windows only over the "
+    "channels x days daily frame.",
+    tags=["anomaly", "trend", "correlation", "time-series"],
+)
+def q_spearman_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.sum(cents).cast("long").alias("y"))
+    w_day = Window.partitionBy("event_type").orderBy("day")
+    w_y = Window.partitionBy("event_type").orderBy("y")
+    w_tie = Window.partitionBy("event_type", "y")
+    r = d.select(
+        "event_type",
+        (F.lit(2) * F.row_number().over(w_day)).cast("long").alias("rx2"),
+        (
+            F.lit(2) * F.rank().over(w_y)
+            + F.count(F.lit(1)).over(w_tie)
+            - F.lit(1)
+        )
+        .cast("long")
+        .alias("ry2"),
+    )
+    dec38 = "decimal(38,0)"
+    a = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec38).alias("n"),
+        F.sum("rx2").cast(dec38).alias("sx"),
+        F.sum("ry2").cast(dec38).alias("sy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast(dec38).alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast(dec38).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast(dec38).alias("syy"),
+    )
+    m = a.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("denx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("deny"),
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        sround(
+            F.col("num")
+            / F.nullif(F.sqrt(F.col("denx")) * F.sqrt(F.col("deny")), F.lit(0.0)),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+@register(
+    "kendall_tau_daily",
+    # Kendall tau-b per channel between day index and daily cents — the
+    # pairwise concordance companion to Spearman (tau's O(pairs) cost is
+    # the same C(days,2) per-channel pair join theilsen_daily_trend
+    # already bounds; day is distinct within a channel so the x-tie term
+    # n1 is identically 0). Concordant/discordant/tie counts are exact
+    # integers; n0 = n(n-1)/2 and the y-tie term n2 = sum c(c-1)/2 are
+    # exact in DECIMAL(38,0); ONE decimal->double cast feeds the final
+    # sqrt division, then sround. At 100 TB the pair join still sees
+    # only the channels x days daily frame (C(days,2) per channel),
+    # never raw events.
+    oracle=f"""
+        WITH d AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        AS BIGINT) AS day,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ), p AS (
+            SELECT a.event_type,
+                   CAST(SUM(CASE WHEN b.y > a.y THEN 1 ELSE 0 END)
+                        AS BIGINT) AS concordant,
+                   CAST(SUM(CASE WHEN b.y < a.y THEN 1 ELSE 0 END)
+                        AS BIGINT) AS discordant
+            FROM d a JOIN d b
+              ON a.event_type = b.event_type AND a.day < b.day
+            GROUP BY a.event_type
+        ), t AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n2
+            FROM (
+                SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS c
+                FROM d GROUP BY event_type, y
+            ) GROUP BY event_type
+        ), m AS (
+            SELECT p.event_type,
+                   t.n AS n_days,
+                   p.concordant, p.discordant,
+                   CAST(p.concordant - p.discordant AS DOUBLE) AS num,
+                   CAST(CAST(t.n * (t.n - 1) // 2 AS DECIMAL(38,0))
+                        * CAST(t.n * (t.n - 1) // 2 - t.n2
+                               AS DECIMAL(38,0)) AS DOUBLE) AS den
+            FROM p JOIN t ON p.event_type = t.event_type
+        )
+        SELECT event_type, n_days, concordant, discordant,
+               {sround_sql('num / NULLIF(sqrt(den), 0.0)', 6)} AS kendall_tau_b
+        FROM m
+    """,
+    description="Per-channel Kendall tau-b (day vs daily cents): exact "
+    "concordant/discordant/tie pair counts over the bounded C(days,2) "
+    "per-channel pair join (the theilsen discipline), DECIMAL(38,0) "
+    "tie-corrected denominator, one double cast before the single "
+    "sqrt division.",
+    tags=["anomaly", "trend", "correlation", "time-series"],
+)
+def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.sum(cents).cast("long").alias("y"))
+    a = d.alias("a")
+    b = d.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(F.when(F.col("b.y") > F.col("a.y"), 1).otherwise(0))
+            .cast("long")
+            .alias("concordant"),
+            F.sum(F.when(F.col("b.y") < F.col("a.y"), 1).otherwise(0))
+            .cast("long")
+            .alias("discordant"),
+        )
+    )
+    dec38 = "decimal(38,0)"
+    ties = (
+        d.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("n2"),
+        )
+    )
+    # n0 = C(n,2) stays exact in int64 (days-bounded); only the n0 *
+    # (n0 - n2) product goes through DECIMAL(38,0), mirroring the SQL.
+    n0 = F.expr("n * (n - 1) div 2")
+    m = p.join(ties, "event_type").select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "concordant",
+        "discordant",
+        (F.col("concordant") - F.col("discordant")).cast("double").alias("num"),
+        (n0.cast(dec38) * (n0 - F.col("n2")).cast(dec38))
+        .cast("double")
+        .alias("den"),
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        "concordant",
+        "discordant",
+        sround(
+            F.col("num") / F.nullif(F.sqrt(F.col("den")), F.lit(0.0)), 6
+        ).alias("kendall_tau_b"),
+    )
+
+
+@register(
     "rolling_median_daily",
     # Trailing 7-day rolling MEDIAN of the daily cents series per
     # channel — the robust smoother (rolling mean exists as EWMA; the
@@ -9654,18 +9890,24 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      estimator + oracle), quantile_sketch_values (knots operator
 #      gained partition_cols; behavior-identical but re-proven);
 #   2. queries NEW in r6 — quantile_sketch_weekly_rollup (oracle-
-#      backed), ann_ivfpq_topk (rows-only IVFADC);
+#      backed), ann_ivfpq_topk (rows-only IVFADC), and the late-r6
+#      rank-association pair spearman_daily_corr / kendall_tau_daily
+#      (oracle-backed; a new query with ZERO driver executions
+#      outranks a two-round-stale banked green — the r5 "never
+#      driver-run" gap class must not recur);
 #   3. the four rows-only queries that have NEVER had a driver
 #      execution (added after the r5 window was fixed; VERDICT r5
 #      missing #1) — semdedup_embeddings, bpe_train_merges,
 #      bpe_tokenize_docs, ann_pq_topk — all also touched by r6's
 #      operator fixes, so the execution proof is doubly due;
-#   4. 41 of the 46 oracle-backed queries whose freshest green is r3
-#      (two rounds stale). The 5 left out for lack of slots —
+#   4. 39 of the 46 oracle-backed queries whose freshest green is r3
+#      (two rounds stale). The 7 left out for lack of slots —
 #      string_functions, date_arithmetic, priority_case_pivot,
-#      grouping_sets_order_status, benford_first_digit — are the
-#      lowest-risk constant-shape scalar/pivot queries; they keep
-#      their banked r3 greens and lead the r7 rotation.
+#      grouping_sets_order_status, benford_first_digit, plus
+#      set_ops_users and json_extract_props (displaced by the late-r6
+#      pair above) — are the lowest-risk constant-shape
+#      scalar/pivot/set queries; they keep their banked r3 greens and
+#      lead the r7 rotation.
 # Everything past slot 50 has a green hash-match row in r3/r4/r5.
 _PRIORITY_R06 = [
     # changed in round 6 -> needs fresh evidence
@@ -9675,6 +9917,8 @@ _PRIORITY_R06 = [
     # new in round 6 (never driver-checked)
     "quantile_sketch_weekly_rollup",
     "ann_ivfpq_topk",
+    "spearman_daily_corr",
+    "kendall_tau_daily",
     # rows-only, never driver-executed (r5 gap) + touched in r6
     "semdedup_embeddings",
     "bpe_train_merges",
@@ -9695,10 +9939,8 @@ _PRIORITY_R06 = [
     "q5_region_volume",
     "customers_without_orders",
     "customers_with_urgent_orders",
-    "set_ops_users",
     "rank_windows",
     "distinct_agg_users",
-    "json_extract_props",
     "dedup_exact_docs",
     "time_range_self_join",
     "asof_join_purchase_click",
