@@ -567,6 +567,14 @@ def semdedup(
     straddling near-dups were already approximate). ``pair_cap=None``
     restores the uncapped full cell self-join.
 
+    Adaptive dispatch: when the LARGEST cell holds <= ``pair_cap``
+    rows, every pair is within cap distance in any ordering, so the
+    capped and uncapped paths return identical rows — the cap's
+    banding/twin machinery (explode probe, vector hash, union) is pure
+    overhead there. One bounded 1-row count over the checkpointed
+    assignment decides; the cap engages exactly when a cell could
+    exceed it (the hot-cell case it exists for).
+
     Keep rule (deterministic): a row is DROPPED iff some smaller-id
     row among its compared set matches it at >= threshold — the
     keep-first analog of the paper's keep-one-per-group; the smallest
@@ -622,6 +630,15 @@ def semdedup(
             F.col("b._id").alias("bid"), F.col("b._e").alias("be"),
         )
 
+    if pair_cap is not None:
+        # adaptive dispatch (see docstring): identical results, cheaper
+        # plan when no cell can exceed the cap. Bounded driver value:
+        # one MAX over the per-cell counts of the checkpointed frame.
+        max_cell = (
+            assigned.groupBy("_cell").count().agg(F.max("count")).first()[0]
+        )
+        if max_cell is not None and max_cell <= pair_cap:
+            pair_cap = None
     if pair_cap is None:
         pairs = _abcols(
             assigned.alias("a").join(
