@@ -118,6 +118,9 @@ QUERIES = [
     "ann_ivfpq_topk",
     "quantile_sketch_weekly_rollup",
     "ml_recon_mse_threshold",
+    # Late-r6 additions: rank association over the daily frame.
+    "spearman_daily_corr",
+    "kendall_tau_daily",
 ]
 
 
