@@ -5722,6 +5722,171 @@ def q_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mahalanobis_outliers",
+    # Bivariate Mahalanobis outlier screen per channel over (cents,
+    # hour-of-day) — the correlation-AWARE extension of the univariate
+    # z-score/MAD screens: a $300 purchase at 3am can be an outlier
+    # even when neither coordinate is extreme alone. The 2x2 inverse
+    # is closed-form, so the whole operator is SQL-expressible with
+    # the drift-family discipline: first-order sums int64, second
+    # moments and products of sums DECIMAL(38,0), per-row centered
+    # coordinates X = n*x - Sx exact in DECIMAL, ONE decimal->double
+    # cast feeding the quadratic form
+    #   d^2 = (n-1) * (X^2*B - 2XY*C + Y^2*A) / (n * (A*B - C^2))
+    # with A = n*Sxx - Sx^2, B = n*Syy - Sy^2, C = n*Sxy - Sx*Sy —
+    # identical expression trees in both engines, so counts against
+    # the chi-square(2) cutoffs and the max are hash-stable.
+    # Scale shape: one partial-agg shuffle to |channels| moment rows,
+    # broadcast back, map-side d^2 + count/max — no windows, no
+    # second pass over raw events.
+    oracle=f"""
+        WITH c AS (
+            SELECT event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+                   CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y
+            FROM events
+        ), a AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0))
+                            * CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+                   CAST(SUM(CAST(y AS DECIMAL(38,0))
+                            * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0))
+                            * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy
+            FROM c GROUP BY event_type
+        ), m AS (
+            SELECT event_type, n, sx, sy,
+                   CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                        - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+                        AS DOUBLE) AS ad,
+                   CAST(CAST(n AS DECIMAL(38,0)) * syy
+                        - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+                        AS DOUBLE) AS bd,
+                   CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                        - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+                        AS DOUBLE) AS cd
+            FROM a
+        ), r AS (
+            SELECT c.event_type, m.n,
+                   CAST(CAST(m.n AS DECIMAL(38,0)) * c.x
+                        - CAST(m.sx AS DECIMAL(38,0)) AS DOUBLE) AS xd,
+                   CAST(CAST(m.n AS DECIMAL(38,0)) * c.y
+                        - CAST(m.sy AS DECIMAL(38,0)) AS DOUBLE) AS yd,
+                   m.ad, m.bd, m.cd
+            FROM c JOIN m ON c.event_type = m.event_type
+        ), d AS (
+            SELECT event_type, n,
+                   (CAST(n - 1 AS DOUBLE)
+                    * (xd * xd * bd - 2.0 * xd * yd * cd + yd * yd * ad))
+                   / NULLIF(CAST(n AS DOUBLE) * (ad * bd - cd * cd), 0.0)
+                       AS d2
+            FROM r
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN d2 > 9.21034 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers_p99,
+               CAST(SUM(CASE WHEN d2 > 13.81551 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers_p999,
+               {sround_sql('MAX(d2)', 6)} AS max_d2
+        FROM d GROUP BY event_type
+    """,
+    description="Per-channel bivariate Mahalanobis screen on (cents, "
+    "hour): closed-form 2x2 inverse, exact DECIMAL(38,0) moments and "
+    "centered coordinates, one double cast into the quadratic form, "
+    "chi-square(2) cutoff counts + max distance. One moment shuffle + "
+    "broadcast map-side compare — correlation-aware outliers with the "
+    "same scale shape as the z-score family.",
+    tags=["anomaly", "outliers", "multivariate", "drift"],
+)
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dec38 = "decimal(38,0)"
+    c = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("x"),
+        F.hour("ts").cast("long").alias("y"),
+    )
+    a = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(dec38) * F.col("x").cast(dec38))
+        .cast(dec38)
+        .alias("sxx"),
+        F.sum(F.col("y").cast(dec38) * F.col("y").cast(dec38))
+        .cast(dec38)
+        .alias("syy"),
+        F.sum(F.col("x").cast(dec38) * F.col("y").cast(dec38))
+        .cast(dec38)
+        .alias("sxy"),
+    )
+    m = a.select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        (
+            F.col("n").cast(dec38) * F.col("sxx")
+            - F.col("sx").cast(dec38) * F.col("sx").cast(dec38)
+        )
+        .cast("double")
+        .alias("ad"),
+        (
+            F.col("n").cast(dec38) * F.col("syy")
+            - F.col("sy").cast(dec38) * F.col("sy").cast(dec38)
+        )
+        .cast("double")
+        .alias("bd"),
+        (
+            F.col("n").cast(dec38) * F.col("sxy")
+            - F.col("sx").cast(dec38) * F.col("sy").cast(dec38)
+        )
+        .cast("double")
+        .alias("cd"),
+    )
+    r = c.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "n",
+        (F.col("n").cast(dec38) * F.col("x") - F.col("sx").cast(dec38))
+        .cast("double")
+        .alias("xd"),
+        (F.col("n").cast(dec38) * F.col("y") - F.col("sy").cast(dec38))
+        .cast("double")
+        .alias("yd"),
+        "ad",
+        "bd",
+        "cd",
+    )
+    d2 = (
+        (F.col("n") - 1).cast("double")
+        * (
+            F.col("xd") * F.col("xd") * F.col("bd")
+            - F.lit(2.0) * F.col("xd") * F.col("yd") * F.col("cd")
+            + F.col("yd") * F.col("yd") * F.col("ad")
+        )
+    ) / F.nullif(
+        F.col("n").cast("double")
+        * (F.col("ad") * F.col("bd") - F.col("cd") * F.col("cd")),
+        F.lit(0.0),
+    )
+    d = r.select("event_type", "n", d2.alias("d2"))
+    return d.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.sum((F.col("d2") > 9.21034).cast("long")).cast("long").alias(
+            "n_outliers_p99"
+        ),
+        F.sum((F.col("d2") > 13.81551).cast("long")).cast("long").alias(
+            "n_outliers_p999"
+        ),
+        sround(F.max("d2"), 6).alias("max_d2"),
+    )
+
+
+@register(
     "skyline_pareto_parts",
     # 2-D skyline / Pareto frontier (Börzsönyi 2001): parts not
     # dominated on (retail price low, size high). The oracle states
@@ -9891,23 +10056,23 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      gained partition_cols; behavior-identical but re-proven);
 #   2. queries NEW in r6 — quantile_sketch_weekly_rollup (oracle-
 #      backed), ann_ivfpq_topk (rows-only IVFADC), and the late-r6
-#      rank-association pair spearman_daily_corr / kendall_tau_daily
-#      (oracle-backed; a new query with ZERO driver executions
-#      outranks a two-round-stale banked green — the r5 "never
-#      driver-run" gap class must not recur);
+#      additions spearman_daily_corr / kendall_tau_daily /
+#      mahalanobis_outliers (oracle-backed; a new query with ZERO
+#      driver executions outranks a two-round-stale banked green —
+#      the r5 "never driver-run" gap class must not recur);
 #   3. the four rows-only queries that have NEVER had a driver
 #      execution (added after the r5 window was fixed; VERDICT r5
 #      missing #1) — semdedup_embeddings, bpe_train_merges,
 #      bpe_tokenize_docs, ann_pq_topk — all also touched by r6's
 #      operator fixes, so the execution proof is doubly due;
-#   4. 39 of the 46 oracle-backed queries whose freshest green is r3
-#      (two rounds stale). The 7 left out for lack of slots —
+#   4. 38 of the 46 oracle-backed queries whose freshest green is r3
+#      (two rounds stale). The 8 left out for lack of slots —
 #      string_functions, date_arithmetic, priority_case_pivot,
 #      grouping_sets_order_status, benford_first_digit, plus
-#      set_ops_users and json_extract_props (displaced by the late-r6
-#      pair above) — are the lowest-risk constant-shape
-#      scalar/pivot/set queries; they keep their banked r3 greens and
-#      lead the r7 rotation.
+#      set_ops_users, json_extract_props and except_all_bag_semantics
+#      (displaced by the late-r6 trio above) — are the lowest-risk
+#      constant-shape scalar/pivot/set queries; they keep their
+#      banked r3 greens and lead the r7 rotation.
 # Everything past slot 50 has a green hash-match row in r3/r4/r5.
 _PRIORITY_R06 = [
     # changed in round 6 -> needs fresh evidence
@@ -9919,6 +10084,7 @@ _PRIORITY_R06 = [
     "ann_ivfpq_topk",
     "spearman_daily_corr",
     "kendall_tau_daily",
+    "mahalanobis_outliers",
     # rows-only, never driver-executed (r5 gap) + touched in r6
     "semdedup_embeddings",
     "bpe_train_merges",
@@ -9948,7 +10114,6 @@ _PRIORITY_R06 = [
     "time_range_window_profile",
     "pivot_event_type_daily",
     "from_json_props_struct",
-    "except_all_bag_semantics",
     "q7_nation_volume_shipping",
     "q8_market_share",
     "q9_profit_by_nation_year",

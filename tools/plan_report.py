@@ -118,9 +118,11 @@ QUERIES = [
     "ann_ivfpq_topk",
     "quantile_sketch_weekly_rollup",
     "ml_recon_mse_threshold",
-    # Late-r6 additions: rank association over the daily frame.
+    # Late-r6 additions: rank association over the daily frame,
+    # bivariate Mahalanobis screen.
     "spearman_daily_corr",
     "kendall_tau_daily",
+    "mahalanobis_outliers",
 ]
 
 
