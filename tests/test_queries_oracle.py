@@ -123,3 +123,77 @@ def test_drift_queries_survive_single_window_data(spark, tmp_path):
         r = out[0]
         assert r["n_ref"] == 0 and r["n_cur"] == 20
         assert r[3] is None  # quantized effect size degrades to NULL
+
+
+def test_rank_association_perfect_monotone(spark, tmp_path):
+    """Spearman rho and Kendall tau-b must hit +1 on a strictly
+    increasing daily series and -1 on a strictly decreasing one —
+    the defining invariant of rank association (any monotone
+    transform of the values leaves both at +/-1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    n_days = 12
+    rows = {
+        "event_id": list(range(2 * n_days)),
+        "ts": [datetime(2024, 1, 1 + d, 12, 0, 0) for d in range(n_days)] * 2,
+        "user_id": [0] * (2 * n_days),
+        "event_type": ["up"] * n_days + ["down"] * n_days,
+        # strictly increasing / decreasing daily totals; values are
+        # exact cents so the daily aggregate is tie-free
+        "value": [float(d + 1) for d in range(n_days)]
+        + [float(n_days - d) for d in range(n_days)],
+        "props": ["{}"] * (2 * n_days),
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "events.parquet"))
+
+    rho = {
+        r["event_type"]: r["spearman_rho"]
+        for r in REGISTRY["spearman_daily_corr"].fn(spark, str(tmp_path)).collect()
+    }
+    assert abs(rho["up"] - 1.0) < 1e-6 and abs(rho["down"] + 1.0) < 1e-6
+
+    tau = {
+        r["event_type"]: r
+        for r in REGISTRY["kendall_tau_daily"].fn(spark, str(tmp_path)).collect()
+    }
+    pairs = n_days * (n_days - 1) // 2
+    assert tau["up"]["concordant"] == pairs and tau["up"]["discordant"] == 0
+    assert tau["down"]["concordant"] == 0 and tau["down"]["discordant"] == pairs
+    assert abs(tau["up"]["kendall_tau_b"] - 1.0) < 1e-6
+    assert abs(tau["down"]["kendall_tau_b"] + 1.0) < 1e-6
+
+
+def test_mahalanobis_flags_correlation_breaking_point(spark, tmp_path):
+    """A point that breaks the (amount, hour) correlation must be
+    flagged even though NEITHER of its coordinates is marginally
+    extreme — the property that separates the bivariate screen from
+    the univariate z-score/MAD family."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    # tight correlated cloud: value tracks 100 + 2*hour with a small
+    # alternating residual so the covariance is non-degenerate
+    hours = [h % 24 for h in range(96)]
+    values = [100.0 + 2.0 * h + (0.5 if i % 2 else -0.5) for i, h in enumerate(hours)]
+    # planted: hour 23 with a value that belongs at hour 0 — both
+    # coordinates are inside their marginal ranges
+    hours.append(23)
+    values.append(100.0)
+    rows = {
+        "event_id": list(range(len(hours))),
+        "ts": [datetime(2024, 1, 1 + i % 28, h, 0, 0) for i, h in enumerate(hours)],
+        "user_id": [0] * len(hours),
+        "event_type": ["m"] * len(hours),
+        "value": values,
+        "props": ["{}"] * len(hours),
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "events.parquet"))
+    out = REGISTRY["mahalanobis_outliers"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_events"] == len(hours)
+    assert r["n_outliers_p999"] >= 1
+    assert r["max_d2"] > 13.81551
