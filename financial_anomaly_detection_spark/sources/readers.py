@@ -134,3 +134,85 @@ def read_transactions_json_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(path)
     )
+
+
+def write_table_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink (columnar interchange with Hive/Trino warehouses).
+
+    ORC support is native in Spark (no extra package); predicate
+    pushdown and column pruning work the same as parquet, so a table
+    exported here remains scan-efficient for downstream engines.
+    """
+    w = df.write.mode("overwrite").format("orc")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_table_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — the read side of :func:`write_table_orc`.
+
+    Timestamps round-trip as TimestampType (ORC stores micros), so a
+    parquet->ORC->read cycle is value-identical for every testdata
+    column type.
+    """
+    configure(spark)
+    return spark.read.orc(path)
+
+
+def read_binary_assets(
+    spark: SparkSession, path: str, pattern: str = "*", recursive: bool = False
+) -> DataFrame:
+    """Binary-asset source via Spark's built-in ``binaryFile`` format —
+    the real ingestion path for multimodal corpora (images / audio /
+    video as opaque bytes + typed metadata).
+
+    Returns (path, modificationTime, length, content) rows; ``content``
+    is the raw file bytes, ready for the tiered ``mapInPandas`` decode
+    stages in ``operators/codecs.py`` / ``operators/multimodal.py``.
+    At scale each file becomes at most one task input and small files
+    batch together under ``spark.sql.files.maxPartitionBytes``, so the
+    decode stage parallelizes by byte volume, not file count. Driver
+    testdata ships no binary files, so tests synthesize assets with the
+    repo's own encoders and ingest them through this reader.
+    """
+    configure(spark)
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path)
+    )
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro DataSource actually resolves.
+
+    Avro is an external Spark module (org.apache.spark:spark-avro);
+    some distributions carry stray sql.avro CLASSES without the
+    META-INF service registration, so a Class.forName probe lies —
+    the only honest check is asking the reader to resolve the format
+    (a missing PATH proves the source resolved; a missing SOURCE is
+    the 'Failed to find data source' analysis error)."""
+    try:
+        spark.read.format("avro").schema("probe INT").load(
+            "/nonexistent-avro-availability-probe"
+        )
+        return True
+    except Exception as e:  # noqa: BLE001 — classify, don't mask
+        return "Failed to find data source" not in str(e)
+
+
+def read_table_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro source (row-oriented interchange; Kafka-ecosystem native).
+
+    Raises a clear error when the spark-avro module is absent — the
+    test container ships without it, so coverage is an availability-
+    gated pytest (the JDBC/Derby pattern)."""
+    if not avro_available(spark):
+        raise RuntimeError(
+            "spark-avro module not on the classpath; add "
+            "org.apache.spark:spark-avro to use Avro sources"
+        )
+    configure(spark)
+    return spark.read.format("avro").load(path)
