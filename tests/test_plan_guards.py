@@ -131,6 +131,11 @@ EXPECTED = {
     # over the <=64-row bucket subtotal table that composes carry-in
     # rank offsets AND the global total (operators/prefix.py)
     "ml_recon_mse_threshold": (1, {}),
+    # late-r6: rank association + bivariate screen — daily-frame
+    # windows/joins only, 3-col pruned events scans, zero NLJ
+    "spearman_daily_corr": (0, {"events": 3}),
+    "kendall_tau_daily": (0, {"events": 3}),
+    "mahalanobis_outliers": (0, {"events": 3}),
 }
 
 
