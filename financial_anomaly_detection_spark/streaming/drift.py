@@ -139,3 +139,128 @@ def drift_sink(
         on_result(batch_id, chisq_quantized(ref_counts, running))
 
     return handle
+
+
+# ---------------------------------------------------------------------------
+# Streaming second-moment monitor (the Mahalanobis twin)
+# ---------------------------------------------------------------------------
+
+_MOMENT_STATE_SCHEMA = "n long, sx long, sy long, sxx long, syy long, sxy long"
+_MOMENT_OUT_SCHEMA = (
+    "channel string, n long, sx long, sy long, sxx long, syy long, sxy long"
+)
+
+
+def stateful_channel_moments(
+    tx_stream: DataFrame,
+    channel_col: str = "channel",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Running exact integer second moments per channel — the
+    streaming twin of the batch ``mahalanobis_outliers`` screen
+    (queries.py): the six sums (n, Sx, Sy, Sxx, Syy, Sxy) define the
+    covariance ellipse, so a scorer join against this state prices
+    d^2 for each incoming event online.
+
+    Callers pre-project INTEGER x/y columns (cents, hour) — the same
+    quantization the batch query uses, so stream state and a batch
+    groupBy over the same events are equal integer-for-integer
+    (asserted in tests/test_streaming.py). State is O(channels) rows
+    of six int64 words; the int64 boundary (cents^2 x n approaching
+    2^63) is the batch query's DECIMAL(38,0) threshold — shard the
+    stream into epochs before it, exactly like the drift counts.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, sx, sy, sxx, syy, sxy = (
+            state.get if state.exists else (0, 0, 0, 0, 0, 0)
+        )
+        for pdf in pdfs:
+            x = pdf[x_col].astype("int64")
+            y = pdf[y_col].astype("int64")
+            n += int(len(pdf))
+            sx += int(x.sum())
+            sy += int(y.sum())
+            sxx += int((x * x).sum())
+            syy += int((y * y).sum())
+            sxy += int((x * y).sum())
+        state.update((n, sx, sy, sxx, syy, sxy))
+        yield pd.DataFrame(
+            {
+                "channel": [key[0]],
+                "n": [n], "sx": [sx], "sy": [sy],
+                "sxx": [sxx], "syy": [syy], "sxy": [sxy],
+            }
+        )
+
+    return tx_stream.groupBy(channel_col).applyInPandasWithState(
+        update,
+        outputStructType=_MOMENT_OUT_SCHEMA,
+        stateStructType=_MOMENT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def corr_quantized(m: Mapping[str, int]) -> int | None:
+    """Pearson correlation in micro-units from exact integer moments —
+    the scalar drift signal of the moment monitor (a correlation flip
+    between amount and hour is structure drift no marginal histogram
+    sees).
+
+    Python ints are arbitrary precision, so A/B/C are EXACT however
+    large the sums; the single float division + sqrt then floor+0.5
+    quantization is the chisq_quantized discipline — order-free and
+    engine-reproducible. None when either variance is zero (constant
+    coordinate: correlation undefined)."""
+    n, sx, sy = m["n"], m["sx"], m["sy"]
+    a = n * m["sxx"] - sx * sx
+    b = n * m["syy"] - sy * sy
+    c = n * m["sxy"] - sx * sy
+    if a <= 0 or b <= 0:
+        return None
+    corr = float(c) / math.sqrt(float(a) * float(b))
+    return int(math.floor(corr * 1000000.0 + 0.5))
+
+
+def moments_sink(
+    on_result: Callable[[int, dict], None],
+    state_dir: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch hook for the moment monitor: fold the updated
+    O(channels) moment rows into the running table and report
+    {channel: corr_micro_units} per batch.
+
+    Same restart contract as drift_sink: outputMode=update only
+    re-emits channels seen in the batch, so pass ``state_dir`` to
+    snapshot/rehydrate the running table (atomic write-then-rename,
+    idempotent REPLACE folding) — without it the sink is single-run
+    only."""
+    import json
+    import os
+
+    running: dict[str, dict] = {}
+    snap_path = os.path.join(state_dir, "moments.json") if state_dir else None
+    if snap_path and os.path.exists(snap_path):
+        with open(snap_path) as fh:
+            running.update(json.load(fh)["moments"])
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        for row in batch_df.collect():  # O(channels) rows by construction
+            running[row["channel"]] = {
+                k: int(row[k]) for k in ("n", "sx", "sy", "sxx", "syy", "sxy")
+            }
+        if snap_path:
+            os.makedirs(state_dir, exist_ok=True)
+            tmp = f"{snap_path}.tmp.{batch_id}"
+            with open(tmp, "w") as fh:
+                json.dump({"batch_id": batch_id, "moments": running}, fh)
+            os.replace(tmp, snap_path)
+        on_result(
+            batch_id, {ch: corr_quantized(m) for ch, m in running.items()}
+        )
+
+    return handle

@@ -681,3 +681,98 @@ def test_stateful_profiles_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, prev)
+
+
+def test_streaming_moments_match_batch_mahalanobis_state(spark, tmp_path):
+    """The moment monitor's running state must equal a batch groupBy
+    over all data seen integer-for-integer, and the per-batch
+    correlation signal must equal the pure function over those
+    moments — the streaming twin of the batch mahalanobis_outliers
+    screen prices the same covariance ellipse."""
+    from financial_anomaly_detection_spark.streaming.drift import (
+        corr_quantized,
+        moments_sink,
+        stateful_channel_moments,
+    )
+
+    src = tmp_path / "mom_src"
+    src.mkdir()
+    # two channels: "card" strongly correlated (y tracks x), "pos"
+    # anti-correlated — split across two micro-batches
+    rows = []
+    for i in range(40):
+        hr = i % 24
+        rows.append(("card", 100 + 3 * hr + (1 if i % 2 else -1), hr))
+        rows.append(("pos", 500 - 2 * hr + (1 if i % 3 == 0 else 0), hr))
+    for b, chunk in enumerate((rows[:40], rows[40:])):
+        with open(src / f"b{b}.json", "w") as f:
+            for k, (ch, cents, hr) in enumerate(chunk):
+                f.write(
+                    json.dumps(
+                        {
+                            "timestamp": f"2025-05-03T{hr:02d}:00:00Z",
+                            "transaction_id": f"{b}-{k}",
+                            "customer_id": "1",
+                            "merchant_id": "2",
+                            "amount": cents / 100.0,
+                            "channel": ch,
+                            "location": "Harare",
+                        }
+                    )
+                    + "\n"
+                )
+
+    stream = (
+        spark.readStream.schema(TRANSACTION_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    proj = stream.select(
+        "channel",
+        F.floor(F.col("amount") * 100 + F.lit(0.5)).cast("long").alias("x"),
+        F.hour(F.to_timestamp("timestamp")).cast("long").alias("y"),
+    )
+    results: dict[int, dict] = {}
+    q = (
+        stateful_channel_moments(proj)
+        .writeStream.foreachBatch(
+            moments_sink(lambda bid, r: results.__setitem__(bid, r))
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "mom_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(results) >= 1
+
+    # batch ground truth over the SAME projection of all files
+    batch = (
+        spark.read.schema(TRANSACTION_SCHEMA)
+        .json(str(src))
+        .select(
+            "channel",
+            F.floor(F.col("amount") * 100 + F.lit(0.5)).cast("long").alias("x"),
+            F.hour(F.to_timestamp("timestamp")).cast("long").alias("y"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+        .collect()
+    )
+    want = {
+        r["channel"]: {k: r[k] for k in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+        for r in batch
+    }
+    final = results[max(results)]
+    assert set(final) == set(want)
+    for ch, m in want.items():
+        assert final[ch] == corr_quantized(m)
+    # the signal means what it claims: card correlates up, pos down
+    assert final["card"] > 500_000 and final["pos"] < -500_000
