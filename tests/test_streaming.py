@@ -776,3 +776,51 @@ def test_streaming_moments_match_batch_mahalanobis_state(spark, tmp_path):
         assert final[ch] == corr_quantized(m)
     # the signal means what it claims: card correlates up, pos down
     assert final["card"] > 500_000 and final["pos"] < -500_000
+
+
+def test_moments_sink_rehydrates_after_restart(spark, tmp_path):
+    """Same restart contract as the drift sink: a restarted moments
+    sink must reload the running table from its snapshot, or channels
+    not yet re-emitted vanish from the signal; replay of the same
+    batch is idempotent (REPLACE folding)."""
+    from financial_anomaly_detection_spark.streaming.drift import (
+        corr_quantized,
+        moments_sink,
+    )
+
+    state = str(tmp_path / "mom_state")
+    schema = "channel string, n long, sx long, sy long, sxx long, syy long, sxy long"
+
+    def frame(rows):
+        return spark.createDataFrame(rows, schema)
+
+    card = ("card", 4, 10, 6, 30, 14, 17)
+    pos = ("pos", 3, 9, 9, 29, 35, 25)
+    m_card = dict(zip(("n", "sx", "sy", "sxx", "syy", "sxy"), card[1:]))
+    m_pos = dict(zip(("n", "sx", "sy", "sxx", "syy", "sxy"), pos[1:]))
+
+    run1: dict[int, dict] = {}
+    sink1 = moments_sink(lambda b, r: run1.__setitem__(b, r), state_dir=state)
+    sink1(frame([card, pos]), 0)
+    assert set(run1[0]) == {"card", "pos"}
+
+    # restart: new sink, first batch re-emits only card (updated)
+    card2 = ("card", 5, 14, 8, 50, 20, 25)
+    m_card2 = dict(zip(("n", "sx", "sy", "sxx", "syy", "sxy"), card2[1:]))
+    run2: dict[int, dict] = {}
+    sink2 = moments_sink(lambda b, r: run2.__setitem__(b, r), state_dir=state)
+    sink2(frame([card2]), 1)
+    assert run2[1] == {
+        "card": corr_quantized(m_card2),
+        "pos": corr_quantized(m_pos),
+    }
+
+    # without state_dir, pos silently vanishes after the restart
+    run3: dict[int, dict] = {}
+    sink3 = moments_sink(lambda b, r: run3.__setitem__(b, r))
+    sink3(frame([card2]), 1)
+    assert set(run3[1]) == {"card"}
+
+    # at-least-once replay is idempotent
+    sink2(frame([card2]), 1)
+    assert run2[1]["card"] == corr_quantized(m_card2)
