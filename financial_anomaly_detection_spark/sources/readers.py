@@ -216,3 +216,34 @@ def read_table_avro(spark: SparkSession, path: str) -> DataFrame:
         )
     configure(spark)
     return spark.read.format("avro").load(path)
+
+
+def read_text_corpus(
+    spark: SparkSession,
+    path: str,
+    whole_files: bool = False,
+    pattern: str = "*",
+) -> DataFrame:
+    """Raw-text corpus source via Spark's built-in ``text`` format —
+    the ingestion path for plain-text documents feeding the text
+    analysis / dedup / tokenizer operators (operators/textops.py,
+    operators/dedup.py).
+
+    ``whole_files=False`` (default) yields one row per LINE (the
+    JSONL-adjacent shape: each line is a document); ``whole_files=True``
+    yields one row per FILE (``wholetext`` — books, articles), with
+    the source path attached so downstream keeps a stable doc id.
+    Both shapes scale by bytes under ``maxPartitionBytes``; wholetext
+    keeps each file in one task, so shard oversized files upstream.
+    """
+    configure(spark)
+    df = (
+        spark.read.format("text")
+        .option("wholetext", str(whole_files).lower())
+        .option("pathGlobFilter", pattern)
+        .load(path)
+    )
+    return df.select(
+        F.input_file_name().alias("source_path"),
+        F.col("value").alias("text"),
+    )

@@ -343,3 +343,42 @@ def test_avro_reader_availability_gate(spark, tmp_path):
     src.write.format("avro").save(path)
     back = read_table_avro(spark, path)
     assert back.count() == src.count()
+
+
+def test_text_corpus_reader_lines_and_wholetext(spark, tmp_path):
+    """text-format ingestion: per-line rows for JSONL-adjacent corpora
+    and one-row-per-file wholetext for long documents — and the
+    ingested rows flow straight into a text operator."""
+    from financial_anomaly_detection_spark.operators.textops import (
+        quality_score,
+        token_count,
+    )
+    from financial_anomaly_detection_spark.sources.readers import read_text_corpus
+
+    (tmp_path / "a.txt").write_text("the cat sat\non the mat\n")
+    (tmp_path / "b.txt").write_text("one single document body here\n")
+
+    lines = read_text_corpus(spark, str(tmp_path), pattern="*.txt")
+    got = sorted(r["text"] for r in lines.collect())
+    assert got == sorted(
+        ["the cat sat", "on the mat", "one single document body here"]
+    )
+
+    docs = read_text_corpus(spark, str(tmp_path), whole_files=True)
+    by_file = {
+        r["source_path"].rsplit("/", 1)[-1]: r["text"] for r in docs.collect()
+    }
+    assert by_file["a.txt"] == "the cat sat\non the mat\n"
+    assert by_file["b.txt"] == "one single document body here\n"
+
+    # ingested text feeds the quality operators unchanged
+    q = {
+        r["source_path"].rsplit("/", 1)[-1]: r
+        for r in docs.select(
+            "source_path",
+            token_count("text").alias("tokens"),
+            quality_score("text").alias("quality"),
+        ).collect()
+    }
+    assert q["a.txt"]["tokens"] > 0 and q["b.txt"]["tokens"] > 0
+    assert all(r["quality"] is not None for r in q.values())
