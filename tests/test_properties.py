@@ -321,3 +321,40 @@ def test_ordered_rank_desc_matches_sequential_window(spark, rows):
     for r in want.collect():
         assert j[r["id"]]["rnk"] == r["rnk_w"]
         assert j[r["id"]]["tot"] == len(rows)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-10_000, max_value=10_000),
+            st.integers(min_value=0, max_value=23),
+        ),
+        min_size=2,
+        max_size=200,
+    )
+)
+def test_corr_quantized_matches_numpy(pairs):
+    """The streaming monitor's exact-integer-moment correlation must
+    agree with numpy's float covariance path to within quantization
+    (1e-6 units + 1 ulp headroom) on ANY integer sample, and be None
+    exactly when a coordinate is constant."""
+    import numpy as np
+
+    from financial_anomaly_detection_spark.streaming.drift import corr_quantized
+
+    xs = np.array([p[0] for p in pairs], dtype=np.int64)
+    ys = np.array([p[1] for p in pairs], dtype=np.int64)
+    m = {
+        "n": len(pairs),
+        "sx": int(xs.sum()), "sy": int(ys.sum()),
+        "sxx": int((xs * xs).sum()), "syy": int((ys * ys).sum()),
+        "sxy": int((xs * ys).sum()),
+    }
+    got = corr_quantized(m)
+    if len(set(xs.tolist())) == 1 or len(set(ys.tolist())) == 1:
+        assert got is None
+        return
+    want = float(np.corrcoef(xs.astype(float), ys.astype(float))[0, 1])
+    assert abs(got / 1e6 - want) < 2e-6
+    assert -1_000_000 <= got <= 1_000_000
