@@ -10036,6 +10036,138 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "unpivot_daily_metrics",
+    oracle="""
+        WITH wide AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS purchases,
+                   CAST(SUM(CASE WHEN event_type = 'click'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+                   CAST(SUM(CASE WHEN event_type = 'view'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS views,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS value_cents
+            FROM events
+            GROUP BY 1
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day, metric, val
+        FROM (
+            SELECT day, 'purchases' AS metric, purchases AS val FROM wide
+            UNION ALL
+            SELECT day, 'clicks', clicks FROM wide
+            UNION ALL
+            SELECT day, 'views', views FROM wide
+            UNION ALL
+            SELECT day, 'value_cents', value_cents FROM wide
+        )
+    """,
+    description="UNPIVOT / melt (§2.5 extras — the inverse of "
+    "pivot_event_type_daily): a wide per-day metrics frame melted to "
+    "long (day, metric, val) with the native DataFrame.unpivot "
+    "operator. Wide-to-long is a per-row explode — no shuffle beyond "
+    "the one daily aggregation; at 100 TB the melt adds zero exchanges "
+    "(4 output rows per input row, pipelined in the same stage).",
+    tags=["reshape", "unpivot", "aggregate"],
+)
+def q_unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    wide = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("purchases"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("views"),
+        F.sum(cents).cast("long").alias("value_cents"),
+    )
+    return wide.unpivot(
+        ["d"], ["purchases", "clicks", "views", "value_cents"], "metric", "val"
+    ).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"), "metric", "val"
+    )
+
+
+@register(
+    "calendar_gap_fill",
+    # DuckDB lacks lateral generate_series over derived bounds, so the
+    # oracle builds the day spine with a recursive CTE anchored on the
+    # data's own min/max (depth = |days|, ~30 here; bounded by the
+    # retention window at any scale).
+    oracle="""
+        WITH RECURSIVE bounds AS (
+            SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx
+            FROM events
+        ), days(day) AS (
+            SELECT mn FROM bounds
+            UNION ALL
+            SELECT day + INTERVAL 1 DAY FROM days
+            WHERE day < (SELECT mx FROM bounds)
+        ), daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS value_cents
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT t.event_type, strftime(CAST(d.day AS DATE), '%Y-%m-%d') AS day,
+               COALESCE(daily.n_events, 0) AS n_events,
+               COALESCE(daily.value_cents, 0) AS value_cents
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN days d
+        LEFT JOIN daily
+          ON daily.event_type = t.event_type
+         AND daily.day = CAST(d.day AS DATE)
+    """,
+    description="Calendar gap-fill / time-spine densification (§2.5 "
+    "extras): per-channel daily totals made DENSE over the table's own "
+    "[min, max] date range — missing (channel, day) cells materialize "
+    "as explicit zero rows, the precondition for every rolling-window "
+    "and drift query downstream (a lag over a sparse frame silently "
+    "skips quiet days). The spine is F.sequence(min, max) exploded from "
+    "the 1-row bounds aggregate crossed with the distinct channels — "
+    "|channels| x |days| rows, broadcast-sized at any fact scale; the "
+    "only fact-sized shuffle is the daily aggregation itself.",
+    tags=["reshape", "time-series", "spine", "join"],
+)
+def q_calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(cents).cast("long").alias("value_cents"),
+    )
+    spine_days = (
+        ev.agg(
+            F.min(F.to_date("ts")).alias("mn"), F.max(F.to_date("ts")).alias("mx")
+        )
+        .select(F.explode(F.sequence("mn", "mx")).alias("day"))
+    )
+    channels = ev.select("event_type").distinct()
+    spine = channels.crossJoin(F.broadcast(spine_days))
+    # daily is post-aggregation |channels| x |days| rows — broadcast it
+    # so the gap-fill join never shuffles the spine (the left side of a
+    # left join cannot be the broadcast-hash build side).
+    return (
+        spine.join(F.broadcast(daily), ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("value_cents", F.lit(0)).cast("long").alias("value_cents"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -10065,14 +10197,15 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      missing #1) — semdedup_embeddings, bpe_train_merges,
 #      bpe_tokenize_docs, ann_pq_topk — all also touched by r6's
 #      operator fixes, so the execution proof is doubly due;
-#   4. 38 of the 46 oracle-backed queries whose freshest green is r3
-#      (two rounds stale). The 8 left out for lack of slots —
+#   4. 36 of the 46 oracle-backed queries whose freshest green is r3
+#      (two rounds stale). The 10 left out for lack of slots —
 #      string_functions, date_arithmetic, priority_case_pivot,
 #      grouping_sets_order_status, benford_first_digit, plus
-#      set_ops_users, json_extract_props and except_all_bag_semantics
-#      (displaced by the late-r6 trio above) — are the lowest-risk
-#      constant-shape scalar/pivot/set queries; they keep their
-#      banked r3 greens and lead the r7 rotation.
+#      set_ops_users, json_extract_props, except_all_bag_semantics,
+#      c4_quality_filters and source_temperature_weights (displaced
+#      by the late-r6 additions) — are the lowest-risk constant-shape
+#      scalar/pivot/set/aggregate queries; they keep their banked r3
+#      greens and lead the r7 rotation.
 # Everything past slot 50 has a green hash-match row in r3/r4/r5.
 _PRIORITY_R06 = [
     # changed in round 6 -> needs fresh evidence
@@ -10085,6 +10218,8 @@ _PRIORITY_R06 = [
     "spearman_daily_corr",
     "kendall_tau_daily",
     "mahalanobis_outliers",
+    "unpivot_daily_metrics",
+    "calendar_gap_fill",
     # rows-only, never driver-executed (r5 gap) + touched in r6
     "semdedup_embeddings",
     "bpe_train_merges",
@@ -10125,11 +10260,14 @@ _PRIORITY_R06 = [
     "q16_supplier_part_counts",
     "q20_promo_part_shippers",
     "q21_waiting_suppliers",
-    "c4_quality_filters",
-    "source_temperature_weights",
     "rolling_zscore_events",
     "lof_exact_quantized",
-    # r3-green fills past slot 50 (first in line for r7)
+    # r3-green fills past slot 50 (first in line for r7; the late-r6
+    # unpivot/gap-fill pair displaced c4_quality_filters and
+    # source_temperature_weights — both constant-shape aggregates with
+    # banked r3 greens)
+    "c4_quality_filters",
+    "source_temperature_weights",
     "string_functions",
     "date_arithmetic",
     "priority_case_pivot",

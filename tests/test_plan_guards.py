@@ -136,6 +136,12 @@ EXPECTED = {
     "spearman_daily_corr": (0, {"events": 3}),
     "kendall_tau_daily": (0, {"events": 3}),
     "mahalanobis_outliers": (0, {"events": 3}),
+    # late-r6 reshape pair: unpivot is shuffle-free past its daily agg
+    # (zero joins); gap-fill's one NLJ is the intentional |channels| x
+    # |days| broadcast spine cross, and the fill join broadcasts the
+    # post-agg daily table (BroadcastHashJoin, never a spine shuffle)
+    "unpivot_daily_metrics": (0, {"events": 3}),
+    "calendar_gap_fill": (1, {"events": 3}),
 }
 
 
