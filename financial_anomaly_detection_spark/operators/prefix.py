@@ -18,9 +18,13 @@ re-expressed relationally):
   pass 2  derive each bucket's starting offset as the sum of all
           EARLIER buckets' subtotals via a triangular self-join on the
           tiny subtotal table (``n_buckets**2`` pairs, broadcast —
-          deliberately NOT a global window, so no single-partition
-          exchange anywhere), broadcast the offsets back, and run the
-          ordinary per-bucket window prefix sum in parallel.
+          deliberately NOT a global window, so no FULL-DATA
+          single-partition funnel anywhere; the min/max bounds scalar
+          aggregate does plan an ``Exchange SinglePartition``, but it
+          moves one partial-agg row per partition — the benign
+          global-scalar pattern classified by plans/inspect.py),
+          broadcast the offsets back, and run the ordinary per-bucket
+          window prefix sum in parallel.
 
 Integer addition is associative and commutative, so the bucketed sum
 is bit-identical to the sequential one — the DuckDB oracle for any
@@ -55,10 +59,14 @@ def ordered_prefix_sum(
 
     Returns ``df`` plus ``out_col`` = sum of ``value_col`` over all
     rows with a strictly smaller ``order_col`` (ties are not allowed:
-    the order key must be unique, as in any deterministic packing).
-    Equivalent to ``SUM(value) OVER (ORDER BY key ROWS BETWEEN
-    UNBOUNDED PRECEDING AND 1 PRECEDING)`` but with no
-    single-partition exchange in the physical plan.
+    the order key must be unique AND non-null — ``width_bucket(NULL)``
+    is NULL and the offset equi-join would silently drop such rows, so
+    callers construct/quantize the key; ordered_rank_desc is the
+    variant with defined NULL semantics). Equivalent to ``SUM(value)
+    OVER (ORDER BY key ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    PRECEDING)`` but with no full-data single-partition funnel in the
+    physical plan (the bounds scalar agg's exchange moves one row per
+    partition).
 
     ``pin`` materializes the bucketed (key, value, bucket) skeleton
     once via ``localCheckpoint`` — the scan consumes its input three
@@ -212,7 +220,7 @@ def ordered_rank_desc(
     total_col: str | None = None,
 ) -> DataFrame:
     """Exact global rank in (``order_col`` DESC, ``tie_col`` ASC) order
-    with no single-partition exchange.
+    with no full-data single-partition funnel.
 
     Equivalent to ``rank() OVER (ORDER BY order_col DESC, tie_col)``
     when ``tie_col`` makes the total order unique (rank == row_number
@@ -226,6 +234,14 @@ def ordered_rank_desc(
     associative, so the result is bit-identical to the sequential
     ``rank()`` — the DuckDB oracle stays the plain window form.
 
+    NULL ``order_col`` keys land in a dedicated bucket 0 that every
+    real bucket outranks, i.e. they sort LAST among themselves by
+    ``tie_col`` — matching Spark's ``F.desc`` nulls-last default (an
+    ORDER BY x DESC oracle needs ``NULLS LAST`` spelled out on engines
+    whose default differs). ``width_bucket(NULL)`` is NULL, which the
+    carry equi-join would silently DROP — the explicit bucket keeps
+    the row.
+
     ``pin`` materializes the bucketed skeleton once (the scan consumes
     it twice: subtotals + the per-bucket window); pass ``pin=False``
     to stay lazy when the input is cheap.
@@ -233,10 +249,13 @@ def ordered_rank_desc(
     ``total_col``, when set, also attaches the GLOBAL row count as a
     column — composed from the same tiny subtotal table inside the
     triangular join (one unconditioned broadcast join over at most
-    ``n_buckets``² pairs), deliberately NOT a scalar ``agg()``: a
-    global count would itself plan an ``Exchange SinglePartition``,
-    and consumers of this operator (top-p%% flags) need rank AND total
-    with zero single-partition stages in the whole plan.
+    ``n_buckets``² pairs) rather than a second scalar ``agg()`` pass:
+    the subtotals are already shuffled once for the carry-in, so the
+    total is free — no extra job over the (pinned) skeleton. The only
+    ``Exchange SinglePartition`` in the whole plan is the min/max
+    bounds scalar reduction, which moves one row per partition — the
+    benign global-scalar pattern (see plans/inspect.py); no FULL-DATA
+    single-partition funnel exists anywhere.
     """
     bounds = df.agg(
         F.min(F.col(order_col).cast("double")).alias("_lo"),
@@ -244,11 +263,15 @@ def ordered_rank_desc(
     )
     bucketed = df.join(F.broadcast(bounds)).withColumn(
         "_bucket",
-        F.width_bucket(
-            F.col(order_col).cast("double"),
-            F.col("_lo"),
-            F.col("_hi") + F.lit(1.0),
-            F.lit(n_buckets),
+        # NULL keys -> bucket 0: every real bucket (1..n) counts as
+        # "later" in the carry, so NULLs rank after all non-null rows
+        F.when(F.col(order_col).isNull(), F.lit(0)).otherwise(
+            F.width_bucket(
+                F.col(order_col).cast("double"),
+                F.col("_lo"),
+                F.col("_hi") + F.lit(1.0),
+                F.lit(n_buckets),
+            )
         ),
     ).drop("_lo", "_hi")
     if pin:
@@ -296,8 +319,10 @@ def ordered_prefix_max(
     :func:`ordered_prefix_sum`, so the identical two-pass scan applies:
     per-bucket window maxes run in parallel, and each bucket's carry-in
     is the max of all EARLIER buckets' maxes composed via a triangular
-    join on the tiny subtotal table. No single-partition exchange
-    anywhere; bit-exact for integer values by associativity.
+    join on the tiny subtotal table. No full-data single-partition
+    funnel anywhere (the bounds scalar agg moves one row per
+    partition); bit-exact for integer values by associativity.
+    ``order_col`` must be non-null (see :func:`ordered_prefix_sum`).
 
     Rows that tie on ``order_col`` see the same prefix (ties are peers:
     neither contributes to the other), which is what dominance-style

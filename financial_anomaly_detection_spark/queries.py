@@ -3150,9 +3150,10 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "MSE+threshold tail; this pins the math the oracle can verify. "
     "The top-5%% flag is an exact global rank computed by the two-pass "
     "parallel scan (operators/prefix.py:ordered_rank_desc) — no "
-    "Exchange SinglePartition anywhere; the oracle keeps the plain "
-    "rank() window, which is bit-identical (integer counts, unique "
-    "vec_id tiebreak).",
+    "full-data single-partition funnel (the only Exchange "
+    "SinglePartition is the bounds scalar agg, one row per partition; "
+    "see plans/inspect.py); the oracle keeps the plain rank() window, "
+    "which is bit-identical (integer counts, unique vec_id tiebreak).",
     tags=["ml", "oracle-surrogate"],
 )
 def q_ml_recon_mse_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,6 +22,9 @@ import re
 
 import pytest
 
+from financial_anomaly_detection_spark.plans.inspect import (
+    single_partition_violations,
+)
 from financial_anomaly_detection_spark.queries import REGISTRY
 
 _SRC_ROOT = pathlib.Path(__file__).resolve().parent.parent / (
@@ -186,10 +189,19 @@ def test_no_unplanned_nested_loop_join(spark, sf_dir, name):
     )
 
 
-# Queries whose plans must contain NO single-partition exchange at
-# all: the sequence-packing prefix sum was a global Window.orderBy
+# Queries whose plans must contain NO full-data single-partition
+# funnel: the sequence-packing prefix sum was a global Window.orderBy
 # (every row through ONE task) until round 4; the two-pass parallel
-# form (operators/prefix.py) must not regress.
+# form (operators/prefix.py) must not regress. Scalar-aggregate
+# reductions (partial agg per partition -> one row per partition
+# through the exchange, e.g. the prefix operators' min/max bounds) are
+# the benign global-scalar pattern and are allowed — the detector in
+# plans/inspect.py classifies each Exchange SinglePartition by its
+# child. (The earlier guard grepped FORMATTED explain output for
+# "Exchange SinglePartition", a string that mode never emits — the
+# assertion was vacuous; inspect.py greps the SIMPLE mode, where the
+# node prints inline, and the test below is pinned against a real
+# global-window plan in tests/test_prefix.py.)
 NO_SINGLE_PARTITION = [
     "pack_sequences_2048",
     "curation_pipeline_e2e",
@@ -198,20 +210,18 @@ NO_SINGLE_PARTITION = [
     "max_concurrent_sessions",
     # round-6: the top-5% anomaly flag's global rank was a global
     # Window.orderBy until r6 (the r5 VERDICT's one weak tier); it must
-    # stay on ordered_rank_desc's two-pass scan — including the total
-    # count, which is composed from the bucket subtotals, not a scalar
-    # agg (a global count is itself an Exchange SinglePartition)
+    # stay on ordered_rank_desc's two-pass scan
     "ml_recon_mse_threshold",
 ]
 
 
 @pytest.mark.parametrize("name", NO_SINGLE_PARTITION)
 def test_no_single_partition_exchange(spark, sf_dir, name):
-    plan = _plan(spark, name, sf_dir)
-    hits = len(re.findall(r"Exchange SinglePartition", plan))
-    assert hits == 0, (
-        f"{name}: {hits} single-partition exchange(s) — the global "
-        "prefix sum must stay a two-pass parallel scan"
+    df = REGISTRY[name].fn(spark, sf_dir)
+    bad = single_partition_violations(df)
+    assert not bad, (
+        f"{name}: full-data single-partition funnel(s) {bad} — the "
+        "global prefix scan must stay two-pass parallel"
     )
 
 

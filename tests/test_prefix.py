@@ -3,7 +3,13 @@
 The operator must be bit-equivalent to the sequential global-window
 running sum it replaces — on shuffled, non-contiguous, negative-key
 inputs — in both the pinned and fully-lazy forms, and its physical
-plan must contain no single-partition exchange (the whole point).
+plan must contain no FULL-DATA single-partition funnel (the whole
+point). The min/max bounds scalar aggregate does plan an ``Exchange
+SinglePartition`` — moving one row per partition, the benign
+global-scalar pattern — so the guard here is
+``plans.inspect.single_partition_violations`` (which classifies each
+exchange by its child), NOT a substring grep; the detector itself is
+pinned below against a real global-window plan.
 """
 
 from __future__ import annotations
@@ -13,6 +19,9 @@ import random
 from pyspark.sql import Window, functions as F
 
 from financial_anomaly_detection_spark.operators.prefix import ordered_prefix_sum
+from financial_anomaly_detection_spark.plans.inspect import (
+    single_partition_violations,
+)
 
 
 def _naive(df):
@@ -55,13 +64,25 @@ def test_single_row_and_single_bucket(spark):
     assert _rows(got2) == _rows(_naive(df2))
 
 
-def test_plan_has_no_single_partition_exchange(spark):
+def test_plan_has_no_single_partition_funnel(spark):
     df = spark.createDataFrame([(i, 1) for i in range(100)], "k long, v long")
     out = ordered_prefix_sum(df, "k", "v", n_buckets=8)
-    plan = out._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    assert single_partition_violations(out) == []
+
+
+def test_detector_flags_real_global_window(spark):
+    # the detector must actually fire on the plan shape the operator
+    # exists to avoid — a Window.orderBy with no partitionBy — and
+    # stay quiet on a benign scalar aggregate; without this pin a
+    # never-matching detector makes every guard above vacuous (the
+    # pre-r6 formatted-mode grep did exactly that)
+    df = spark.createDataFrame([(i, 1) for i in range(100)], "k long, v long")
+    funnel = df.withColumn(
+        "r", F.row_number().over(Window.orderBy("k"))
     )
-    assert "Exchange SinglePartition" not in plan
+    assert single_partition_violations(funnel), "global window not flagged"
+    scalar = df.agg(F.min("k"), F.max("k"))
+    assert single_partition_violations(scalar) == []
 
 
 def test_grouped_prefix_stats_matches_sequential_window(spark, sf_dir):
@@ -156,10 +177,7 @@ def test_prefix_max_first_key_is_null_and_no_single_partition(spark):
     rows = {r["k"]: r["prefix_max_before"] for r in out.collect()}
     assert rows[0] is None  # exclusive prefix of the minimum key is empty
     assert rows[199] == 6
-    plan = out._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
-    assert "Exchange SinglePartition" not in plan
+    assert single_partition_violations(out) == []
 
 
 # --- ordered_rank_desc -------------------------------------------------------
@@ -190,7 +208,26 @@ def test_rank_desc_total_col_and_no_single_partition(spark):
     rows = out.collect()
     assert all(r["n_total"] == 300 for r in rows)
     assert sorted(r["rnk"] for r in rows) == list(range(1, 301))
-    plan = out._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
-    assert "Exchange SinglePartition" not in plan
+    assert single_partition_violations(out) == []
+
+
+def test_rank_desc_null_keys_rank_last(spark):
+    from financial_anomaly_detection_spark.operators.prefix import ordered_rank_desc
+
+    # NULL order keys must not vanish (width_bucket(NULL) -> NULL
+    # bucket used to drop them at the carry join) and must rank LAST,
+    # matching rank() OVER (ORDER BY v DESC, id) with Spark's
+    # DESC-nulls-last default
+    data = [(1, 10), (2, None), (3, 5), (4, None), (5, 20)]
+    df = spark.createDataFrame(data, "id long, v long").repartition(4)
+    got = ordered_rank_desc(df, "v", "id", out_col="rnk", n_buckets=4)
+    assert got.count() == 5  # nothing dropped
+    w = Window.orderBy(F.desc("v"), F.asc("id"))
+    want = df.withColumn("rnk_w", F.row_number().over(w).cast("long"))
+    j = got.join(want, ["id"])
+    assert j.filter(F.col("rnk") != F.col("rnk_w")).count() == 0
+    # all-NULL input: every row still present, ranked by tie key alone
+    df2 = spark.createDataFrame([(1, None), (2, None)], "id long, v long")
+    got2 = {r["id"]: r["rnk"] for r in
+            ordered_rank_desc(df2, "v", "id", out_col="rnk", n_buckets=4).collect()}
+    assert got2 == {1: 1, 2: 2}

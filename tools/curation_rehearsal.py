@@ -17,7 +17,9 @@ records per-scale:
     pulled from the Spark UI REST API for exactly the stages this
     run submitted;
   * output row count and a no-global-window assertion on the final
-    plan (zero Exchange SinglePartition).
+    plan (zero FULL-DATA single-partition funnels — scalar-agg
+    reductions like the prefix scan's min/max bounds are benign and
+    excluded; see plans/inspect.py).
 
 Output: one JSON line per scale, then a markdown row block for
 SCALING.md.
@@ -40,6 +42,9 @@ from pyspark.sql import Window, functions as F  # noqa: E402
 
 from financial_anomaly_detection_spark.operators.dedup import (  # noqa: E402
     prefix_filter_jaccard_pairs,
+)
+from financial_anomaly_detection_spark.plans.inspect import (  # noqa: E402
+    single_partition_violations,
 )
 from financial_anomaly_detection_spark.operators.prefix import (  # noqa: E402
     ordered_prefix_sum,
@@ -193,24 +198,22 @@ def main() -> None:
         out.write.format("noop").mode("overwrite").save()
         sec = round(time.time() - t0, 2)
         m = stage_metrics(spark, before)
-        plan = out._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "formatted"
-            )
-        )
-        single = plan.count("Exchange SinglePartition")
+        # formatted mode never prints "Exchange SinglePartition"
+        # inline (the old count here was always 0, vacuously); the
+        # inspect helper classifies each exchange in simple mode
+        single = len(single_partition_violations(out))
         n = out.count()
         rec = {
             "scale": k,
             "sec": sec,
             "rows": n,
-            "single_partition_exchanges": single,
+            "single_partition_funnels": single,
             **m,
         }
         rows.append(rec)
         print(json.dumps(rec), flush=True)
 
-    print("\n| scale | sec | rows | stages | shuffle total | peak stage | 1-part exch |")
+    print("\n| scale | sec | rows | stages | shuffle total | peak stage | 1-part funnels |")
     print("|---|---|---|---|---|---|---|")
     for r in rows:
         tot_mb = r["shuffle_bytes_total"] / 1e6
@@ -218,7 +221,7 @@ def main() -> None:
         print(
             f"| x{r['scale']} | {r['sec']} | {r['rows']} | {r['n_stages']} "
             f"| {tot_mb:.1f} MB | {peak_mb:.1f} MB "
-            f"| {r['single_partition_exchanges']} |"
+            f"| {r['single_partition_funnels']} |"
         )
     spark.stop()
 
