@@ -73,6 +73,41 @@ def _lloyd_kmeans(X, k: int, seed: int = 42, max_iter: int = 10):
     return C
 
 
+def _train_sample_matrix(
+    df: DataFrame, id_col: str, vec_col: str, cap: int = 25_000
+):
+    """Deterministic k-means fit pool as a dense float64 matrix.
+
+    ``orderBy(md5(id), id).limit(cap)`` plans as a distributed top-k
+    (TakeOrderedAndProject), so the sample is key-determined —
+    independent of file layout, partition count, and AQE — and the
+    hash order keeps it distribution-representative when ids correlate
+    with time or source (an id-prefix sample would bias centroids).
+    The single bounded driver-side collect shared by every vector
+    model-fit site in this module (ivf / semdedup / pq / ivfpq — the
+    §2.9 limit()-bounded fit-pool discipline).
+    """
+    import numpy as np
+
+    train = df.orderBy(F.md5(F.col(id_col).cast("string")), id_col).limit(cap)
+    return np.stack(
+        train.select(F.col(vec_col).cast("array<double>").alias("_v"))
+        .toPandas()["_v"]
+        .to_numpy()
+    )
+
+
+def _fit_subspaces(d: int, m: int) -> int:
+    """Largest subspace count <= ``m`` that divides ``d``.
+
+    PQ requires d %% m == 0 (FAISS asserts); the auto route
+    (ann_topk -> ivfpq) must not hard-fail on, say, 20-dim embeddings
+    with the default m=8, so the tier degrades deterministically to
+    the nearest valid m (20 -> 5; worst case 1 = a single full-width
+    codebook, i.e. plain vector quantization) instead of crashing."""
+    return max(j for j in range(1, m + 1) if d % j == 0)
+
+
 def brute_force_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -151,20 +186,9 @@ def ivf_topk(
     cand = spread_narrow(candidates).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e")
     )
-    # orderBy+limit plans as a distributed top-k
-    # (TakeOrderedAndProject), so the training set is key-determined —
-    # independent of file layout, partition count, and AQE — unlike a
-    # bare limit(). Ordering by md5(id) rather than the id itself keeps
-    # the sample distribution-representative when ids correlate with
-    # time or source order (an id-prefix sample would bias centroids).
     if nlist is None:
         nlist = auto_nlist(cand.count())
-    train = cand.orderBy(F.md5(F.col("neighbor_id").cast("string")), "neighbor_id").limit(25_000)
-    X = np.stack(
-        train.select(F.col("_e").cast("array<double>").alias("_e"))
-        .toPandas()["_e"]
-        .to_numpy()
-    )
+    X = _train_sample_matrix(cand, "neighbor_id", "_e")
     centers = _lloyd_kmeans(X, nlist, seed=seed, max_iter=10)
 
     # centroid table is tiny: nlist x d -> broadcast for assignment and
@@ -569,9 +593,12 @@ def semdedup(
 
     Adaptive dispatch: when the LARGEST cell holds <= ``pair_cap``
     rows, every pair is within cap distance in any ordering, so the
-    capped and uncapped paths return identical rows — the cap's
-    banding/twin machinery (explode probe, vector hash, union) is pure
-    overhead there. One bounded 1-row count over the checkpointed
+    capped and uncapped paths return identical rows — including at
+    ``threshold=1.0``, where BOTH paths drop exact twins through the
+    same vector-hash keep-first rule rather than relying on the float
+    cosine of identical vectors landing exactly on 1.0 (it can land at
+    0.999..9). The cap's banding machinery (explode probe, block join)
+    is pure overhead there. One bounded 1-row count over the checkpointed
     assignment decides; the cap engages exactly when a cell could
     exceed it (the hot-cell case it exists for).
 
@@ -592,12 +619,7 @@ def semdedup(
     cand = spread_narrow(df).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_e"))
     if nlist is None:
         nlist = auto_nlist(cand.count())
-    train = cand.orderBy(F.md5(F.col("_id").cast("string")), "_id").limit(25_000)
-    X = np.stack(
-        train.select(F.col("_e").cast("array<double>").alias("_e"))
-        .toPandas()["_e"]
-        .to_numpy()
-    )
+    X = _train_sample_matrix(cand, "_id", "_e")
     centers = _lloyd_kmeans(X, nlist, seed=seed, max_iter=10)
     cent_df = df.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
@@ -704,10 +726,31 @@ def semdedup(
         return assigned.join(drops, "_id", "left_anti").select(
             F.col("_id").alias(id_col), F.col("_cell").alias("cell")
         )
-    # uncapped: dropped iff some smaller-id row in the cell matches
+    # uncapped: dropped iff some smaller-id row in the cell matches.
+    # Exact twins must drop identically in BOTH paths: the float
+    # cosine of bit-identical vectors can land at 0.999..9 < 1.0, so
+    # at threshold=1.0 the pair filter alone would keep twins here
+    # while the capped path's hash rule drops them — the adaptive
+    # dispatch (cap engaged or not) would then be visible in the
+    # output. The same (cell, vector-hash) keep-first rule closes it.
+    vh = assigned.withColumn(
+        "_vh", F.md5(F.col("_e").cast("array<double>").cast("string"))
+    )
+    keep_min = vh.groupBy("_cell", "_vh").agg(F.min("_id").alias("_keep"))
+    nonzero = F.aggregate(
+        F.col("_e").cast("array<double>"),
+        F.lit(0.0),
+        lambda acc, v: acc + v * v,
+    ) > 0
+    twin_drops = (
+        vh.join(keep_min, ["_cell", "_vh"])
+        .filter((F.col("_id") > F.col("_keep")) & nonzero & F.lit(threshold <= 1.0))
+        .select("_id")
+    )
     drops = (
         pairs.filter(cosine_similarity("ae", "be") >= threshold)
         .select(F.greatest("aid", "bid").alias("_id"))
+        .unionByName(twin_drops)
         .distinct()
     )
     return assigned.join(drops, "_id", "left_anti").select(
@@ -733,14 +776,9 @@ def pq_train_codebooks(
     """
     import numpy as np
 
-    train = df.orderBy(F.md5(F.col(id_col).cast("string")), id_col).limit(25_000)
-    X = np.stack(
-        train.select(F.col(vec_col).cast("array<double>").alias("_e"))
-        .toPandas()["_e"]
-        .to_numpy()
-    )
+    X = _train_sample_matrix(df, id_col, vec_col)
     d = X.shape[1]
-    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    m = _fit_subspaces(d, m)
     dsub = d // m
     books = []
     for j in range(m):
@@ -945,6 +983,9 @@ def pq_adc_topk(
     from .partitioning import spread_narrow
 
     books = pq_train_codebooks(candidates, id_col, vec_col, m=m, k=k, seed=seed)
+    # the trainer degrades m to the nearest divisor of d (and k to the
+    # sample size) — use the fitted shape, not the requested one
+    m = books.shape[0]
     codes = pq_encode(spread_narrow(candidates), books, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "codes"
     )
@@ -1037,17 +1078,12 @@ def ivf_pq_topk(
     )
     if nlist is None:
         nlist = auto_nlist(cand.count())
-    train = cand.orderBy(
-        F.md5(F.col("neighbor_id").cast("string")), "neighbor_id"
-    ).limit(25_000)
-    X = np.stack(
-        train.select(F.col("_e").cast("array<double>").alias("_e"))
-        .toPandas()["_e"]
-        .to_numpy()
-    )
+    X = _train_sample_matrix(cand, "neighbor_id", "_e")
     C = _lloyd_kmeans(X, nlist, seed=seed, max_iter=10)  # (nlist, d)
     d = X.shape[1]
-    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    # the auto route must not crash on dims the default m doesn't
+    # divide — degrade to the nearest valid subspace count
+    m = _fit_subspaces(d, m)
     dsub = d // m
     # sample residuals in numpy -> per-subspace codebooks (no Spark-side
     # residual pass needed for training)
@@ -1063,7 +1099,11 @@ def ivf_pq_topk(
             )
             for j in range(m)
         ]
-    )  # (m, pq_k, dsub)
+    )  # (m, k_eff, dsub)
+    # _lloyd_kmeans clamps k to the sample size; the probe kernel's
+    # fixed-width distance tables must use the FITTED center count or
+    # a tiny corpus (sample < pq_k) breaks the tab[j] assignment
+    pq_k = B.shape[1]
 
     id_type = {f.name: f.dataType.simpleString() for f in cand.schema.fields}[
         "neighbor_id"

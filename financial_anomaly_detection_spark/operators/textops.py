@@ -302,6 +302,15 @@ def _bpe_train(df: DataFrame, text_col: str, n_merges: int, max_word_len: int):
             )
             .localCheckpoint(eager=True)
         )
+        # ``best`` is already materialized (eager checkpoint), so this
+        # 1-row peek costs no extra job — and once the corpus's merges
+        # are exhausted, every later round would run the full pair
+        # scan, top-1, and two checkpoint materializations as
+        # guaranteed no-ops. Stop instead.
+        if not best.head(1):
+            if merges is None:
+                merges = best  # 0-row frame with the merge schema
+            break
         merges = best if merges is None else merges.unionByName(best)
         # LEFT join against the 1-row merge table: when a round finds
         # no pairs at all (n_merges exceeds what the corpus supports),

@@ -95,4 +95,20 @@ def get_spark(
     # stage/shuffle metrics set spark.ui.enabled=true).
     for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
-    return configure(builder.getOrCreate())
+    spark = configure(builder.getOrCreate())
+    # getOrCreate() returns any ALREADY-RUNNING session untouched, so
+    # builder.config static confs are then silently ignored — and a
+    # tool that depends on one (the UI REST API) fails far from the
+    # cause (uiWebUrl=None -> "None/api/v1/..."). Fail loudly here.
+    for k, v in (extra_confs or {}).items():
+        try:
+            actual = spark.conf.get(k, None)
+        except Exception:
+            continue
+        if actual is not None and actual != v:
+            raise RuntimeError(
+                f"get_spark: requested conf {k}={v!r} but the existing "
+                f"SparkSession has {k}={actual!r} (static confs cannot "
+                "change after startup — stop the session first)"
+            )
+    return spark

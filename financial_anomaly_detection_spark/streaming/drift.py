@@ -179,6 +179,15 @@ def stateful_channel_moments(
             state.get if state.exists else (0, 0, 0, 0, 0, 0)
         )
         for pdf in pdfs:
+            # per-record error isolation (W7): a malformed record
+            # (missing amount under schema-on-read) arrives as NULL ->
+            # NaN here, and .astype('int64') on NaN raises — failing
+            # the task, killing the query, and replaying the SAME
+            # poisoned micro-batch from the checkpoint on every
+            # restart. Drop incomplete rows instead of crash-looping.
+            pdf = pdf.dropna(subset=[x_col, y_col])
+            if len(pdf) == 0:
+                continue
             x = pdf[x_col].astype("int64")
             y = pdf[y_col].astype("int64")
             n += int(len(pdf))

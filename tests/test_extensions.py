@@ -702,6 +702,75 @@ def test_semdedup_pair_cap_keeps_exact_twin_guarantee(spark):
     assert len(kept_ids) == 400
 
 
+def test_semdedup_threshold_one_paths_agree(spark):
+    """At threshold=1.0 exact twins must drop in BOTH the capped and
+    uncapped paths (the float cosine of identical vectors can land at
+    0.999..9 < 1.0, so the uncapped path needs the same vector-hash
+    twin rule — without it the adaptive dispatch made the output
+    depend on whether the cap engaged)."""
+    import numpy as np
+
+    from financial_anomaly_detection_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(13)
+    base = [(i, [float(x) for x in rng.normal(size=12)]) for i in range(60)]
+    dupes = [(9000 + i, base[i][1]) for i in range(6)]
+    df = spark.createDataFrame(
+        base + dupes, "vec_id long, embedding array<double>"
+    )
+    uncapped = {
+        r["vec_id"]
+        for r in semdedup(
+            df, "vec_id", "embedding", threshold=1.0, nlist=1, pair_cap=None
+        ).collect()
+    }
+    capped = {
+        r["vec_id"]
+        for r in semdedup(
+            df, "vec_id", "embedding", threshold=1.0, nlist=1, pair_cap=8
+        ).collect()
+    }
+    assert uncapped == capped
+    assert all(9000 + i not in uncapped for i in range(6))
+    assert all(i in uncapped for i in range(6))
+
+
+def test_ann_topk_auto_survives_odd_dims_and_tiny_corpora(spark):
+    """The auto route (-> IVFADC above the exact threshold) must not
+    hard-fail when the embedding dim is not divisible by the default
+    m=8 (m degrades to the largest divisor, 20 -> 5) nor when the
+    corpus is smaller than pq_k (codebooks clamp to the sample size
+    and the probe tables use the fitted width)."""
+    import numpy as np
+
+    from financial_anomaly_detection_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(17)
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(rng.normal(0.0, 1.0, size=(300, 20)))
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = emb.filter(F.col("vec_id") % 60 == 0)
+    routed = sim.ann_topk(
+        emb, qs, k=5, tier="auto", exact_threshold=10, nlist=4, nprobe=2
+    )
+    got = routed.collect()
+    assert len(got) > 0
+    assert all(r["neighbor_id"] < 300 for r in got)
+
+    # corpus smaller than pq_k=16: fitted codebooks have < pq_k
+    # centers; the fixed-width distance-table assignment used to raise
+    tiny_rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(rng.normal(0.0, 1.0, size=(12, 16)))
+    ]
+    tiny = spark.createDataFrame(tiny_rows, "vec_id long, embedding array<double>")
+    tq = tiny.filter(F.col("vec_id") == 0)
+    out = sim.ivf_pq_topk(tiny, tq, k=3, nlist=2, nprobe=2)
+    assert out.count() > 0
+
+
 def test_bpe_train_matches_textbook_reference(spark, sf_dir):
     """The relational BPE trainer must reproduce the textbook
     algorithm (Sennrich 2016) merge-for-merge: same pairs in the same

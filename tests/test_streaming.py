@@ -722,6 +722,26 @@ def test_streaming_moments_match_batch_mahalanobis_state(spark, tmp_path):
                     + "\n"
                 )
 
+    # a malformed record (missing amount -> NULL x under schema-on-
+    # read) must be DROPPED by the state kernel, not crash the task —
+    # astype('int64') on NaN raises, and a failed stateful task
+    # replays the same poisoned micro-batch from the checkpoint on
+    # every restart (W7 per-record isolation)
+    with open(src / "b0.json", "a") as f:
+        f.write(
+            json.dumps(
+                {
+                    "timestamp": "2025-05-03T05:00:00Z",
+                    "transaction_id": "bad-1",
+                    "customer_id": "1",
+                    "merchant_id": "2",
+                    "channel": "card",
+                    "location": "Harare",
+                }
+            )
+            + "\n"
+        )
+
     stream = (
         spark.readStream.schema(TRANSACTION_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -755,6 +775,8 @@ def test_streaming_moments_match_batch_mahalanobis_state(spark, tmp_path):
             F.floor(F.col("amount") * 100 + F.lit(0.5)).cast("long").alias("x"),
             F.hour(F.to_timestamp("timestamp")).cast("long").alias("y"),
         )
+        # mirrors the kernel's dropna: incomplete rows contribute nothing
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
         .groupBy("channel")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
