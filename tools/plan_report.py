@@ -123,6 +123,9 @@ QUERIES = [
     "spearman_daily_corr",
     "kendall_tau_daily",
     "mahalanobis_outliers",
+    # Late-r6 reshape pair: native unpivot, calendar spine gap-fill.
+    "unpivot_daily_metrics",
+    "calendar_gap_fill",
 ]
 
 
