@@ -10169,6 +10169,118 @@ def q_calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_upsert_merge",
+    # MERGE INTO semantics (the Delta/Iceberg lakehouse upsert) as
+    # plain DataFrame algebra: no MERGE statement exists in stock
+    # Spark SQL, but its relational core is exactly
+    # compact-the-feed -> full-outer-join -> per-row action.
+    oracle="""
+        WITH base AS (
+            SELECT user_id,
+                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS bal,
+                   COUNT(*) AS n
+            FROM events
+            WHERE ts < TIMESTAMP '2024-01-29 00:00:00'
+              AND user_id % 7 <> 0
+            GROUP BY 1
+        ), late AS (
+            SELECT * FROM events
+            WHERE ts >= TIMESTAMP '2024-01-29 00:00:00'
+        ), latest AS (
+            SELECT user_id,
+                   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+            FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM late
+            )
+            WHERE rn = 1
+        ), delta AS (
+            SELECT user_id,
+                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS add_bal,
+                   COUNT(*) AS add_n
+            FROM late
+            GROUP BY 1
+        ), changes AS (
+            SELECT l.user_id, l.op, d.add_bal, d.add_n
+            FROM latest l JOIN delta d USING (user_id)
+        )
+        SELECT CAST(COALESCE(b.user_id, c.user_id) AS BIGINT) AS user_id,
+               CAST(COALESCE(b.bal, 0) + COALESCE(c.add_bal, 0) AS BIGINT)
+                   AS bal_cents,
+               CAST(COALESCE(b.n, 0) + COALESCE(c.add_n, 0) AS BIGINT)
+                   AS n_events,
+               CASE WHEN c.user_id IS NULL THEN 'kept'
+                    WHEN b.user_id IS NULL THEN 'inserted'
+                    ELSE 'updated' END AS action
+        FROM base b
+        FULL JOIN changes c ON b.user_id = c.user_id
+        WHERE c.op IS NULL OR c.op = 'U'
+    """,
+    description="CDC upsert / MERGE INTO semantics (lakehouse batch "
+    "merge, Delta/Iceberg style) in stock Spark: a 28-day balance "
+    "snapshot merged with the last two days treated as a change feed "
+    "— the feed is COMPACTED to one action per key (latest event "
+    "wins; a final 'error' event is the delete tombstone), then ONE "
+    "full-outer join on the key applies WHEN MATCHED UPDATE / WHEN "
+    "NOT MATCHED INSERT / MATCHED-tombstone DELETE / unmatched-"
+    "tombstone no-op, tagging each surviving row kept/updated/"
+    "inserted. The snapshot excludes user_id %% 7 == 0 keys — the "
+    "synthetic events table has zero user churn, so snapshot key-"
+    "absence (the INSERT path) is modeled explicitly. At scale this "
+    "is the canonical merge shape: two key-partitioned aggregations "
+    "+ one key-partitioned full-outer join (AQE-skew-splittable), "
+    "never a row-at-a-time apply loop; integer cents keep it "
+    "hash-exact.",
+    tags=["cdc", "merge", "join", "lakehouse"],
+)
+def q_cdc_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    split = F.lit("2024-01-29 00:00:00").cast("timestamp")
+    base = (
+        ev.filter((F.col("ts") < split) & (F.col("user_id") % 7 != 0))
+        .groupBy("user_id")
+        .agg(F.sum(cents).alias("bal"), F.count(F.lit(1)).alias("n"))
+    )
+    late = ev.filter(F.col("ts") >= split)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        late.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        )
+    )
+    delta = late.groupBy("user_id").agg(
+        F.sum(cents).alias("add_bal"), F.count(F.lit(1)).alias("add_n")
+    )
+    changes = latest.join(delta, "user_id")
+    return (
+        base.alias("b")
+        .join(changes.alias("c"), "user_id", "full_outer")
+        .filter(F.col("c.op").isNull() | (F.col("c.op") == "U"))
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            (F.coalesce(F.col("b.bal"), F.lit(0)) + F.coalesce(F.col("c.add_bal"), F.lit(0)))
+            .cast("long")
+            .alias("bal_cents"),
+            (F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("c.add_n"), F.lit(0)))
+            .cast("long")
+            .alias("n_events"),
+            F.when(F.col("c.op").isNull(), "kept")
+            .when(F.col("b.n").isNull(), "inserted")
+            .otherwise("updated")
+            .alias("action"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -10198,15 +10310,16 @@ def q_calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      missing #1) — semdedup_embeddings, bpe_train_merges,
 #      bpe_tokenize_docs, ann_pq_topk — all also touched by r6's
 #      operator fixes, so the execution proof is doubly due;
-#   4. 36 of the 46 oracle-backed queries whose freshest green is r3
-#      (two rounds stale). The 10 left out for lack of slots —
+#   4. 35 of the 46 oracle-backed queries whose freshest green is r3
+#      (two rounds stale). The 11 left out for lack of slots —
 #      string_functions, date_arithmetic, priority_case_pivot,
 #      grouping_sets_order_status, benford_first_digit, plus
 #      set_ops_users, json_extract_props, except_all_bag_semantics,
-#      c4_quality_filters and source_temperature_weights (displaced
-#      by the late-r6 additions) — are the lowest-risk constant-shape
-#      scalar/pivot/set/aggregate queries; they keep their banked r3
-#      greens and lead the r7 rotation.
+#      c4_quality_filters, source_temperature_weights and
+#      rolling_zscore_events (displaced by the late-r6 additions) —
+#      are the lowest-risk constant-shape scalar/pivot/set/aggregate
+#      queries; they keep their banked r3 greens and lead the r7
+#      rotation.
 # Everything past slot 50 has a green hash-match row in r3/r4/r5.
 _PRIORITY_R06 = [
     # changed in round 6 -> needs fresh evidence
@@ -10221,6 +10334,7 @@ _PRIORITY_R06 = [
     "mahalanobis_outliers",
     "unpivot_daily_metrics",
     "calendar_gap_fill",
+    "cdc_upsert_merge",
     # rows-only, never driver-executed (r5 gap) + touched in r6
     "semdedup_embeddings",
     "bpe_train_merges",
@@ -10261,12 +10375,13 @@ _PRIORITY_R06 = [
     "q16_supplier_part_counts",
     "q20_promo_part_shippers",
     "q21_waiting_suppliers",
-    "rolling_zscore_events",
     "lof_exact_quantized",
     # r3-green fills past slot 50 (first in line for r7; the late-r6
-    # unpivot/gap-fill pair displaced c4_quality_filters and
-    # source_temperature_weights — both constant-shape aggregates with
-    # banked r3 greens)
+    # unpivot/gap-fill/cdc-merge additions displaced
+    # c4_quality_filters, source_temperature_weights and
+    # rolling_zscore_events — constant-shape queries with banked r3
+    # greens)
+    "rolling_zscore_events",
     "c4_quality_filters",
     "source_temperature_weights",
     "string_functions",

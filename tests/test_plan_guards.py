@@ -145,6 +145,10 @@ EXPECTED = {
     # post-agg daily table (BroadcastHashJoin, never a spine shuffle)
     "unpivot_daily_metrics": (0, {"events": 3}),
     "calendar_gap_fill": (1, {"events": 3}),
+    # CDC merge: feed compaction broadcast-joins the per-key deltas,
+    # snapshot-vs-changes is the one fact-keyed full-outer SMJ — the
+    # canonical lakehouse merge shape; 4-col pruned scans, zero NLJ
+    "cdc_upsert_merge": (0, {"events": 4}),
 }
 
 

@@ -126,6 +126,8 @@ QUERIES = [
     # Late-r6 reshape pair: native unpivot, calendar spine gap-fill.
     "unpivot_daily_metrics",
     "calendar_gap_fill",
+    # Late-r6 lakehouse merge: CDC feed compaction + full-outer apply.
+    "cdc_upsert_merge",
 ]
 
 
