@@ -42,6 +42,14 @@ still >2x after its re-run is tagged in ``outliers`` (a real
 regression or a genuinely noisy plan — either way visible, never a
 silent phantom). Re-run evidence is kept in ``reruns``.
 
+Broad-slowdown guard (late round 6): the endpoint canary misses
+contention that rises and falls BETWEEN its brackets, which lifts
+every number ~uniformly, and per-query 2x reruns don't catch a
+fleet-wide +20%. The artifact now records ``geomean_vs_prior`` (the
+per-query geometric-mean ratio against the committed prior) and tags
+itself degraded above 1.15 — such a run must not become the
+committed prior.
+
 Each query is forced end-to-end with the ``noop`` datasource sink
 (full JVM-side computation, no collect-to-driver bottleneck, no
 count()-only plan pruning). One warmup run of the first query pays
@@ -99,6 +107,14 @@ CANARY_SPIKE_FLOOR_SEC = 0.3
 # round; queries under FLOOR seconds are exempt (sub-second noise).
 OUTLIER_RATIO = 2.0
 OUTLIER_FLOOR_SEC = 0.75
+
+# Broad-slowdown guard (late r6): a run whose per-query geomean vs the
+# committed prior exceeds this is degraded-by-definition even when the
+# endpoint canary stayed clean — contention that rises and falls
+# BETWEEN the brackets lifts every number ~uniformly (observed: a
+# canary-clean run at geomean 1.196 with multimodal queries 2-6x).
+# Per-query 2x reruns don't catch a fleet-wide +20%.
+GEOMEAN_LIMIT = 1.15
 
 
 def force(df) -> None:
@@ -263,6 +279,26 @@ def main() -> None:
             outliers.append(name)
     best["total"] = round(sum(timings.values()), 3)
 
+    # Broad-slowdown guard: geomean of cur/prior over common queries.
+    import math
+
+    common = [n for n in timings if n in prior and prior[n] > 0]
+    geomean = (
+        round(
+            math.exp(
+                sum(math.log(timings[n] / prior[n]) for n in common) / len(common)
+            ),
+            3,
+        )
+        if common
+        else None
+    )
+    if geomean is not None and geomean > GEOMEAN_LIMIT:
+        best["degraded"] = True
+        best["degraded_reasons"] = best.get("degraded_reasons", []) + [
+            f"broad slowdown: geomean {geomean} vs prior > {GEOMEAN_LIMIT}"
+        ]
+
     headline = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
     total = best["total"]
     full = {
@@ -273,6 +309,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "degraded": best["degraded"],
+        "geomean_vs_prior": geomean,
         "canary": best["canary"],
         "attempts": [
             {k: a[k] for k in ("total", "degraded", "degraded_reasons", "canary")}
@@ -301,6 +338,7 @@ def main() -> None:
         "n_errors": len(errors),
         "degraded": best["degraded"],
         "canary_drift": best["canary"]["drift"],
+        "geomean_vs_prior": geomean,
         "n_reruns": len(reruns),
         "outliers": outliers,
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
