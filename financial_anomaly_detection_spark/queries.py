@@ -10281,6 +10281,63 @@ def q_cdc_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "map_functions_user_profile",
+    # The §2.8 MAP-typed column family (map_from_entries, map_keys,
+    # map_values, map_filter, transform_values, element_at) exercised
+    # end-to-end. DuckDB's map type differs enough that the oracle
+    # derives the same scalars straight from the grouped counts — the
+    # compare surface is scalar, the Spark side genuinely runs the map
+    # kernels.
+    oracle="""
+        WITH c AS (
+            SELECT user_id, event_type, COUNT(*) AS cnt
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               array_to_string(list_sort(list(event_type)), ',') AS types,
+               CAST(COUNT(*) FILTER (WHERE cnt >= 5) AS BIGINT)
+                   AS n_frequent,
+               CAST(SUM(cnt) AS BIGINT) AS n_events,
+               CAST(MAX(CASE WHEN event_type = 'view' THEN cnt * 2 END)
+                    AS BIGINT) AS view_x2
+        FROM c
+        GROUP BY user_id
+    """,
+    description="MAP-typed column functions (§2.8 extras): per-user "
+    "event_type -> count maps built with map_from_entries over "
+    "sorted entry structs (deterministic key order), then map_keys, "
+    "map_filter (count >= 5), F.aggregate over map_values, and "
+    "transform_values + element_at — the whole JVM-side map kernel "
+    "family, no UDFs. Two key-partitioned aggregations, nothing else; "
+    "the map stays one row per user however many types exist.",
+    tags=["map", "aggregate", "functions"],
+)
+def q_map_functions_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    per_user = counts.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("type_counts")
+    )
+    m = F.col("type_counts")
+    return per_user.select(
+        "user_id",
+        F.array_join(F.map_keys(m), ",").alias("types"),
+        F.size(F.map_filter(m, lambda k, v: v >= 5)).cast("long").alias("n_frequent"),
+        F.aggregate(
+            F.map_values(m), F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("n_events"),
+        F.element_at(F.transform_values(m, lambda k, v: v * 2), "view")
+        .cast("long")
+        .alias("view_x2"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -10310,16 +10367,16 @@ def q_cdc_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      missing #1) — semdedup_embeddings, bpe_train_merges,
 #      bpe_tokenize_docs, ann_pq_topk — all also touched by r6's
 #      operator fixes, so the execution proof is doubly due;
-#   4. 35 of the 46 oracle-backed queries whose freshest green is r3
-#      (two rounds stale). The 11 left out for lack of slots —
+#   4. 34 of the 46 oracle-backed queries whose freshest green is r3
+#      (two rounds stale). The 12 left out for lack of slots —
 #      string_functions, date_arithmetic, priority_case_pivot,
 #      grouping_sets_order_status, benford_first_digit, plus
 #      set_ops_users, json_extract_props, except_all_bag_semantics,
-#      c4_quality_filters, source_temperature_weights and
-#      rolling_zscore_events (displaced by the late-r6 additions) —
-#      are the lowest-risk constant-shape scalar/pivot/set/aggregate
-#      queries; they keep their banked r3 greens and lead the r7
-#      rotation.
+#      c4_quality_filters, source_temperature_weights,
+#      rolling_zscore_events and q21_waiting_suppliers (displaced by
+#      the late-r6 additions) — are the lowest-risk constant-shape
+#      scalar/pivot/set/aggregate queries; they keep their banked r3
+#      greens and lead the r7 rotation.
 # Everything past slot 50 has a green hash-match row in r3/r4/r5.
 _PRIORITY_R06 = [
     # changed in round 6 -> needs fresh evidence
@@ -10335,6 +10392,7 @@ _PRIORITY_R06 = [
     "unpivot_daily_metrics",
     "calendar_gap_fill",
     "cdc_upsert_merge",
+    "map_functions_user_profile",
     # rows-only, never driver-executed (r5 gap) + touched in r6
     "semdedup_embeddings",
     "bpe_train_merges",
@@ -10374,13 +10432,13 @@ _PRIORITY_R06 = [
     "q10_returned_revenue",
     "q16_supplier_part_counts",
     "q20_promo_part_shippers",
-    "q21_waiting_suppliers",
     "lof_exact_quantized",
     # r3-green fills past slot 50 (first in line for r7; the late-r6
-    # unpivot/gap-fill/cdc-merge additions displaced
-    # c4_quality_filters, source_temperature_weights and
-    # rolling_zscore_events — constant-shape queries with banked r3
-    # greens)
+    # unpivot/gap-fill/cdc-merge/map-functions additions displaced
+    # c4_quality_filters, source_temperature_weights,
+    # rolling_zscore_events and q21_waiting_suppliers —
+    # constant-shape queries with banked r3 greens)
+    "q21_waiting_suppliers",
     "rolling_zscore_events",
     "c4_quality_filters",
     "source_temperature_weights",

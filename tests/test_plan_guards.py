@@ -149,6 +149,8 @@ EXPECTED = {
     # snapshot-vs-changes is the one fact-keyed full-outer SMJ — the
     # canonical lakehouse merge shape; 4-col pruned scans, zero NLJ
     "cdc_upsert_merge": (0, {"events": 4}),
+    # map-function family: two key-partitioned aggs, 2-col scan
+    "map_functions_user_profile": (0, {"events": 2}),
 }
 
 

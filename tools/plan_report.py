@@ -128,6 +128,8 @@ QUERIES = [
     "calendar_gap_fill",
     # Late-r6 lakehouse merge: CDC feed compaction + full-outer apply.
     "cdc_upsert_merge",
+    # Late-r6 map-typed column function family.
+    "map_functions_user_profile",
 ]
 
 
