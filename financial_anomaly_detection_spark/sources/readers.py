@@ -218,6 +218,46 @@ def read_table_avro(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.format("avro").load(path)
 
 
+# XML's default timestamp pattern truncates to milliseconds; the
+# testdata carries microsecond timestamps, so both sides of the
+# round-trip pin a micro-precision pattern.
+_XML_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def write_table_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
+    """XML sink via Spark 4's built-in ``xml`` format (the spark-xml
+    package donated into core as of 4.0 — no extra jar). XML is the
+    interchange format regulators and legacy banking systems still
+    mandate; the writer emits one ``row_tag`` element per row."""
+    (
+        df.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("timestampFormat", _XML_TS_FORMAT)
+        .save(path)
+    )
+
+
+def read_table_xml(
+    spark: SparkSession, path: str, row_tag: str = "row", schema: str | None = None
+) -> DataFrame:
+    """XML source — the read side of :func:`write_table_xml`.
+
+    Schema inference samples the documents (an extra pass); production
+    readers pass an explicit ``schema`` DDL so the scan is single-pass
+    and malformed elements land in Spark's standard PERMISSIVE-mode
+    null rows rather than failing the job."""
+    configure(spark)
+    r = (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .option("timestampFormat", _XML_TS_FORMAT)
+    )
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
 def read_text_corpus(
     spark: SparkSession,
     path: str,

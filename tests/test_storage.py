@@ -277,6 +277,33 @@ def test_orc_roundtrip_events(spark, sf_dir, tmp_path):
     )
 
 
+def test_xml_roundtrip_events(spark, sf_dir, tmp_path):
+    """parquet -> XML -> read must be value-identical for the events
+    table (Spark 4 ships the xml format natively). The read uses an
+    explicit schema — single-pass, no inference sampling — and
+    timestamps round-trip through XML's ISO text form."""
+    from financial_anomaly_detection_spark.sources.readers import (
+        load_table,
+        read_table_xml,
+        write_table_xml,
+    )
+
+    src = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_xml")
+    write_table_xml(src, path, row_tag="event")
+    ddl = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    back = read_table_xml(spark, path, row_tag="event", schema=ddl)
+
+    assert back.count() == src.count()
+    cols = sorted(src.columns)
+    a = [tuple(r) for r in src.select(*cols).orderBy("event_id").collect()]
+    b = [tuple(r) for r in back.select(*cols).orderBy("event_id").collect()]
+    assert a == b
+
+
 def test_binaryfile_ingest_feeds_codec_decode(spark, tmp_path):
     """binaryFile is the real multimodal ingestion path: synthesize
     PNG and WAV assets with the repo's own encoders, ingest the
