@@ -253,11 +253,22 @@ def main() -> None:
 
     # Per-query outlier guard vs the previous round's committed
     # artifact (read at startup, before this run overwrites it).
+    # A DEGRADED artifact's numbers must never serve as priors — a
+    # persistent +20% would launder itself clean after one round
+    # (run A degraded at geomean 1.2 becomes the prior; run B on the
+    # same slow host scores ~1.0 against it and ships untagged). A
+    # degraded artifact instead carries forward the last CLEAN prior
+    # map under "last_clean_queries", so the chain of comparison
+    # always anchors on a clean run.
     here = os.path.dirname(os.path.abspath(__file__))
     prior: dict[str, float] = {}
     try:
         with open(os.path.join(here, "BENCH_FULL.json")) as f:
-            prior = json.load(f).get("queries", {})
+            prior_obj = json.load(f)
+        if prior_obj.get("degraded"):
+            prior = prior_obj.get("last_clean_queries", {})
+        else:
+            prior = prior_obj.get("queries", {})
     except (OSError, ValueError):
         pass
     reruns: dict[str, dict] = {}
@@ -280,6 +291,9 @@ def main() -> None:
     best["total"] = round(sum(timings.values()), 3)
 
     # Broad-slowdown guard: geomean of cur/prior over common queries.
+    # Tracked SEPARATELY from the attempt records — attempts[] is
+    # sweep-time evidence (canary/load), and retroactively rewriting
+    # the selected attempt would misreport why no retry fired.
     import math
 
     common = [n for n in timings if n in prior and prior[n] > 0]
@@ -293,11 +307,13 @@ def main() -> None:
         if common
         else None
     )
+    final_degraded = best["degraded"]
+    final_reasons = list(best["degraded_reasons"])
     if geomean is not None and geomean > GEOMEAN_LIMIT:
-        best["degraded"] = True
-        best["degraded_reasons"] = best.get("degraded_reasons", []) + [
+        final_degraded = True
+        final_reasons.append(
             f"broad slowdown: geomean {geomean} vs prior > {GEOMEAN_LIMIT}"
-        ]
+        )
 
     headline = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
     total = best["total"]
@@ -308,7 +324,7 @@ def main() -> None:
         "headline_sec": headline,
         "queries": timings,
         "sf": sf,
-        "degraded": best["degraded"],
+        "degraded": final_degraded,
         "geomean_vs_prior": geomean,
         "canary": best["canary"],
         "attempts": [
@@ -316,8 +332,11 @@ def main() -> None:
             for a in attempts
         ],
     }
-    if best["degraded"]:
-        full["degraded_reasons"] = best["degraded_reasons"]
+    if final_degraded:
+        full["degraded_reasons"] = final_reasons
+        # anchor the NEXT run's comparison on the last clean numbers,
+        # not this degraded run's
+        full["last_clean_queries"] = prior
     if errors:
         full["errors"] = errors
     if reruns:
@@ -336,7 +355,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
-        "degraded": best["degraded"],
+        "degraded": final_degraded,
         "canary_drift": best["canary"]["drift"],
         "geomean_vs_prior": geomean,
         "n_reruns": len(reruns),

@@ -59,10 +59,11 @@ def ordered_prefix_sum(
 
     Returns ``df`` plus ``out_col`` = sum of ``value_col`` over all
     rows with a strictly smaller ``order_col`` (ties are not allowed:
-    the order key must be unique AND non-null — ``width_bucket(NULL)``
-    is NULL and the offset equi-join would silently drop such rows, so
-    callers construct/quantize the key; ordered_rank_desc is the
-    variant with defined NULL semantics). Equivalent to ``SUM(value)
+    the order key must be unique, non-null AND finite —
+    ``width_bucket`` of NULL/NaN is NULL, a NaN additionally poisons
+    the max() bound for every row, and the offset equi-join would then
+    silently drop rows, so callers construct/quantize the key;
+    ordered_rank_desc is the variant with defined NULL/NaN semantics). Equivalent to ``SUM(value)
     OVER (ORDER BY key ROWS BETWEEN UNBOUNDED PRECEDING AND 1
     PRECEDING)`` but with no full-data single-partition funnel in the
     physical plan (the bounds scalar agg's exchange moves one row per
@@ -238,9 +239,13 @@ def ordered_rank_desc(
     real bucket outranks, i.e. they sort LAST among themselves by
     ``tie_col`` — matching Spark's ``F.desc`` nulls-last default (an
     ORDER BY x DESC oracle needs ``NULLS LAST`` spelled out on engines
-    whose default differs). ``width_bucket(NULL)`` is NULL, which the
-    carry equi-join would silently DROP — the explicit bucket keeps
-    the row.
+    whose default differs). NaN keys land in a dedicated TOP bucket:
+    Spark orders NaN larger than every other double, so under DESC
+    they rank FIRST — and a NaN reaching ``max()`` would otherwise
+    poison the width_bucket bounds and silently drop EVERY row at the
+    carry equi-join (``width_bucket`` of/against NaN is NULL), so the
+    bounds aggregate also excludes non-finite keys. Both cases keep
+    the row and stay bit-identical to the sequential ``rank()``.
 
     ``pin`` materializes the bucketed skeleton once (the scan consumes
     it twice: subtotals + the per-bucket window); pass ``pin=False``
@@ -257,17 +262,24 @@ def ordered_rank_desc(
     benign global-scalar pattern (see plans/inspect.py); no FULL-DATA
     single-partition funnel exists anywhere.
     """
+    key_d = F.col(order_col).cast("double")
+    finite = key_d.isNotNull() & ~F.isnan(key_d)
     bounds = df.agg(
-        F.min(F.col(order_col).cast("double")).alias("_lo"),
-        F.max(F.col(order_col).cast("double")).alias("_hi"),
+        F.min(F.when(finite, key_d)).alias("_lo"),
+        F.max(F.when(finite, key_d)).alias("_hi"),
     )
     bucketed = df.join(F.broadcast(bounds)).withColumn(
         "_bucket",
-        # NULL keys -> bucket 0: every real bucket (1..n) counts as
-        # "later" in the carry, so NULLs rank after all non-null rows
-        F.when(F.col(order_col).isNull(), F.lit(0)).otherwise(
+        # NULL keys -> bucket 0: every real bucket counts as "later"
+        # in the carry, so NULLs rank after all non-null rows. NaN
+        # keys -> the top bucket (Spark sorts NaN largest -> DESC
+        # ranks them FIRST); both are kept out of width_bucket, whose
+        # NULL result the carry equi-join would silently drop.
+        F.when(key_d.isNull(), F.lit(0))
+        .when(F.isnan(key_d), F.lit(n_buckets + 1))
+        .otherwise(
             F.width_bucket(
-                F.col(order_col).cast("double"),
+                key_d,
                 F.col("_lo"),
                 F.col("_hi") + F.lit(1.0),
                 F.lit(n_buckets),

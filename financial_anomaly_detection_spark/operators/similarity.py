@@ -733,26 +733,33 @@ def semdedup(
     # while the capped path's hash rule drops them — the adaptive
     # dispatch (cap engaged or not) would then be visible in the
     # output. The same (cell, vector-hash) keep-first rule closes it.
-    vh = assigned.withColumn(
-        "_vh", F.md5(F.col("_e").cast("array<double>").cast("string"))
-    )
-    keep_min = vh.groupBy("_cell", "_vh").agg(F.min("_id").alias("_keep"))
-    nonzero = F.aggregate(
-        F.col("_e").cast("array<double>"),
-        F.lit(0.0),
-        lambda acc, v: acc + v * v,
-    ) > 0
-    twin_drops = (
-        vh.join(keep_min, ["_cell", "_vh"])
-        .filter((F.col("_id") > F.col("_keep")) & nonzero & F.lit(threshold <= 1.0))
-        .select("_id")
-    )
+    # The hash branch only matters within float-ulp of 1.0 (identical
+    # nonzero vectors score >= 1 - ~1e-15); below that the cosine pair
+    # filter provably drops twins itself, so the extra groupBy/join/
+    # union stages are gated off the common path.
     drops = (
         pairs.filter(cosine_similarity("ae", "be") >= threshold)
         .select(F.greatest("aid", "bid").alias("_id"))
-        .unionByName(twin_drops)
-        .distinct()
     )
+    if threshold >= 1.0 - 1e-9:
+        vh = assigned.withColumn(
+            "_vh", F.md5(F.col("_e").cast("array<double>").cast("string"))
+        )
+        keep_min = vh.groupBy("_cell", "_vh").agg(F.min("_id").alias("_keep"))
+        nonzero = F.aggregate(
+            F.col("_e").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, v: acc + v * v,
+        ) > 0
+        twin_drops = (
+            vh.join(keep_min, ["_cell", "_vh"])
+            .filter(
+                (F.col("_id") > F.col("_keep")) & nonzero & F.lit(threshold <= 1.0)
+            )
+            .select("_id")
+        )
+        drops = drops.unionByName(twin_drops)
+    drops = drops.distinct()
     return assigned.join(drops, "_id", "left_anti").select(
         F.col("_id").alias(id_col), F.col("_cell").alias("cell")
     )

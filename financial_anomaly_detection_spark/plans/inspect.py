@@ -71,6 +71,13 @@ def single_partition_violations(df: DataFrame) -> list[str]:
     for i, line in enumerate(lines):
         if not re.search(r"Exchange SinglePartition", line):
             continue
+        # a ReusedExchange LEAF embeds its referent's string
+        # ("ReusedExchange [...], Exchange SinglePartition, ...") but
+        # has no child line — classifying it by lines[i+1] would test
+        # an unrelated sibling; the defining occurrence already was
+        # (or will be) classified on its own line
+        if "ReusedExchange" in line:
+            continue
         child = lines[i + 1] if i + 1 < len(lines) else ""
         if not _is_scalar_agg_reduction(child):
             bad.append(line.strip())

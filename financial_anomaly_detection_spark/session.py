@@ -96,19 +96,28 @@ def get_spark(
     for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
     spark = configure(builder.getOrCreate())
-    # getOrCreate() returns any ALREADY-RUNNING session untouched, so
-    # builder.config static confs are then silently ignored — and a
-    # tool that depends on one (the UI REST API) fails far from the
-    # cause (uiWebUrl=None -> "None/api/v1/..."). Fail loudly here.
+    # getOrCreate() on an ALREADY-RUNNING session ignores static confs
+    # — and worse, it still copies the builder options into
+    # spark.conf, so conf.get() REPORTS the requested value while the
+    # running JVM never applied it (observed: ui.enabled reads 'true',
+    # uiWebUrl is None). A tool depending on the conf then fails far
+    # from the cause. The truthful source for a STATIC conf is the
+    # SparkContext's own conf (fixed at startup); runtime SQL confs
+    # (isModifiable) always take effect and need no check. Values are
+    # compared as normalized strings (conf.get returns strings, so
+    # {'spark.sql.shuffle.partitions': 8} must not trip on '8' != 8).
     for k, v in (extra_confs or {}).items():
         try:
-            actual = spark.conf.get(k, None)
+            if spark.conf.isModifiable(k):
+                continue
+            actual = spark.sparkContext.getConf().get(k, None)
         except Exception:
             continue
-        if actual is not None and actual != v:
+        if actual is not None and str(actual).lower() != str(v).lower():
             raise RuntimeError(
-                f"get_spark: requested conf {k}={v!r} but the existing "
-                f"SparkSession has {k}={actual!r} (static confs cannot "
-                "change after startup — stop the session first)"
+                f"get_spark: requested static conf {k}={v!r} but the "
+                f"running SparkSession was started with {k}={actual!r} "
+                "(static confs cannot change after startup — stop the "
+                "session first)"
             )
     return spark

@@ -231,3 +231,25 @@ def test_rank_desc_null_keys_rank_last(spark):
     got2 = {r["id"]: r["rnk"] for r in
             ordered_rank_desc(df2, "v", "id", out_col="rnk", n_buckets=4).collect()}
     assert got2 == {1: 1, 2: 2}
+
+
+def test_rank_desc_nan_keys_rank_first(spark):
+    from financial_anomaly_detection_spark.operators.prefix import ordered_rank_desc
+
+    # one NaN used to poison max() -> width_bucket bounds -> EVERY row
+    # silently dropped at the carry join (0-row output, no error).
+    # Spark sorts NaN larger than any double, so under DESC a NaN key
+    # must rank FIRST, NULLs last, normals in between — matching the
+    # sequential rank() window exactly.
+    data = [
+        (1, 10.0), (2, float("nan")), (3, 5.0), (4, None), (5, 20.0),
+    ]
+    df = spark.createDataFrame(data, "id long, v double").repartition(3)
+    got = ordered_rank_desc(df, "v", "id", out_col="rnk", n_buckets=4)
+    assert got.count() == 5  # nothing dropped
+    w = Window.orderBy(F.desc("v"), F.asc("id"))
+    want = df.withColumn("rnk_w", F.row_number().over(w).cast("long"))
+    j = got.join(want, ["id"])
+    assert j.filter(F.col("rnk") != F.col("rnk_w")).count() == 0
+    ranks = {r["id"]: r["rnk"] for r in got.collect()}
+    assert ranks[2] == 1 and ranks[4] == 5  # NaN first, NULL last
