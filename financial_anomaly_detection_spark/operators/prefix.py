@@ -157,7 +157,8 @@ def grouped_prefix_stats(
 
     Rows with equal ``order_col`` values always land in the same
     bucket, so the within-bucket ``tie_col`` ordering fully determines
-    the result.
+    the result. ``order_col`` must be non-null and finite (see
+    :func:`ordered_prefix_sum`; callers key on timestamps).
     """
     bounds = df.agg(
         F.min(F.col(order_col).cast("double")).alias("_lo"),
