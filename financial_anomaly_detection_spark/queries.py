@@ -10338,6 +10338,88 @@ def q_map_functions_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_expectation_checks",
+    # Deequ-style declarative data-quality gate (Schelter et al. 2018,
+    # "Automating large-scale data quality verification"): a suite of
+    # named expectations evaluated from ONE pass of metrics, emitted
+    # as (check, observed, passed) rows — the contract check a 100 TB
+    # ingest runs before publishing a partition.
+    oracle="""
+        WITH m AS (
+            SELECT COUNT(*) AS n,
+                   COUNT(value) AS nv,
+                   COUNT(user_id) AS nu,
+                   COUNT(DISTINCT event_id) AS de,
+                   COUNT(DISTINCT event_type) AS dt,
+                   MIN(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS mn,
+                   MAX(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS mx
+            FROM events
+        )
+        SELECT 'completeness_value' AS check, (nv * 1000) // n AS observed,
+               (nv * 1000) // n >= 990 AS passed FROM m
+        UNION ALL
+        SELECT 'completeness_user_id', (nu * 1000) // n,
+               (nu * 1000) // n = 1000 FROM m
+        UNION ALL
+        SELECT 'uniqueness_event_id', (de * 1000) // n,
+               (de * 1000) // n = 1000 FROM m
+        UNION ALL
+        SELECT 'min_value_cents', mn, mn >= 0 FROM m
+        UNION ALL
+        SELECT 'max_value_cents', mx, mx <= 100000 FROM m
+        UNION ALL
+        SELECT 'event_type_cardinality', dt, dt BETWEEN 3 AND 10 FROM m
+    """,
+    description="Declarative data-quality expectation suite (Deequ "
+    "pattern, Schelter 2018): completeness, key uniqueness, value "
+    "bounds, and category-cardinality checks computed from a SINGLE "
+    "metrics aggregation over the fact table and exploded to "
+    "(check, observed, passed) verdict rows. Ratios are integer "
+    "permille (hash-exact); at scale this is one scan + one benign "
+    "scalar reduction — the pre-publish gate costs one pass however "
+    "many expectations are declared.",
+    tags=["quality", "profiling", "aggregate"],
+)
+def q_dq_expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    m = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("value").alias("nv"),
+        F.count("user_id").alias("nu"),
+        F.countDistinct("event_id").alias("de"),
+        F.countDistinct("event_type").alias("dt"),
+        F.min(cents).alias("mn"),
+        F.max(cents).alias("mx"),
+    )
+    pm = lambda a, b: F.expr(f"{a} * 1000 div {b}")  # noqa: E731
+
+    def check(name, observed, passed):
+        return F.struct(
+            F.lit(name).alias("check"),
+            observed.cast("long").alias("observed"),
+            passed.alias("passed"),
+        )
+
+    return m.select(
+        F.explode(
+            F.array(
+                check("completeness_value", pm("nv", "n"), pm("nv", "n") >= 990),
+                check("completeness_user_id", pm("nu", "n"), pm("nu", "n") == 1000),
+                check("uniqueness_event_id", pm("de", "n"), pm("de", "n") == 1000),
+                check("min_value_cents", F.col("mn"), F.col("mn") >= 0),
+                check("max_value_cents", F.col("mx"), F.col("mx") <= 100000),
+                check(
+                    "event_type_cardinality",
+                    F.col("dt"),
+                    F.col("dt").between(3, 10),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -10367,16 +10449,17 @@ def q_map_functions_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      missing #1) — semdedup_embeddings, bpe_train_merges,
 #      bpe_tokenize_docs, ann_pq_topk — all also touched by r6's
 #      operator fixes, so the execution proof is doubly due;
-#   4. 34 of the 46 oracle-backed queries whose freshest green is r3
-#      (two rounds stale). The 12 left out for lack of slots —
+#   4. 33 of the 46 oracle-backed queries whose freshest green is r3
+#      (two rounds stale). The 13 left out for lack of slots —
 #      string_functions, date_arithmetic, priority_case_pivot,
 #      grouping_sets_order_status, benford_first_digit, plus
 #      set_ops_users, json_extract_props, except_all_bag_semantics,
 #      c4_quality_filters, source_temperature_weights,
-#      rolling_zscore_events and q21_waiting_suppliers (displaced by
-#      the late-r6 additions) — are the lowest-risk constant-shape
-#      scalar/pivot/set/aggregate queries; they keep their banked r3
-#      greens and lead the r7 rotation.
+#      rolling_zscore_events, q21_waiting_suppliers and
+#      q20_promo_part_shippers (displaced by the late-r6 additions) —
+#      are the lowest-risk constant-shape scalar/pivot/set/aggregate
+#      queries; they keep their banked r3 greens and lead the r7
+#      rotation.
 # Everything past slot 50 has a green hash-match row in r3/r4/r5.
 _PRIORITY_R06 = [
     # changed in round 6 -> needs fresh evidence
@@ -10393,6 +10476,7 @@ _PRIORITY_R06 = [
     "calendar_gap_fill",
     "cdc_upsert_merge",
     "map_functions_user_profile",
+    "dq_expectation_checks",
     # rows-only, never driver-executed (r5 gap) + touched in r6
     "semdedup_embeddings",
     "bpe_train_merges",
@@ -10431,13 +10515,13 @@ _PRIORITY_R06 = [
     "q17_small_quantity_revenue",
     "q10_returned_revenue",
     "q16_supplier_part_counts",
-    "q20_promo_part_shippers",
     "lof_exact_quantized",
     # r3-green fills past slot 50 (first in line for r7; the late-r6
-    # unpivot/gap-fill/cdc-merge/map-functions additions displaced
-    # c4_quality_filters, source_temperature_weights,
-    # rolling_zscore_events and q21_waiting_suppliers —
+    # reshape/cdc/map/dq additions displaced c4_quality_filters,
+    # source_temperature_weights, rolling_zscore_events,
+    # q21_waiting_suppliers and q20_promo_part_shippers —
     # constant-shape queries with banked r3 greens)
+    "q20_promo_part_shippers",
     "q21_waiting_suppliers",
     "rolling_zscore_events",
     "c4_quality_filters",

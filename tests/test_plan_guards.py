@@ -151,6 +151,8 @@ EXPECTED = {
     "cdc_upsert_merge": (0, {"events": 4}),
     # map-function family: two key-partitioned aggs, 2-col scan
     "map_functions_user_profile": (0, {"events": 2}),
+    # data-quality gate: one pass, one scalar metrics reduction
+    "dq_expectation_checks": (0, {"events": 4}),
 }
 
 

@@ -130,6 +130,8 @@ QUERIES = [
     "cdc_upsert_merge",
     # Late-r6 map-typed column function family.
     "map_functions_user_profile",
+    # Late-r6 Deequ-style data-quality gate.
+    "dq_expectation_checks",
 ]
 
 
