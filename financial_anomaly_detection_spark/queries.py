@@ -10420,6 +10420,70 @@ def q_dq_expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("e.*")
 
 
+@register(
+    "feature_hashing_docs",
+    # The hashing trick (Weinberger et al. 2009; Spark's HashingTF):
+    # tokens map to a FIXED-width feature space via a hash, so the
+    # vectorizer needs no vocabulary pass, no dictionary broadcast,
+    # and no growth in model width however large the corpus — the
+    # linear-model vectorization primitive at 100 TB. md5-derived
+    # buckets keep it engine-reproducible (Spark's murmur3 is not in
+    # DuckDB); the corpus-level hashed bag-of-words (bucket, counts,
+    # doc-frequency, signed-sum) is the hash-exact compare surface.
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents
+        ), hashed AS (
+            SELECT doc_id, w,
+                   CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % 1024
+                       AS bucket,
+                   CASE WHEN CAST(('0x' || substring(md5(w), 9, 1)) AS BIGINT)
+                             % 2 = 0 THEN 1 ELSE -1 END AS sign
+            FROM tok
+            WHERE w <> ''
+        )
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(SUM(sign) AS BIGINT) AS signed_sum
+        FROM hashed
+        GROUP BY bucket
+    """,
+    description="Feature hashing / hashing trick (Weinberger 2009, "
+    "the HashingTF primitive): tokens -> fixed 1024-bucket feature "
+    "space via md5, with the sign-hash variant that makes hashed "
+    "inner products unbiased. No vocabulary pass, no dictionary "
+    "broadcast, model width independent of corpus size. Output is "
+    "the corpus-level hashed bag-of-words (<=1024 rows: token count, "
+    "doc frequency, signed sum per bucket) — one explode + one "
+    "bounded-width aggregation.",
+    tags=["text", "ml", "hashing", "llm-pipeline"],
+)
+def q_feature_hashing_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long") % 1024
+    )
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.col("w")), 9, 1), 16, 10).cast("long") % 2 == 0,
+        1,
+    ).otherwise(-1)
+    return (
+        tok.withColumn("bucket", bucket)
+        .withColumn("sign", sign)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.sum("sign").cast("long").alias("signed_sum"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -10449,17 +10513,17 @@ def q_dq_expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      missing #1) — semdedup_embeddings, bpe_train_merges,
 #      bpe_tokenize_docs, ann_pq_topk — all also touched by r6's
 #      operator fixes, so the execution proof is doubly due;
-#   4. 33 of the 46 oracle-backed queries whose freshest green is r3
-#      (two rounds stale). The 13 left out for lack of slots —
+#   4. 32 of the 46 oracle-backed queries whose freshest green is r3
+#      (two rounds stale). The 14 left out for lack of slots —
 #      string_functions, date_arithmetic, priority_case_pivot,
 #      grouping_sets_order_status, benford_first_digit, plus
 #      set_ops_users, json_extract_props, except_all_bag_semantics,
 #      c4_quality_filters, source_temperature_weights,
-#      rolling_zscore_events, q21_waiting_suppliers and
-#      q20_promo_part_shippers (displaced by the late-r6 additions) —
-#      are the lowest-risk constant-shape scalar/pivot/set/aggregate
-#      queries; they keep their banked r3 greens and lead the r7
-#      rotation.
+#      rolling_zscore_events, q21_waiting_suppliers,
+#      q20_promo_part_shippers and q16_supplier_part_counts
+#      (displaced by the late-r6 additions) — are the lowest-risk
+#      constant-shape scalar/pivot/set/aggregate queries; they keep
+#      their banked r3 greens and lead the r7 rotation.
 # Everything past slot 50 has a green hash-match row in r3/r4/r5.
 _PRIORITY_R06 = [
     # changed in round 6 -> needs fresh evidence
@@ -10477,6 +10541,7 @@ _PRIORITY_R06 = [
     "cdc_upsert_merge",
     "map_functions_user_profile",
     "dq_expectation_checks",
+    "feature_hashing_docs",
     # rows-only, never driver-executed (r5 gap) + touched in r6
     "semdedup_embeddings",
     "bpe_train_merges",
@@ -10514,13 +10579,14 @@ _PRIORITY_R06 = [
     "q2_min_cost_supplier",
     "q17_small_quantity_revenue",
     "q10_returned_revenue",
-    "q16_supplier_part_counts",
     "lof_exact_quantized",
     # r3-green fills past slot 50 (first in line for r7; the late-r6
-    # reshape/cdc/map/dq additions displaced c4_quality_filters,
-    # source_temperature_weights, rolling_zscore_events,
-    # q21_waiting_suppliers and q20_promo_part_shippers —
+    # reshape/cdc/map/dq/hashing additions displaced
+    # c4_quality_filters, source_temperature_weights,
+    # rolling_zscore_events, q21_waiting_suppliers,
+    # q20_promo_part_shippers and q16_supplier_part_counts —
     # constant-shape queries with banked r3 greens)
+    "q16_supplier_part_counts",
     "q20_promo_part_shippers",
     "q21_waiting_suppliers",
     "rolling_zscore_events",

@@ -153,6 +153,8 @@ EXPECTED = {
     "map_functions_user_profile": (0, {"events": 2}),
     # data-quality gate: one pass, one scalar metrics reduction
     "dq_expectation_checks": (0, {"events": 4}),
+    # hashing trick: explode + bounded-width (<=1024 bucket) agg
+    "feature_hashing_docs": (0, {"documents": 2}),
 }
 
 

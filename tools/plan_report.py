@@ -132,6 +132,8 @@ QUERIES = [
     "map_functions_user_profile",
     # Late-r6 Deequ-style data-quality gate.
     "dq_expectation_checks",
+    # Late-r6 hashing-trick vectorization primitive.
+    "feature_hashing_docs",
 ]
 
 
