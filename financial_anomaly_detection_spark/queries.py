@@ -10547,7 +10547,7 @@ _PRIORITY_R06 = [
     "bpe_train_merges",
     "bpe_tokenize_docs",
     "ann_pq_topk",
-    # oracle-backed, freshest green r3 (41 of 46)
+    # oracle-backed, freshest green r3 (32 of 46 — see header item 4)
     "events_scan_filter_project",
     "time_features_extract",
     "customer_profile_90d",
