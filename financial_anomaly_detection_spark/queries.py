@@ -10484,6 +10484,134 @@ def q_feature_hashing_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "interval_union_coverage",
+    # Gaps-and-islands interval UNION — the third member of the
+    # interval family (sessionize_events cuts on inactivity gaps,
+    # max_concurrent_sessions sweeps concurrency; this measures the
+    # union of overlapping windows): per user, merge overlapping
+    # 30-minute activity intervals into islands and total the covered
+    # time. The (s, e, event_id) total order makes island assignment
+    # deterministic under ties in both engines.
+    oracle="""
+        WITH iv AS (
+            SELECT user_id, event_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + 1800000000 AS e
+            FROM events
+        ), ord AS (
+            SELECT *, MAX(e) OVER (
+                PARTITION BY user_id ORDER BY s, e, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ) AS pmax
+            FROM iv
+        ), isl AS (
+            SELECT *, SUM(CASE WHEN pmax IS NULL OR s > pmax
+                               THEN 1 ELSE 0 END) OVER (
+                PARTITION BY user_id ORDER BY s, e, event_id
+                ROWS UNBOUNDED PRECEDING
+            ) AS gid
+            FROM ord
+        ), g AS (
+            SELECT user_id, gid, MIN(s) AS s0, MAX(e) AS e1
+            FROM isl GROUP BY 1, 2
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(e1 - s0) AS BIGINT) AS covered_us
+        FROM g GROUP BY 1
+    """,
+    description="Interval union / coverage (gaps-and-islands merge): "
+    "per-user overlapping 30-minute activity intervals merged into "
+    "maximal islands — island boundary where a start exceeds the "
+    "running max of prior ends, island id by indicator prefix sum — "
+    "yielding n_islands and total covered micros. All windows are "
+    "user-partitioned (high-cardinality key, no global funnel); "
+    "integer microseconds keep it hash-exact.",
+    tags=["time-series", "window", "interval"],
+)
+def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    iv = ev.select(
+        "user_id", "event_id", us.alias("s"), (us + F.lit(1_800_000_000)).alias("e")
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+    ordd = iv.withColumn(
+        "pmax", F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    isl = ordd.withColumn(
+        "gid",
+        F.sum(
+            F.when(F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    g = isl.groupBy("user_id", "gid").agg(
+        F.min("s").alias("s0"), F.max("e").alias("e1")
+    )
+    return g.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("e1") - F.col("s0")).cast("long").alias("covered_us"),
+    )
+
+
+@register(
+    "sequence_gap_detection",
+    # The id-space dual of gaps-and-islands: find the MISSING ranges
+    # in an ordered key sequence — the ops tool behind "which
+    # partitions / offsets / invoice numbers are absent". Purchases
+    # are a ~1/5 subset of the dense global event_id space, so gaps
+    # are guaranteed at every scale factor.
+    oracle="""
+        WITH p AS (
+            SELECT event_id,
+                   lag(event_id) OVER (ORDER BY event_id) AS prev_id
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT CAST(prev_id + 1 AS BIGINT) AS gap_start,
+               CAST(event_id - 1 AS BIGINT) AS gap_end,
+               CAST(event_id - prev_id - 1 AS BIGINT) AS gap_len
+        FROM p
+        WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+        ORDER BY gap_len DESC, gap_start
+        LIMIT 20
+    """,
+    description="Sequence gap detection (missing-range audit): the "
+    "top-20 largest holes in the purchase event_id sequence — which "
+    "partitions/offsets/keys are absent. The oracle states it as the "
+    "textbook global lag(); the Spark plan computes each key's "
+    "PREDECESSOR as the exclusive prefix max over strictly-smaller "
+    "ids on the two-pass parallel scan (for a unique ordered key, "
+    "prefix-max == lag) — zero global windows, and the top-20 is a "
+    "distributed TakeOrdered. The repo's own scale discipline applied "
+    "to a new pattern, not an allowlist entry.",
+    tags=["quality", "audit", "prefix-scan"],
+)
+def q_sequence_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.prefix import ordered_prefix_max
+
+    ev = load_table(spark, sf_dir, "events")
+    # pin the slim id skeleton once: the prefix scan consumes its input
+    # for bounds, subtotals, and the per-bucket window — unpinned, each
+    # consumer replays the parquet scan (6 scans at plan time)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id")
+        .localCheckpoint(eager=True)
+    )
+    gaps = (
+        ordered_prefix_max(p, "event_id", "event_id", out_col="prev_id")
+        .filter(
+            F.col("prev_id").isNotNull() & (F.col("event_id") - F.col("prev_id") > 1)
+        )
+        .select(
+            (F.col("prev_id") + 1).cast("long").alias("gap_start"),
+            (F.col("event_id") - 1).cast("long").alias("gap_end"),
+            (F.col("event_id") - F.col("prev_id") - 1).cast("long").alias("gap_len"),
+        )
+    )
+    return gaps.orderBy(F.desc("gap_len"), F.asc("gap_start")).limit(20)
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -10513,17 +10641,18 @@ def q_feature_hashing_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      missing #1) — semdedup_embeddings, bpe_train_merges,
 #      bpe_tokenize_docs, ann_pq_topk — all also touched by r6's
 #      operator fixes, so the execution proof is doubly due;
-#   4. 32 of the 46 oracle-backed queries whose freshest green is r3
-#      (two rounds stale). The 14 left out for lack of slots —
+#   4. 30 of the 46 oracle-backed queries whose freshest green is r3
+#      (two rounds stale). The 16 left out for lack of slots —
 #      string_functions, date_arithmetic, priority_case_pivot,
 #      grouping_sets_order_status, benford_first_digit, plus
 #      set_ops_users, json_extract_props, except_all_bag_semantics,
 #      c4_quality_filters, source_temperature_weights,
 #      rolling_zscore_events, q21_waiting_suppliers,
-#      q20_promo_part_shippers and q16_supplier_part_counts
-#      (displaced by the late-r6 additions) — are the lowest-risk
-#      constant-shape scalar/pivot/set/aggregate queries; they keep
-#      their banked r3 greens and lead the r7 rotation.
+#      q20_promo_part_shippers, q16_supplier_part_counts,
+#      lof_exact_quantized and from_json_props_struct (displaced by
+#      the late-r6 additions) — are the lowest-risk constant-shape
+#      scalar/pivot/set/aggregate queries; they keep their banked r3
+#      greens and lead the r7 rotation.
 # Everything past slot 50 has a green hash-match row in r3/r4/r5.
 _PRIORITY_R06 = [
     # changed in round 6 -> needs fresh evidence
@@ -10542,12 +10671,14 @@ _PRIORITY_R06 = [
     "map_functions_user_profile",
     "dq_expectation_checks",
     "feature_hashing_docs",
+    "interval_union_coverage",
+    "sequence_gap_detection",
     # rows-only, never driver-executed (r5 gap) + touched in r6
     "semdedup_embeddings",
     "bpe_train_merges",
     "bpe_tokenize_docs",
     "ann_pq_topk",
-    # oracle-backed, freshest green r3 (32 of 46 — see header item 4)
+    # oracle-backed, freshest green r3 (30 of 46 — see header item 4)
     "events_scan_filter_project",
     "time_features_extract",
     "customer_profile_90d",
@@ -10568,9 +10699,7 @@ _PRIORITY_R06 = [
     "time_range_self_join",
     "asof_join_purchase_click",
     "sessionize_events",
-    "time_range_window_profile",
     "pivot_event_type_daily",
-    "from_json_props_struct",
     "q7_nation_volume_shipping",
     "q8_market_share",
     "q9_profit_by_nation_year",
@@ -10579,13 +10708,16 @@ _PRIORITY_R06 = [
     "q2_min_cost_supplier",
     "q17_small_quantity_revenue",
     "q10_returned_revenue",
-    "lof_exact_quantized",
+    "time_range_window_profile",
     # r3-green fills past slot 50 (first in line for r7; the late-r6
-    # reshape/cdc/map/dq/hashing additions displaced
+    # reshape/cdc/map/dq/hashing/interval additions displaced
     # c4_quality_filters, source_temperature_weights,
     # rolling_zscore_events, q21_waiting_suppliers,
-    # q20_promo_part_shippers and q16_supplier_part_counts —
+    # q20_promo_part_shippers, q16_supplier_part_counts,
+    # lof_exact_quantized and from_json_props_struct —
     # constant-shape queries with banked r3 greens)
+    "from_json_props_struct",
+    "lof_exact_quantized",
     "q16_supplier_part_counts",
     "q20_promo_part_shippers",
     "q21_waiting_suppliers",

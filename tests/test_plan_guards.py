@@ -155,6 +155,12 @@ EXPECTED = {
     "dq_expectation_checks": (0, {"events": 4}),
     # hashing trick: explode + bounded-width (<=1024 bucket) agg
     "feature_hashing_docs": (0, {"documents": 2}),
+    # interval union: user-partitioned windows + two key aggs only
+    "interval_union_coverage": (0, {"events": 3}),
+    # id skeleton pinned via localCheckpoint (no parquet scans); the
+    # four NLJ are the prefix scan's intentional bounded broadcasts
+    # (1-row bounds join x2 consumers + the <=64-row triangular carry)
+    "sequence_gap_detection": (4, {}),
 }
 
 

@@ -134,6 +134,9 @@ QUERIES = [
     "dq_expectation_checks",
     # Late-r6 hashing-trick vectorization primitive.
     "feature_hashing_docs",
+    # Late-r6 interval-union coverage + id-sequence gap audit.
+    "interval_union_coverage",
+    "sequence_gap_detection",
 ]
 
 
