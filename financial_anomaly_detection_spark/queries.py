@@ -10612,6 +10612,64 @@ def q_sequence_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps.orderBy(F.desc("gap_len"), F.asc("gap_start")).limit(20)
 
 
+@register(
+    "levenshtein_parity_pairs",
+    # Built-in edit-distance parity probe: Spark's levenshtein() and
+    # DuckDB's levenshtein() implement the same textbook DP, so the
+    # full integer distance matrix over a bounded deterministic slice
+    # is hash-checkable — pinning the BUILT-IN's semantics that the
+    # FastSS deletion-neighborhood tier (fuzzy_name_pairs_ed1) relies
+    # on at scale. The md5-ordered 200-part slice is the bounded
+    # oracle-tier discipline of lof_exact_quantized; brand blocking
+    # keeps the pair space at sum-of-block-squares.
+    oracle="""
+        WITH s AS (
+            SELECT p_partkey, p_brand, p_name
+            FROM part
+            ORDER BY md5(CAST(p_partkey AS VARCHAR)), p_partkey
+            LIMIT 200
+        )
+        SELECT CAST(a.p_partkey AS BIGINT) AS id_a,
+               CAST(b.p_partkey AS BIGINT) AS id_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM s a JOIN s b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 12
+    """,
+    description="Edit-distance function parity (cross-engine "
+    "levenshtein probe): brand-blocked part-name pairs over a "
+    "deterministic md5-ordered 200-row slice, keeping pairs within "
+    "distance 12 — the built-in DP distance both engines implement "
+    "identically, verified integer-for-integer. The scale tier for "
+    "fuzzy joins remains FastSS blocking (fuzzy_name_pairs_ed1); "
+    "this pins the primitive it approximates.",
+    tags=["string", "fuzzy", "oracle-surrogate"],
+)
+def q_levenshtein_parity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    s = (
+        p.select("p_partkey", "p_brand", "p_name")
+        .orderBy(F.md5(F.col("p_partkey").cast("string")), "p_partkey")
+        .limit(200)
+        .localCheckpoint(eager=True)
+    )
+    a, b = s.alias("a"), s.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").cast("long").alias("id_a"),
+            F.col("b.p_partkey").cast("long").alias("id_b"),
+            dist.cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= 12)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -10641,18 +10699,19 @@ def q_sequence_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      missing #1) — semdedup_embeddings, bpe_train_merges,
 #      bpe_tokenize_docs, ann_pq_topk — all also touched by r6's
 #      operator fixes, so the execution proof is doubly due;
-#   4. 30 of the 46 oracle-backed queries whose freshest green is r3
-#      (two rounds stale). The 16 left out for lack of slots —
+#   4. 29 of the 46 oracle-backed queries whose freshest green is r3
+#      (two rounds stale). The 17 left out for lack of slots —
 #      string_functions, date_arithmetic, priority_case_pivot,
 #      grouping_sets_order_status, benford_first_digit, plus
 #      set_ops_users, json_extract_props, except_all_bag_semantics,
 #      c4_quality_filters, source_temperature_weights,
 #      rolling_zscore_events, q21_waiting_suppliers,
 #      q20_promo_part_shippers, q16_supplier_part_counts,
-#      lof_exact_quantized and from_json_props_struct (displaced by
-#      the late-r6 additions) — are the lowest-risk constant-shape
-#      scalar/pivot/set/aggregate queries; they keep their banked r3
-#      greens and lead the r7 rotation.
+#      lof_exact_quantized, time_range_window_profile and
+#      from_json_props_struct (displaced by the late-r6 additions) —
+#      are the lowest-risk constant-shape scalar/pivot/set/aggregate
+#      queries; they keep their banked r3 greens and lead the r7
+#      rotation.
 # Everything past slot 50 has a green hash-match row in r3/r4/r5.
 _PRIORITY_R06 = [
     # changed in round 6 -> needs fresh evidence
@@ -10673,12 +10732,13 @@ _PRIORITY_R06 = [
     "feature_hashing_docs",
     "interval_union_coverage",
     "sequence_gap_detection",
+    "levenshtein_parity_pairs",
     # rows-only, never driver-executed (r5 gap) + touched in r6
     "semdedup_embeddings",
     "bpe_train_merges",
     "bpe_tokenize_docs",
     "ann_pq_topk",
-    # oracle-backed, freshest green r3 (30 of 46 — see header item 4)
+    # oracle-backed, freshest green r3 (29 of 46 — see header item 4)
     "events_scan_filter_project",
     "time_features_extract",
     "customer_profile_90d",
@@ -10708,14 +10768,15 @@ _PRIORITY_R06 = [
     "q2_min_cost_supplier",
     "q17_small_quantity_revenue",
     "q10_returned_revenue",
-    "time_range_window_profile",
     # r3-green fills past slot 50 (first in line for r7; the late-r6
-    # reshape/cdc/map/dq/hashing/interval additions displaced
-    # c4_quality_filters, source_temperature_weights,
+    # reshape/cdc/map/dq/hashing/interval/levenshtein additions
+    # displaced c4_quality_filters, source_temperature_weights,
     # rolling_zscore_events, q21_waiting_suppliers,
     # q20_promo_part_shippers, q16_supplier_part_counts,
-    # lof_exact_quantized and from_json_props_struct —
-    # constant-shape queries with banked r3 greens)
+    # lof_exact_quantized, time_range_window_profile and
+    # from_json_props_struct — constant-shape queries with banked r3
+    # greens)
+    "time_range_window_profile",
     "from_json_props_struct",
     "lof_exact_quantized",
     "q16_supplier_part_counts",

@@ -161,6 +161,9 @@ EXPECTED = {
     # four NLJ are the prefix scan's intentional bounded broadcasts
     # (1-row bounds join x2 consumers + the <=64-row triangular carry)
     "sequence_gap_detection": (4, {}),
+    # 200-row pinned slice, brand equi-joined to itself — no scans,
+    # no NLJ (the < predicate rides the hash join as a filter)
+    "levenshtein_parity_pairs": (0, {}),
 }
 
 

@@ -137,6 +137,8 @@ QUERIES = [
     # Late-r6 interval-union coverage + id-sequence gap audit.
     "interval_union_coverage",
     "sequence_gap_detection",
+    # Late-r6 cross-engine levenshtein parity probe.
+    "levenshtein_parity_pairs",
 ]
 
 
