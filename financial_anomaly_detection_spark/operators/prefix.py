@@ -236,17 +236,17 @@ def ordered_rank_desc(
     associative, so the result is bit-identical to the sequential
     ``rank()`` — the DuckDB oracle stays the plain window form.
 
-    NULL ``order_col`` keys land in a dedicated bucket 0 that every
-    real bucket outranks, i.e. they sort LAST among themselves by
-    ``tie_col`` — matching Spark's ``F.desc`` nulls-last default (an
-    ORDER BY x DESC oracle needs ``NULLS LAST`` spelled out on engines
-    whose default differs). NaN keys land in a dedicated TOP bucket:
-    Spark orders NaN larger than every other double, so under DESC
-    they rank FIRST — and a NaN reaching ``max()`` would otherwise
-    poison the width_bucket bounds and silently drop EVERY row at the
-    carry equi-join (``width_bucket`` of/against NaN is NULL), so the
-    bounds aggregate also excludes non-finite keys. Both cases keep
-    the row and stay bit-identical to the sequential ``rank()``.
+    Non-finite keys never reach ``width_bucket`` (NULL/NaN/±Inf all
+    would NULL it — an infinite min/max bound even poisons EVERY
+    bucket) and are instead routed to the edge buckets matching
+    Spark's DESC total order NaN > +Inf > finite > -Inf > NULL: NaN
+    and +Inf share the top bucket, NULL and -Inf share bucket 0, and
+    the within-bucket (DESC, tie) window resolves their relative
+    order exactly as the sequential ``rank()`` does.
+
+    NULL ``order_col`` keys sort last — matching Spark's ``F.desc``
+    nulls-last default (an ORDER BY x DESC oracle needs ``NULLS
+    LAST`` spelled out on engines whose default differs).
 
     ``pin`` materializes the bucketed skeleton once (the scan consumes
     it twice: subtotals + the per-bucket window); pass ``pin=False``
@@ -264,20 +264,24 @@ def ordered_rank_desc(
     single-partition funnel exists anywhere.
     """
     key_d = F.col(order_col).cast("double")
-    finite = key_d.isNotNull() & ~F.isnan(key_d)
+    finite = key_d.isNotNull() & ~F.isnan(key_d) & (F.abs(key_d) != float("inf"))
     bounds = df.agg(
         F.min(F.when(finite, key_d)).alias("_lo"),
         F.max(F.when(finite, key_d)).alias("_hi"),
     )
     bucketed = df.join(F.broadcast(bounds)).withColumn(
         "_bucket",
-        # NULL keys -> bucket 0: every real bucket counts as "later"
-        # in the carry, so NULLs rank after all non-null rows. NaN
-        # keys -> the top bucket (Spark sorts NaN largest -> DESC
-        # ranks them FIRST); both are kept out of width_bucket, whose
-        # NULL result the carry equi-join would silently drop.
-        F.when(key_d.isNull(), F.lit(0))
-        .when(F.isnan(key_d), F.lit(n_buckets + 1))
+        # NULL and -Inf keys -> bucket 0: every real bucket counts as
+        # "later" in the carry, so they rank after all finite rows, and
+        # the within-bucket (DESC, tie) window orders -Inf before NULL
+        # (desc nulls last) exactly as the sequential rank would. NaN
+        # and +Inf -> the top bucket (Spark sorts NaN > +Inf > finite
+        # -> DESC ranks them FIRST, NaN ahead of +Inf via the same
+        # window); all four are kept out of width_bucket, whose
+        # NULL result the carry equi-join would silently drop — an
+        # infinite bound would likewise NULL every width_bucket call.
+        F.when(key_d.isNull() | (key_d == float("-inf")), F.lit(0))
+        .when(F.isnan(key_d) | (key_d == float("inf")), F.lit(n_buckets + 1))
         .otherwise(
             F.width_bucket(
                 key_d,

@@ -5877,12 +5877,16 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = r.select("event_type", "n", d2.alias("d2"))
     return d.groupBy("event_type").agg(
         F.max("n").cast("long").alias("n_events"),
-        F.sum((F.col("d2") > 9.21034).cast("long")).cast("long").alias(
-            "n_outliers_p99"
-        ),
-        F.sum((F.col("d2") > 13.81551).cast("long")).cast("long").alias(
-            "n_outliers_p999"
-        ),
+        # when() .otherwise(0), not a bare cast-sum: a degenerate
+        # channel (singular covariance -> d2 NULL via nullif on every
+        # row) must count 0 like the oracle's CASE ... ELSE 0, not
+        # SUM(all-NULL) = NULL
+        F.sum(F.when(F.col("d2") > 9.21034, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_outliers_p99"),
+        F.sum(F.when(F.col("d2") > 13.81551, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_outliers_p999"),
         sround(F.max("d2"), 6).alias("max_d2"),
     )
 
@@ -8798,7 +8802,10 @@ def q_quantile_sketch_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFra
         "long"
     )
     base = ev.select(
-        (day / 7).cast("long").alias("week"),
+        # floor, not truncate: DuckDB's // floors toward -inf, so a
+        # pre-anchor (negative) day must bucket the same way; exact
+        # because multiples of 7 are exactly representable doubles
+        F.floor(day / F.lit(7.0)).cast("long").alias("week"),
         day.alias("day"),
         "event_id",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
@@ -9787,7 +9794,8 @@ def q_hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "long"
     )
     base = ev.select(
-        (day / 7).cast("long").alias("week"),
+        # floor matches the oracle's // for pre-anchor (negative) days
+        F.floor(day / F.lit(7.0)).cast("long").alias("week"),
         day.alias("day"),
         F.col("user_id").cast("string").alias("k"),
     ).distinct()

@@ -253,3 +253,29 @@ def test_rank_desc_nan_keys_rank_first(spark):
     assert j.filter(F.col("rnk") != F.col("rnk_w")).count() == 0
     ranks = {r["id"]: r["rnk"] for r in got.collect()}
     assert ranks[2] == 1 and ranks[4] == 5  # NaN first, NULL last
+
+
+def test_rank_desc_infinite_keys_rank_at_edges(spark):
+    from financial_anomaly_detection_spark.operators.prefix import ordered_rank_desc
+
+    # +/-Inf passed the old isNotNull & ~isnan screen, made the
+    # min/max bounds infinite, width_bucket(v, -inf, inf, n) -> NULL
+    # for EVERY row, and the carry equi-join silently dropped the
+    # whole input. Spark's double total order is
+    # NaN > +Inf > finite > -Inf, NULLs last under DESC — the scan
+    # must keep every row and match the sequential window exactly.
+    data = [
+        (1, 10.0), (2, float("inf")), (3, float("-inf")), (4, None),
+        (5, 20.0), (6, float("nan")), (7, float("inf")), (8, 5.0),
+    ]
+    df = spark.createDataFrame(data, "id long, v double").repartition(3)
+    got = ordered_rank_desc(df, "v", "id", out_col="rnk", n_buckets=4)
+    assert got.count() == 8  # nothing dropped
+    w = Window.orderBy(F.desc("v"), F.asc("id"))
+    want = df.withColumn("rnk_w", F.row_number().over(w).cast("long"))
+    j = got.join(want, ["id"])
+    assert j.filter(F.col("rnk") != F.col("rnk_w")).count() == 0
+    ranks = {r["id"]: r["rnk"] for r in got.collect()}
+    # NaN first, then the two +Inf by tie key, ..., -Inf, NULL last
+    assert ranks[6] == 1 and ranks[2] == 2 and ranks[7] == 3
+    assert ranks[3] == 7 and ranks[4] == 8
