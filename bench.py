@@ -50,6 +50,23 @@ per-query geometric-mean ratio against the committed prior) and tags
 itself degraded above 1.15 — such a run must not become the
 committed prior.
 
+Round-end anchor + canary normalization (round 7): the run-chain
+prior (the last BENCH_FULL.json, overwritten several times per
+round) can launder a GRADUAL slowdown — r6 shipped geomean 1.243x
+vs the r5 round-end artifact untagged because each intra-round step
+was <=1.13x. The guards now ALSO anchor on the last ROUND-END
+artifact (the BENCH_FULL.json committed in the driver's
+"round N: ..." commit, read via ``git show`` — never overwritten
+mid-round) and report ``geomean_vs_round_end``. And because a
+uniformly slower HOST is not a code regression, every per-query
+ratio is first divided by the canary-median ratio
+(``canary_cur / canary_prior``, the host-speed factor) before the
+2x rerun trigger and the 1.15 geomean limit apply — a slow host
+neither trips the guards nor hides a real regression behind its own
+slowdown. A degraded artifact carries the clean prior's canary
+median forward (``last_clean_canary_median``) so normalization
+stays anchored to the timings it actually compares against.
+
 Each query is forced end-to-end with the ``noop`` datasource sink
 (full JVM-side computation, no collect-to-driver bottleneck, no
 count()-only plan pruning). One warmup run of the first query pays
@@ -115,6 +132,80 @@ OUTLIER_FLOOR_SEC = 0.75
 # canary-clean run at geomean 1.196 with multimodal queries 2-6x).
 # Per-query 2x reruns don't catch a fleet-wide +20%.
 GEOMEAN_LIMIT = 1.15
+
+
+def host_factor(canary_cur: float | None, canary_prior: float | None) -> float:
+    """Host-speed ratio between two runs, from their canary medians.
+
+    The canary is scan-bound and guard-pinned, so its median moves
+    with the HOST, not the code; dividing per-query ratios by this
+    factor makes the outlier/geomean guards compare code against
+    code. Missing evidence on either side -> 1.0 (no normalization).
+    """
+    if not canary_cur or not canary_prior or canary_prior <= 0:
+        return 1.0
+    return canary_cur / canary_prior
+
+
+def geomean_vs(
+    timings: dict[str, float],
+    prior: dict[str, float],
+    host: float = 1.0,
+) -> float | None:
+    """Geometric mean of host-normalized cur/prior ratios over the
+    common queries; None when there is no overlap."""
+    import math
+
+    common = [
+        n for n in timings if prior.get(n, 0) > 0 and timings[n] > 0
+    ]
+    if not common:
+        return None
+    s = sum(math.log(timings[n] / (prior[n] * host)) for n in common)
+    return round(math.exp(s / len(common)), 3)
+
+
+def _prior_from_artifact(obj: dict) -> tuple[dict[str, float], float | None]:
+    """(per-query prior map, matching canary median) from an artifact.
+
+    A degraded artifact's own numbers must never serve as priors; it
+    carries the last CLEAN map (and that map's canary median) forward
+    instead, so the comparison chain always anchors on a clean run.
+    """
+    if obj.get("degraded"):
+        return (
+            obj.get("last_clean_queries") or {},
+            obj.get("last_clean_canary_median"),
+        )
+    return obj.get("queries") or {}, (obj.get("canary") or {}).get("median")
+
+
+def _round_end_prior(here: str) -> tuple[dict[str, float], float | None, str | None]:
+    """Prior map + canary median from the last ROUND-END artifact: the
+    BENCH_FULL.json committed in the driver's ``round N: ...`` commit.
+    Unlike the working-tree BENCH_FULL.json (overwritten every run),
+    this anchor only moves at round boundaries, so a gradual
+    round-over-round slowdown cannot launder itself through it."""
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "-C", here, "log", "--grep", "^round [0-9]*:", "-n", "1",
+             "--format=%H"],
+            capture_output=True, text=True, timeout=15,
+        ).stdout.strip()
+        if not head:
+            return {}, None, None
+        blob = subprocess.run(
+            ["git", "-C", here, "show", f"{head}:BENCH_FULL.json"],
+            capture_output=True, text=True, timeout=15,
+        )
+        if blob.returncode != 0:
+            return {}, None, head
+        prior, canary = _prior_from_artifact(json.loads(blob.stdout))
+        return prior, canary, head
+    except Exception:
+        return {}, None, None
 
 
 def force(df) -> None:
@@ -262,57 +353,68 @@ def main() -> None:
     # always anchors on a clean run.
     here = os.path.dirname(os.path.abspath(__file__))
     prior: dict[str, float] = {}
+    prior_canary: float | None = None
     try:
         with open(os.path.join(here, "BENCH_FULL.json")) as f:
-            prior_obj = json.load(f)
-        if prior_obj.get("degraded"):
-            prior = prior_obj.get("last_clean_queries", {})
-        else:
-            prior = prior_obj.get("queries", {})
+            prior, prior_canary = _prior_from_artifact(json.load(f))
     except (OSError, ValueError):
         pass
+    re_prior, re_canary, re_commit = _round_end_prior(here)
+    cur_canary = best["canary"]["median"]
+    # host-speed factors: divide each cur/prior ratio by these so a
+    # uniformly slower (or faster) HOST neither trips the guards nor
+    # masks a real code regression
+    host_run = host_factor(cur_canary, prior_canary)
+    host_re = host_factor(cur_canary, re_canary)
     reruns: dict[str, dict] = {}
     outliers: list[str] = []
     for name, t in sorted(timings.items()):
         p = prior.get(name)
-        if p is None or t <= OUTLIER_FLOOR_SEC or t <= OUTLIER_RATIO * p:
+        if p is None or t <= OUTLIER_FLOOR_SEC or t <= OUTLIER_RATIO * p * host_run:
             continue
         t0 = time.perf_counter()
+        rerun_error = None
         try:
             force(REGISTRY[name].fn(spark, sf_dir))
             t2 = round(time.perf_counter() - t0, 3)
-        except Exception:  # first measurement stands
+        except Exception as e:  # first measurement stands — but a
+            # query that started FAILING between the sweep and its
+            # rerun must not ship a clean-looking entry
             t2 = t
+            rerun_error = f"{type(e).__name__}: {e}"[:200]
         timings[name] = min(t, t2)
         reruns[name] = {"prior": p, "first": t, "rerun": t2}
+        if rerun_error is not None:
+            reruns[name]["rerun_error"] = rerun_error
+            errors.setdefault(name, f"rerun: {rerun_error}")
         # a sub-floor final time is noise however small the prior was
-        if timings[name] > max(OUTLIER_RATIO * p, OUTLIER_FLOOR_SEC):
+        if timings[name] > max(OUTLIER_RATIO * p * host_run, OUTLIER_FLOOR_SEC):
             outliers.append(name)
     best["total"] = round(sum(timings.values()), 3)
 
-    # Broad-slowdown guard: geomean of cur/prior over common queries.
-    # Tracked SEPARATELY from the attempt records — attempts[] is
-    # sweep-time evidence (canary/load), and retroactively rewriting
-    # the selected attempt would misreport why no retry fired.
-    import math
-
-    common = [n for n in timings if n in prior and prior[n] > 0]
-    geomean = (
-        round(
-            math.exp(
-                sum(math.log(timings[n] / prior[n]) for n in common) / len(common)
-            ),
-            3,
-        )
-        if common
-        else None
-    )
+    # Broad-slowdown guards: host-normalized geomean of cur/prior over
+    # common queries, against BOTH anchors — the run chain (drift
+    # within a round) and the round-end artifact (drift ACROSS rounds,
+    # which the run chain launders by construction). Tracked
+    # SEPARATELY from the attempt records — attempts[] is sweep-time
+    # evidence (canary/load), and retroactively rewriting the selected
+    # attempt would misreport why no retry fired.
+    geomean = geomean_vs(timings, prior, host_run)
+    geomean_re = geomean_vs(timings, re_prior, host_re)
     final_degraded = best["degraded"]
     final_reasons = list(best["degraded_reasons"])
     if geomean is not None and geomean > GEOMEAN_LIMIT:
         final_degraded = True
         final_reasons.append(
             f"broad slowdown: geomean {geomean} vs prior > {GEOMEAN_LIMIT}"
+            f" (host-normalized /{round(host_run, 3)})"
+        )
+    if geomean_re is not None and geomean_re > GEOMEAN_LIMIT:
+        final_degraded = True
+        final_reasons.append(
+            f"broad slowdown: geomean {geomean_re} vs round-end "
+            f"{(re_commit or '?')[:12]} > {GEOMEAN_LIMIT}"
+            f" (host-normalized /{round(host_re, 3)})"
         )
 
     headline = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
@@ -326,6 +428,10 @@ def main() -> None:
         "sf": sf,
         "degraded": final_degraded,
         "geomean_vs_prior": geomean,
+        "geomean_vs_round_end": geomean_re,
+        "round_end_commit": re_commit,
+        "host_factor_vs_prior": round(host_run, 3),
+        "host_factor_vs_round_end": round(host_re, 3),
         "canary": best["canary"],
         "attempts": [
             {k: a[k] for k in ("total", "degraded", "degraded_reasons", "canary")}
@@ -334,9 +440,11 @@ def main() -> None:
     }
     if final_degraded:
         full["degraded_reasons"] = final_reasons
-        # anchor the NEXT run's comparison on the last clean numbers,
+        # anchor the NEXT run's comparison on the last clean numbers
+        # (and THEIR canary median, so normalization matches them),
         # not this degraded run's
         full["last_clean_queries"] = prior
+        full["last_clean_canary_median"] = prior_canary
     if errors:
         full["errors"] = errors
     if reruns:
@@ -358,6 +466,7 @@ def main() -> None:
         "degraded": final_degraded,
         "canary_drift": best["canary"]["drift"],
         "geomean_vs_prior": geomean,
+        "geomean_vs_round_end": geomean_re,
         "n_reruns": len(reruns),
         "outliers": outliers,
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
