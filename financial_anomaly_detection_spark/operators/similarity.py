@@ -1076,6 +1076,62 @@ def ivf_pq_topk(
     Returns (query_id, neighbor_id, cosine, rn). Approximate — recall
     vs brute_force_topk is pytest-pinned.
     """
+    pairs = ivf_pq_adc_pairs(
+        candidates,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        nlist=nlist,
+        nprobe=nprobe,
+        m=m,
+        pq_k=pq_k,
+        seed=seed,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_adc"), F.asc("neighbor_id"))
+    shortlist = (
+        pairs.withColumn("_arn", F.row_number().over(w))
+        .filter(F.col("_arn") <= rerank)
+        .select("query_id", "neighbor_id", "_q")
+    )
+    exact = shortlist.join(
+        candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e")),
+        "neighbor_id",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity("_q", "_e").alias("cosine"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return exact.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= k)
+
+
+def ivf_pq_adc_pairs(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int | None = None,
+    nprobe: int = 4,
+    m: int = 8,
+    pq_k: int = 16,
+    seed: int = 42,
+    centroids=None,
+    codebooks=None,
+) -> DataFrame:
+    """The ADC stage of IVFADC: every (query, candidate-in-probed-cell)
+    pair with its asymmetric distance, BEFORE the shortlist window and
+    exact re-rank. Returns (query_id, neighbor_id, _q, _adc).
+
+    ``centroids`` (nlist, d) and ``codebooks`` (m, pq_k, dsub) inject
+    fixed quantizers instead of the sampled k-means fits — the
+    hash-exact oracle path (queries.py: ivfpq_exact_quantized) feeds
+    integer-valued anchors chosen by md5 order so the encode/probe
+    Arrow kernels and the O(m) ``_adc_sum`` lookup are pinned against
+    a relational DuckDB reconstruction of the same math: with integer
+    coordinates every residual, table entry, and ADC sum is an exact
+    float64 integer, bit-identical across engines. Both must be given
+    together; d = m * dsub must match the vectors.
+    """
     import numpy as np
 
     from .partitioning import spread_narrow
@@ -1083,34 +1139,45 @@ def ivf_pq_topk(
     cand = spread_narrow(candidates).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e")
     )
-    if nlist is None:
-        nlist = auto_nlist(cand.count())
-    X = _train_sample_matrix(cand, "neighbor_id", "_e")
-    C = _lloyd_kmeans(X, nlist, seed=seed, max_iter=10)  # (nlist, d)
-    d = X.shape[1]
-    # the auto route must not crash on dims the default m doesn't
-    # divide — degrade to the nearest valid subspace count
-    m = _fit_subspaces(d, m)
-    dsub = d // m
-    # sample residuals in numpy -> per-subspace codebooks (no Spark-side
-    # residual pass needed for training)
-    sd2 = ((X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :])
-    R = X - C[sd2.argmin(axis=1)]
-    B = np.stack(
-        [
-            _lloyd_kmeans(
-                np.ascontiguousarray(R[:, j * dsub : (j + 1) * dsub]),
-                pq_k,
-                seed=seed + j,
-                max_iter=10,
-            )
-            for j in range(m)
-        ]
-    )  # (m, k_eff, dsub)
-    # _lloyd_kmeans clamps k to the sample size; the probe kernel's
-    # fixed-width distance tables must use the FITTED center count or
-    # a tiny corpus (sample < pq_k) breaks the tab[j] assignment
-    pq_k = B.shape[1]
+    if centroids is not None or codebooks is not None:
+        if centroids is None or codebooks is None:
+            raise ValueError("centroids and codebooks must be injected together")
+        C = np.asarray(centroids, dtype="float64")
+        B = np.asarray(codebooks, dtype="float64")
+        nlist = C.shape[0]
+        m, pq_k = B.shape[0], B.shape[1]
+        dsub = B.shape[2]
+        if C.shape[1] != m * dsub:
+            raise ValueError("codebook subspaces do not tile the centroid dim")
+    else:
+        if nlist is None:
+            nlist = auto_nlist(cand.count())
+        X = _train_sample_matrix(cand, "neighbor_id", "_e")
+        C = _lloyd_kmeans(X, nlist, seed=seed, max_iter=10)  # (nlist, d)
+        d = X.shape[1]
+        # the auto route must not crash on dims the default m doesn't
+        # divide — degrade to the nearest valid subspace count
+        m = _fit_subspaces(d, m)
+        dsub = d // m
+        # sample residuals in numpy -> per-subspace codebooks (no
+        # Spark-side residual pass needed for training)
+        sd2 = ((X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :])
+        R = X - C[sd2.argmin(axis=1)]
+        B = np.stack(
+            [
+                _lloyd_kmeans(
+                    np.ascontiguousarray(R[:, j * dsub : (j + 1) * dsub]),
+                    pq_k,
+                    seed=seed + j,
+                    max_iter=10,
+                )
+                for j in range(m)
+            ]
+        )  # (m, k_eff, dsub)
+        # _lloyd_kmeans clamps k to the sample size; the probe kernel's
+        # fixed-width distance tables must use the FITTED center count
+        # or a tiny corpus (sample < pq_k) breaks the tab[j] assignment
+        pq_k = B.shape[1]
 
     id_type = {f.name: f.dataType.simpleString() for f in cand.schema.fields}[
         "neighbor_id"
@@ -1189,20 +1256,9 @@ def ivf_pq_topk(
     pairs = probes.join(codes, "_cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("_adc"), F.asc("neighbor_id"))
-    shortlist = (
-        pairs.withColumn("_adc", _adc_sum(F.col("codes"), F.col("_dtab"), m))
-        .withColumn("_arn", F.row_number().over(w))
-        .filter(F.col("_arn") <= rerank)
-        .select("query_id", "neighbor_id", "_q")
-    )
-    exact = shortlist.join(
-        candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e")),
-        "neighbor_id",
-    ).select(
+    return pairs.select(
         "query_id",
         "neighbor_id",
-        cosine_similarity("_q", "_e").alias("cosine"),
+        "_q",
+        _adc_sum(F.col("codes"), F.col("_dtab"), m).alias("_adc"),
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return exact.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= k)

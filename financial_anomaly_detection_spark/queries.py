@@ -4712,6 +4712,157 @@ def q_ann_exact_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivfpq_exact_quantized",
+    # Hash-level oracle evidence for the IVFADC math itself
+    # (operators/similarity.py:ivf_pq_adc_pairs) — the production
+    # ann_ivfpq_topk tier is rows-only because its k-means quantizers
+    # aren't SQL-expressible, so this pins the assign -> residual ->
+    # PQ-encode -> distance-table -> O(m)-lookup ADC sum pipeline the
+    # way ann_exact_quantized anchors the exact tier. Trick: the
+    # quantizers are INJECTED, not trained — the coarse centroids are
+    # the first 4 vectors of the slice in md5(vec_id) order and the
+    # m x pq_k codebooks are the subvectors of the next 8, all in
+    # exact integer milli-units. Every residual, table entry, and ADC
+    # sum is then an exact float64 integer (<= 4*16*2000^2 ~ 2.6e8 <<
+    # 2^53), so DuckDB can rebuild the identical pipeline relationally
+    # (Jegou 2011 SV eq. 12-13's ADC definition: d(q,x)^2 ~ sum_j
+    # ||q_res[j] - B[j][code_j(x)]||^2) and the VALUES and the
+    # shortlist RANKING hash-match bit-for-bit. nprobe == nlist so the
+    # oracle needs cell ASSIGNMENT (argmin, ties to the lower cell id
+    # — numpy argmin's first-occurrence rule) but no probe ordering.
+    oracle="""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                                 AS BIGINT)) AS q
+            FROM embeddings WHERE vec_id < 400
+        ), ranked AS (
+            SELECT vec_id, q,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+            FROM e
+        ), cent AS (
+            SELECT rk - 1 AS cell, q AS cq FROM ranked WHERE rk <= 4
+        ), js AS (
+            SELECT unnest(generate_series(0, 3)) AS j
+        ), cwsub AS (
+            SELECT rk - 5 AS code, js.j,
+                   list_slice(q, js.j * 16 + 1, js.j * 16 + 16) AS ws
+            FROM ranked, js WHERE rk BETWEEN 5 AND 12
+        ), assign AS (
+            SELECT vec_id, q, cell, cq FROM (
+                SELECT e.vec_id, e.q, c.cell, c.cq,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_sum(list_transform(
+                               list_zip(e.q, c.cq),
+                               p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                               c.cell) AS arn
+                FROM e, cent c
+            ) WHERE arn = 1
+        ), rsub AS (
+            SELECT a.vec_id, a.cell, js.j,
+                   list_slice(list_transform(list_zip(a.q, a.cq),
+                                             p -> p[1] - p[2]),
+                              js.j * 16 + 1, js.j * 16 + 16) AS rs
+            FROM assign a, js
+        ), codes AS (
+            SELECT vec_id, cell, j, code FROM (
+                SELECT s.vec_id, s.cell, s.j, c.code,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id, s.j
+                           ORDER BY list_sum(list_transform(
+                               list_zip(s.rs, c.ws),
+                               p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                               c.code) AS crn
+                FROM rsub s JOIN cwsub c ON s.j = c.j
+            ) WHERE crn = 1
+        ), qtab AS (
+            SELECT qv.vec_id AS query_id, c.cell, cw.j, cw.code,
+                   list_sum(list_transform(
+                       list_zip(
+                           list_slice(list_transform(list_zip(qv.q, c.cq),
+                                                     p -> p[1] - p[2]),
+                                      cw.j * 16 + 1, cw.j * 16 + 16),
+                           cw.ws),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2q
+            FROM e qv, cent c, cwsub cw
+            WHERE qv.vec_id < 25
+        ), adc AS (
+            SELECT t.query_id, k.vec_id AS neighbor_id,
+                   CAST(SUM(t.d2q) AS BIGINT) AS adc_u
+            FROM codes k
+            JOIN qtab t ON t.cell = k.cell AND t.j = k.j AND t.code = k.code
+            WHERE t.query_id <> k.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, adc_u,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY adc_u, neighbor_id) AS BIGINT) AS rn
+        FROM adc
+        QUALIFY rn <= 10
+    """,
+    description="IVFADC pipeline pinned at the hash level: injected "
+    "integer anchor quantizers (md5-ordered slice rows) run through "
+    "the REAL encode/probe Arrow kernels and the O(m) ADC lookup "
+    "(similarity.py:ivf_pq_adc_pairs), emitting exact-integer "
+    "asymmetric distances; DuckDB rebuilds assign/encode/table/sum "
+    "relationally and the per-query ADC top-10 hash-matches. The "
+    "trained-quantizer tier (ann_ivfpq_topk) stays rows-only with "
+    "recall pinned in pytest; this proves the distance MATH it runs "
+    "on. Constant-cost verification slice (400 cands x 25 queries).",
+    tags=["similarity", "ann", "oracle-surrogate"],
+)
+def q_ivfpq_exact_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from .operators.similarity import ivf_pq_adc_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    quant = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+    )
+    base = emb.select("vec_id", quant.alias("q"))
+    # bounded anchor pool (12 rows), md5-ordered — the fit-pool
+    # discipline: constant driver-side state however big the corpus
+    rows = (
+        base.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(12)
+        .collect()
+    )
+    d = len(rows[0]["q"])
+    m, dsub = 4, d // 4
+    C = np.asarray([r["q"] for r in rows[:4]], dtype="float64")
+    B = np.asarray(
+        [
+            [rows[4 + c]["q"][j * dsub : (j + 1) * dsub] for c in range(8)]
+            for j in range(m)
+        ],
+        dtype="float64",
+    )
+    pairs = ivf_pq_adc_pairs(
+        base,
+        base.filter(F.col("vec_id") < 25),
+        id_col="vec_id",
+        vec_col="q",
+        nprobe=4,  # == nlist: all cells probed, so routing drops nothing
+        centroids=C,
+        codebooks=B,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_u"), F.asc("neighbor_id"))
+    return (
+        pairs.select(
+            "query_id", "neighbor_id", F.col("_adc").cast("long").alias("adc_u")
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 10)
+    )
+
+
+@register(
     "minhash_exact_md5",
     # Hash-level oracle surrogate for the MinHash tier's signature math
     # (operators/dedup.py:minhash_near_dup — the MLlib hash family is
@@ -10290,6 +10441,132 @@ def q_cdc_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_scd2_history",
+    # The lakehouse pattern a user hits right after cdc_upsert_merge:
+    # type-2 slowly-changing dimension maintenance from the same
+    # change feed — instead of latest-wins overwrite, every change
+    # OPENS a version row and the superseding change (or a delete
+    # tombstone) CLOSES it via lead(). Same compaction-window shape,
+    # zero new shuffle kinds: everything is keyed on user_id.
+    oracle="""
+        WITH base_last AS (
+            SELECT user_id, us, event_id, tier FROM (
+                SELECT user_id, epoch_us(ts) AS us, event_id,
+                       CASE WHEN value < 50 THEN 1
+                            WHEN value < 150 THEN 2
+                            ELSE 3 END AS tier,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+                WHERE ts < TIMESTAMP '2024-01-29 00:00:00'
+                  AND user_id % 7 <> 0
+            ) WHERE rn = 1
+        ), feed AS (
+            SELECT user_id, epoch_us(ts) AS us, event_id,
+                   CASE WHEN event_type = 'error' THEN NULL
+                        WHEN value < 50 THEN 1
+                        WHEN value < 150 THEN 2
+                        ELSE 3 END AS tier
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-29 00:00:00'
+        ), timeline AS (
+            SELECT user_id, us, event_id, tier FROM base_last
+            UNION ALL
+            SELECT user_id, us, event_id, tier FROM feed
+        ), marked AS (
+            SELECT user_id, us, tier,
+                   lag(tier) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) AS prev_tier,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id) AS seq
+            FROM timeline
+        ), versions AS (
+            SELECT user_id, tier, us AS valid_from_us, seq
+            FROM marked
+            WHERE seq = 1 OR tier IS DISTINCT FROM prev_tier
+        ), closed AS (
+            SELECT user_id, tier, valid_from_us,
+                   lead(valid_from_us) OVER (PARTITION BY user_id
+                                             ORDER BY seq) AS valid_to_us
+            FROM versions
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(tier AS BIGINT) AS tier,
+               CAST(valid_from_us AS BIGINT) AS valid_from_us,
+               CAST(valid_to_us AS BIGINT) AS valid_to_us,
+               CAST(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_current
+        FROM closed
+        WHERE tier IS NOT NULL
+    """,
+    description="SCD type-2 maintenance from a CDC feed (the "
+    "cdc_upsert_merge setup driven to full history): the pre-split "
+    "dimension snapshot (latest tier per user) plus the post-split "
+    "change feed form one per-user timeline; NULL-safe change "
+    "detection (lag) opens a version per tier transition, 'error' "
+    "tombstones open a NULL-tier state that CLOSES the prior version "
+    "and is dropped from the output, and lead() stamps every "
+    "version's valid_to (open version NULL, is_current=1). All three "
+    "windows partition by user_id — high-cardinality, fully parallel "
+    "at 100 TB, no global window anywhere; integer event-time micros "
+    "keep the history hash-exact.",
+    tags=["cdc", "merge", "window", "history", "lakehouse"],
+)
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-29 00:00:00").cast("timestamp")
+    tier = (
+        F.when(F.col("value") < 50, 1).when(F.col("value") < 150, 2).otherwise(3)
+    )
+    wlast = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    base_last = (
+        ev.filter((F.col("ts") < split) & (F.col("user_id") % 7 != 0))
+        .withColumn("_rn", F.row_number().over(wlast))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            tier.cast("int").alias("tier"),
+        )
+    )
+    feed = ev.filter(F.col("ts") >= split).select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("int"))
+        .otherwise(tier.cast("int"))
+        .alias("tier"),
+    )
+    wt = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = base_last.unionByName(feed).select(
+        "user_id",
+        "us",
+        "tier",
+        F.lag("tier").over(wt).alias("prev_tier"),
+        F.row_number().over(wt).alias("seq"),
+    )
+    versions = marked.filter(
+        (F.col("seq") == 1) | ~F.col("tier").eqNullSafe(F.col("prev_tier"))
+    )
+    wv = Window.partitionBy("user_id").orderBy("seq")
+    closed = versions.select(
+        "user_id", "tier", F.col("us").alias("valid_from_us"), "seq"
+    ).withColumn("valid_to_us", F.lead("valid_from_us").over(wv))
+    return closed.filter(F.col("tier").isNotNull()).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("tier").cast("long").alias("tier"),
+        F.col("valid_from_us").cast("long").alias("valid_from_us"),
+        F.col("valid_to_us").cast("long").alias("valid_to_us"),
+        F.when(F.col("valid_to_us").isNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_current"),
+    )
+
+
+@register(
     "map_functions_user_profile",
     # The §2.8 MAP-typed column family (map_from_entries, map_keys,
     # map_values, map_filter, transform_values, element_at) exercised
@@ -10689,8 +10966,79 @@ def q_levenshtein_parity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exceeds 50, the overflow rotates across rounds: queries rotated out
 # this round all have green hash-match evidence from a previous round.
 
-# Round-6 window (stalest-evidence-first rotation, same policy as
-# r4/r5), 50 slots:
+# Round-7 window (stalest-evidence-first rotation, same policy as
+# r4/r5/r6), 50 slots:
+#   1. queries whose code changed in r7 — ml_recon_mse_threshold
+#      (ordered_rank_desc gained the infinity screen),
+#      mahalanobis_outliers (degenerate-channel coalesce fix),
+#      quantile_sketch_weekly_rollup / hll_weekly_rollup (floor-div
+#      week bucket), ann_ivfpq_topk (ivf_pq_topk refactored onto
+#      ivf_pq_adc_pairs — behavior-identical, re-proven anyway);
+#   2. queries NEW in r7 — ivfpq_exact_quantized (the IVFADC math
+#      pinned hash-exact via injected integer quantizers, VERDICT r6
+#      task 4), cdc_scd2_history (VERDICT r6 task 5), and later-r7
+#      additions appended as they land;
+#   3. ALL 19 rows-only queries that have never had a driver
+#      execution in six rounds (VERDICT r6 missing #1 / task 2 —
+#      ">=12 of 50"; all 19 fit this round): the 5 ml_* ensemble
+#      queries, the 6 multimodal_* codec queries, and the 8
+#      dedup/ANN/text tiers;
+#   4. the 17 oracle-backed queries whose freshest green is r3
+#      (VERDICT r6 missing #2 — the displaced constant-shape fills).
+# Everything past slot 50 has a green hash-match row in r4/r5/r6.
+_PRIORITY_R07 = [
+    # changed in round 7 -> needs fresh evidence
+    "ml_recon_mse_threshold",
+    "mahalanobis_outliers",
+    "quantile_sketch_weekly_rollup",
+    "hll_weekly_rollup",
+    "ann_ivfpq_topk",
+    # new in round 7 (never driver-checked)
+    "ivfpq_exact_quantized",
+    "cdc_scd2_history",
+    # rows-only, never driver-executed in any round (VERDICT r6 #1)
+    "ml_ensemble_scores",
+    "ml_iforest_embeddings",
+    "ml_lof_embeddings",
+    "ml_autoencoder_embeddings",
+    "ml_reconstruction_embeddings",
+    "multimodal_image_features",
+    "multimodal_audio_features",
+    "multimodal_video_features",
+    "multimodal_jpeg_features",
+    "multimodal_mjpeg_features",
+    "multimodal_g711_features",
+    "ann_lsh_topk",
+    "ann_simhash_topk",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "near_dup_clusters",
+    "approx_distinct_users",
+    "text_lang_fingerprint",
+    "tfidf_top_terms",
+    # oracle-backed, freshest green r3 (VERDICT r6 #2 — all 17)
+    "time_range_window_profile",
+    "from_json_props_struct",
+    "lof_exact_quantized",
+    "q16_supplier_part_counts",
+    "q20_promo_part_shippers",
+    "q21_waiting_suppliers",
+    "rolling_zscore_events",
+    "c4_quality_filters",
+    "source_temperature_weights",
+    "string_functions",
+    "date_arithmetic",
+    "priority_case_pivot",
+    "grouping_sets_order_status",
+    "benford_first_digit",
+    "set_ops_users",
+    "json_extract_props",
+    "except_all_bag_semantics",
+]
+
+# Round-6 window kept for provenance (CORRECTNESS_r06 was exactly the
+# first 50 of this ordering), (stalest-evidence-first rotation, same
+# policy as r4/r5), 50 slots:
 #   1. queries whose code/oracle CHANGED in r6 — ml_recon_mse_threshold
 #      (global rank window replaced by the two-pass scan, VERDICT r5
 #      task 1), cms_join_cardinality (disjoint-row left-join fix in
@@ -11075,9 +11423,10 @@ _PRIORITY_R03 = [
 
 
 def _ordered_names() -> list[str]:
-    pri = [n for n in _PRIORITY_R06 if n in REGISTRY]
-    # r5 ordering fills next (its own stalest-first logic), then the
-    # rest of the registry
+    pri = [n for n in _PRIORITY_R07 if n in REGISTRY]
+    # prior-round orderings fill next (their own stalest-first
+    # logic), then the rest of the registry
+    pri += [n for n in _PRIORITY_R06 if n in REGISTRY and n not in pri]
     pri += [n for n in _PRIORITY_R05 if n in REGISTRY and n not in pri]
     pri_set = set(pri)
     # Oracle-backed overflow (green in r1/r2) precedes rows-only entries,

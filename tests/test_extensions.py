@@ -902,3 +902,28 @@ def test_pq_adc_recall_vs_brute_force(spark, sf_dir):
     # agree code-for-code on the fixed test corpus
     c = sorted(pq_encode(em, books, impl="catalyst").collect())
     assert a == c
+
+
+def test_ivfpq_injected_quantizers_validate_shapes(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from financial_anomaly_detection_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0, 2.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    C = np.zeros((2, 4))
+    with _pytest.raises(ValueError, match="together"):
+        sim.ivf_pq_adc_pairs(df, df, centroids=C)
+    with _pytest.raises(ValueError, match="tile"):
+        sim.ivf_pq_adc_pairs(
+            df, df, centroids=C, codebooks=np.zeros((2, 3, 3))
+        )
+    # valid injection: 2 cells, 2 subspaces x 3 codewords x dsub 2
+    out = sim.ivf_pq_adc_pairs(
+        df, df, centroids=C, codebooks=np.zeros((2, 3, 2))
+    )
+    assert set(out.columns) == {"query_id", "neighbor_id", "_q", "_adc"}
+    assert out.count() == 30  # 6 queries x 5 non-self candidates
