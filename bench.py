@@ -317,6 +317,24 @@ def main() -> None:
         force(REGISTRY[names[0]].fn(spark, sf_dir))
     except Exception:
         pass
+    # Warm the Python worker pool too: the first Arrow/mapInPandas
+    # stage of the sweep otherwise pays worker fork + numpy/pandas
+    # (+ codec module) import inside some unlucky query's measured
+    # time — observed as a ~7 s first-run spike on whichever
+    # multimodal query ran first (r6's jpeg outlier class).
+    def _warm(batches):
+        from financial_anomaly_detection_spark.operators import codecs  # noqa: F401
+
+        yield from batches
+
+    try:
+        force(
+            spark.range(int(cpus) * 4)
+            .repartition(int(cpus))
+            .mapInPandas(_warm, "id long")
+        )
+    except Exception:
+        pass
 
     attempts = []
     for attempt in range(max_attempts):

@@ -46,6 +46,7 @@ import io
 import struct
 import wave
 import zlib
+from functools import lru_cache
 
 import numpy as np
 
@@ -570,53 +571,114 @@ def _dct2(block: np.ndarray) -> np.ndarray:
 
 
 class _HuffDecoder:
-    """Canonical Huffman decode table from DHT BITS/HUFFVAL."""
+    """Canonical Huffman decode table from DHT BITS/HUFFVAL.
+
+    Decoding peeks 16 bits at once instead of pulling the stream one
+    bit at a time (the pure-Python per-bit loop dominated the whole
+    decode profile): codes up to 8 bits — essentially every symbol in
+    practice — resolve through a 256-entry first-level table in one
+    indexed load, longer codes fall back to a (length, code) dict walk
+    over lengths 9..16. Prefix-freeness makes the zero-padded peek at
+    stream end safe: a real code that fits the remaining bits is the
+    unique prefix match, and a padded phantom longer than the
+    remaining bits fails in advance() exactly where the old per-bit
+    reader raised."""
 
     def __init__(self, bits: list[int], vals: bytes):
         self.map: dict[tuple[int, int], int] = {}
+        self.tab8: list[tuple[int, int] | None] = [None] * 256
         code = 0
         k = 0
         for length in range(1, 17):
             for _ in range(bits[length - 1]):
-                self.map[(length, code)] = vals[k]
+                v = vals[k]
+                self.map[(length, code)] = v
+                if length <= 8:
+                    lo = code << (8 - length)
+                    for i in range(1 << (8 - length)):
+                        self.tab8[lo + i] = (v, length)
                 code += 1
                 k += 1
             code <<= 1
 
     def decode(self, reader: "_BitReader") -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | reader.read_bit()
-            v = self.map.get((length, code))
+        p = reader.peek16()
+        e = self.tab8[p >> 8]
+        if e is not None:
+            reader.advance(e[1])
+            return e[0]
+        for length in range(9, 17):
+            v = self.map.get((length, p >> (16 - length)))
             if v is not None:
+                reader.advance(length)
                 return v
         raise ValueError("invalid JPEG huffman code")
 
 
+@lru_cache(maxsize=128)
+def _huff_decoder(bits: tuple[int, ...], vals: bytes) -> _HuffDecoder:
+    """Table construction is per-DHT work that repeats identically
+    across images sharing tables (every encoder that emits the
+    standard/fixed tables, including ours) — cache by content."""
+    return _HuffDecoder(list(bits), vals)
+
+
 class _BitReader:
-    """MSB-first bit reader over an already-unstuffed ECS segment."""
+    """MSB-first bit reader over an already-unstuffed ECS segment.
+
+    A small integer accumulator refills a byte at a time; reads are
+    shift/mask extractions, so ``receive_extend`` costs one extraction
+    however many bits it needs (the old reader paid a Python call per
+    bit)."""
+
+    __slots__ = ("data", "n", "pos", "acc", "bits")
 
     def __init__(self, data: bytes):
         self.data = data
+        self.n = len(data)
         self.pos = 0
-        self.bit = 0
+        self.acc = 0
+        self.bits = 0
+
+    def _fill(self, need: int) -> None:
+        while self.bits < need and self.pos < self.n:
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.bits += 8
+
+    def read_bits(self, nb: int) -> int:
+        if self.bits < nb:
+            self._fill(nb)
+            if self.bits < nb:
+                raise ValueError("truncated JPEG entropy data")
+        self.bits -= nb
+        v = (self.acc >> self.bits) & ((1 << nb) - 1)
+        self.acc &= (1 << self.bits) - 1
+        return v
 
     def read_bit(self) -> int:
-        if self.pos >= len(self.data):
-            raise ValueError("truncated JPEG entropy data")
-        b = (self.data[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 1
-        return b
+        return self.read_bits(1)
+
+    def peek16(self) -> int:
+        """Next 16 bits without consuming, zero-padded past the end."""
+        if self.bits < 16:
+            self._fill(16)
+        if self.bits >= 16:
+            return (self.acc >> (self.bits - 16)) & 0xFFFF
+        return (self.acc << (16 - self.bits)) & 0xFFFF
+
+    def advance(self, nb: int) -> None:
+        if self.bits < nb:
+            self._fill(nb)
+            if self.bits < nb:
+                raise ValueError("truncated JPEG entropy data")
+        self.bits -= nb
+        self.acc &= (1 << self.bits) - 1
 
     def receive_extend(self, s: int) -> int:
         if s == 0:
             return 0
-        v = 0
-        for _ in range(s):
-            v = (v << 1) | self.read_bit()
+        v = self.read_bits(s)
         if v < (1 << (s - 1)):  # negative branch (T.81 F.2.2.1 EXTEND)
             v += (-1 << s) + 1
         return v
@@ -711,7 +773,7 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
                 bits = list(seg[p + 1 : p + 17])
                 cnt = sum(bits)
                 vals = seg[p + 17 : p + 17 + cnt]
-                huff[(tc, th)] = _HuffDecoder(bits, vals)
+                huff[(tc, th)] = _huff_decoder(tuple(bits), bytes(vals))
                 p += 17 + cnt
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -834,15 +896,17 @@ class _BitWriter:
         self.nbits = 0
 
     def write(self, length: int, code: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((code >> i) & 1)
-            self.nbits += 1
-            if self.nbits == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)  # byte stuffing
-                self.acc = 0
-                self.nbits = 0
+        # whole-code append (one shift/mask per CODE, not per bit),
+        # draining complete bytes with T.81 0xFF00 stuffing
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -858,25 +922,36 @@ def _category(v: int) -> int:
     return 0 if v == 0 else int(abs(v)).bit_length()
 
 
-def _encode_block(wtr, block, quant, pred, ci, dc_enc, ac_enc):
-    coef = np.round(_dct2(block)).astype(np.int64)
-    zz = coef.reshape(-1)[_ZZ]
+def _quantize_blocks(blocks: np.ndarray, quant: int) -> np.ndarray:
+    """Batched DCT + symmetric (round-half-away) quantization for a
+    (n, 8, 8) stack of level-shifted blocks -> (n, 64) zigzag-ordered
+    int64 coefficients. One numpy pass for the whole image — the
+    per-block small-array overhead dominated the encode profile."""
+    coef = np.round(_C @ blocks @ _C.T).astype(np.int64)
+    zz = coef.reshape(len(blocks), 64)[:, _ZZ]
     q = np.int64(quant)
-    # symmetric (round-half-away) quantization
-    zzq = np.sign(zz) * ((np.abs(zz) + q // 2) // q)
-    diff = int(zzq[0]) - pred[ci]
-    pred[ci] = int(zzq[0])
+    return np.sign(zz) * ((np.abs(zz) + q // 2) // q)
+
+
+def _encode_block(wtr, zzq, pred, ci, dc_enc, ac_enc):
+    """Entropy-code one quantized zigzag block (a plain Python list —
+    int iteration is several times faster than numpy scalar reads)."""
+    dc = zzq[0]
+    diff = dc - pred[ci]
+    pred[ci] = dc
     s = _category(diff)
     ln, code = dc_enc.codes[s]
     wtr.write(ln, code)
     if s:
         wtr.write(s, diff if diff >= 0 else diff + (1 << s) - 1)
-    run = 0
-    last_nz = int(np.max(np.nonzero(zzq)[0])) if np.any(zzq[1:]) else 0
-    for k in range(1, 64):
-        v = int(zzq[k])
-        if k > last_nz:
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zzq[k]:
+            last_nz = k
             break
+    run = 0
+    for k in range(1, last_nz + 1):
+        v = zzq[k]
         if v == 0:
             run += 1
             continue
@@ -950,8 +1025,11 @@ def encode_jpeg(
         )
         comp_planes.append(p)
 
-    wtr = _BitWriter()
-    pred = [0] * len(planes)
+    # gather blocks in entropy-stream emission order, batch the
+    # DCT+quantization in one numpy pass, then entropy-code from plain
+    # Python lists (the per-block small-numpy overhead dominated)
+    blocks = []
+    comp_of = []
     for my in range(mcuy):
         for mx in range(mcux):
             for ci, ((h, v), p) in enumerate(zip(samps, comp_planes)):
@@ -959,8 +1037,13 @@ def encode_jpeg(
                     for bx in range(h):
                         y0 = (my * v + by) * 8
                         x0 = (mx * h + bx) * 8
-                        block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                        _encode_block(wtr, block, quant, pred, ci, dc_enc, ac_enc)
+                        blocks.append(p[y0 : y0 + 8, x0 : x0 + 8])
+                        comp_of.append(ci)
+    zzq_all = _quantize_blocks(np.stack(blocks) - 128.0, quant).tolist()
+    wtr = _BitWriter()
+    pred = [0] * len(planes)
+    for ci, zzq in zip(comp_of, zzq_all):
+        _encode_block(wtr, zzq, pred, ci, dc_enc, ac_enc)
     ecs = wtr.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
