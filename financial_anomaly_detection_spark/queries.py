@@ -47,6 +47,7 @@ from .functions.scoring import (
     rule_flags,
     rule_score,
 )
+from .functions.mathfn import det_ln_sql
 from .functions.timefn import dow_pandas, lookback_filter
 from .operators.prefix import ordered_prefix_sum
 from .functions.vectorfn import cosine_similarity, dot, l2_norm
@@ -6467,6 +6468,141 @@ def q_ann_simhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# PSI (psi_value_drift): expression strings shared verbatim between
+# the Spark plan (F.expr) and the DuckDB oracle — identical parse
+# trees make the IEEE-double results bit-identical across engines.
+_PSI_P_SQL = "((CAST(ref_cnt AS DOUBLE) + 1.0) / (CAST(rt AS DOUBLE) + 10.0))"
+_PSI_Q_SQL = "((CAST(cur_cnt AS DOUBLE) + 1.0) / (CAST(ct AS DOUBLE) + 10.0))"
+_PSI_TERM_SQL = (
+    "CAST(floor((p - q) * "
+    + det_ln_sql("ratio")
+    + " * 1000000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "psi_value_drift",
+    # Population Stability Index (the standard model-monitoring drift
+    # score in financial scoring systems; see e.g. Siddiqi 2006
+    # "Credit Risk Scorecards" ch. 10): psi = sum_i (p_i - q_i) *
+    # ln(p_i / q_i) over value buckets, reference vs current period.
+    # The ln is the first transcendental in an oracle-backed query —
+    # made hash-safe by functions/mathfn.det_ln_sql, ONE SQL
+    # expression string both engines parse into the identical
+    # IEEE-double tree (power-of-two CASE range reduction + atanh
+    # series, error < 1e-8, no libm), so every per-bucket term is
+    # bit-identical across engines BEFORE the integer nano-unit
+    # floor. Laplace-smoothed proportions keep ratios finite on empty
+    # buckets; all term sums are exact integers (order-free).
+    oracle="""
+        WITH e AS (
+            SELECT CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                        THEN 0 ELSE 1 END AS period,
+                   LEAST(CAST(floor(value * 100 + 0.5) AS BIGINT) // 1000,
+                         9) AS bucket
+            FROM events
+        ), c AS (
+            SELECT bucket,
+                   SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS ref_cnt,
+                   SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS cur_cnt
+            FROM e GROUP BY bucket
+        ), b AS (
+            SELECT unnest(generate_series(0, 9)) AS bucket
+        ), f AS (
+            SELECT b.bucket,
+                   COALESCE(c.ref_cnt, 0) AS ref_cnt,
+                   COALESCE(c.cur_cnt, 0) AS cur_cnt
+            FROM b LEFT JOIN c USING (bucket)
+        ), tot AS (
+            SELECT SUM(ref_cnt) AS rt, SUM(cur_cnt) AS ct FROM f
+        ), r AS (
+            SELECT f.bucket, f.ref_cnt, f.cur_cnt,
+                   PLACEHOLDER_P AS p,
+                   PLACEHOLDER_Q AS q
+            FROM f, tot
+        ), rr AS (
+            SELECT bucket, ref_cnt, cur_cnt, p, q, (p / q) AS ratio FROM r
+        ), terms AS (
+            SELECT bucket, ref_cnt, cur_cnt,
+                   PLACEHOLDER_T AS psi_term_nano
+            FROM rr
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(ref_cnt AS BIGINT) AS ref_cnt,
+               CAST(cur_cnt AS BIGINT) AS cur_cnt,
+               psi_term_nano,
+               CAST(SUM(psi_term_nano) OVER () AS BIGINT) AS psi_total_nano
+        FROM terms
+    """.replace("PLACEHOLDER_P", _PSI_P_SQL)
+    .replace("PLACEHOLDER_Q", _PSI_Q_SQL)
+    .replace("PLACEHOLDER_T", _PSI_TERM_SQL),
+    description="PSI drift monitor over 10 fixed-width value buckets "
+    "(reference: first two weeks; current: the rest), Laplace-"
+    "smoothed. Per-bucket psi terms and the total in exact integer "
+    "nano-units; the natural log evaluates through the deterministic "
+    "series expression (functions/mathfn.py) shared verbatim with "
+    "the oracle, so both engines produce bit-identical doubles — "
+    "the first transcendental to pass the value-hash gate. Scale "
+    "shape: one partial-agg shuffle to 10 bucket rows, then "
+    "constant-size math.",
+    tags=["drift", "monitoring", "anomaly", "aggregate"],
+)
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    e = ev.select(
+        F.when(
+            F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("period"),
+        cents.alias("cents"),
+    ).select(
+        "period", F.least(F.expr("cents div 1000"), F.lit(9)).alias("bucket")
+    )
+    c = e.groupBy("bucket").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).alias("ref_cnt"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("cur_cnt"),
+    )
+    spine = spark.range(10).select(F.col("id").alias("bucket"))
+    f = (
+        spine.join(c, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("ref_cnt", F.lit(0)).alias("ref_cnt"),
+            F.coalesce("cur_cnt", F.lit(0)).alias("cur_cnt"),
+        )
+    )
+    tot = f.agg(
+        F.sum("ref_cnt").alias("rt"), F.sum("cur_cnt").alias("ct")
+    )
+    r = f.join(F.broadcast(tot)).select(
+        "bucket",
+        "ref_cnt",
+        "cur_cnt",
+        F.expr(_PSI_P_SQL).alias("p"),
+        F.expr(_PSI_Q_SQL).alias("q"),
+    )
+    rr = r.withColumn("ratio", F.expr("(p / q)"))
+    terms = rr.select(
+        "bucket",
+        "ref_cnt",
+        "cur_cnt",
+        F.expr(_PSI_TERM_SQL).alias("psi_term_nano"),
+    )
+    total = terms.agg(
+        F.sum("psi_term_nano").cast("long").alias("psi_total_nano")
+    )
+    return terms.join(F.broadcast(total)).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("ref_cnt").cast("long").alias("ref_cnt"),
+        F.col("cur_cnt").cast("long").alias("cur_cnt"),
+        "psi_term_nano",
+        "psi_total_nano",
+    )
+
+
 @register(
     "ks_value_drift",
     # Two-sample Kolmogorov-Smirnov drift test on the amount
@@ -8781,6 +8917,60 @@ def q_bfs_reachability_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "connected_components_copurchase",
+    # Connected components over the part co-purchase graph, bounded to
+    # the l_partkey < 1000 subgraph so the recursive-CTE oracle stays
+    # constant-cost (the full min-label fixpoint materializes
+    # O(V * component) pairs in SQL — fine on the slice, quadratic on
+    # a giant component). The Spark side runs the REAL convergent
+    # operator (operators/graph.py:connected_components) on the same
+    # slice: min-label propagation, one vertex-keyed join + min-agg
+    # per round, localCheckpoint lineage cap, fixpoint-tested — the
+    # duplicate-cluster canonicalization primitive (near_dup_clusters'
+    # one-band clustering generalized to any edge relation).
+    oracle="""
+        WITH RECURSIVE pairs AS (
+            SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            WHERE a.l_partkey < 1000 AND b.l_partkey < 1000
+        ), edges AS (
+            SELECT a AS s, b AS d FROM pairs
+            UNION ALL
+            SELECT b, a FROM pairs
+        ), verts AS (
+            SELECT DISTINCT s AS v FROM edges
+        ), lp(v, label) AS (
+            SELECT v, v FROM verts
+            UNION
+            SELECT e.d, lp.label
+            FROM lp JOIN edges e ON e.s = lp.v
+        )
+        SELECT CAST(v AS BIGINT) AS node,
+               CAST(MIN(label) AS BIGINT) AS component
+        FROM lp GROUP BY v
+    """,
+    description="Connected components (min-label propagation to "
+    "fixpoint) on the bounded co-purchase subgraph, vs a recursive-"
+    "CTE min-reachable-label oracle: every vertex labeled with its "
+    "component's minimum vertex id. One vertex-keyed equi-join + "
+    "min-agg per round, checkpointed, O(diameter) rounds — the "
+    "canonicalization step entity resolution and duplicate "
+    "clustering both reduce to.",
+    tags=["graph", "iterative", "join", "llm-pipeline"],
+)
+def q_connected_components_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import connected_components
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 1000)
+    e = _copurchase_pairs(li)
+    return connected_components(e, src="a", dst="b").select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 
 @register(
     "quantile_sketch_values",
@@ -9478,6 +9668,78 @@ def q_cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("true_join_rows"))
     )
     return est.join(F.broadcast(truth))
+
+
+@register(
+    "salted_skew_join",
+    # Skew-salted join PROVEN equivalent to the plain join (the oracle
+    # IS the unsalted form): the classic rewrite for a hot-keyed
+    # shuffle join that AQE's skew splitting can't reach (e.g. a
+    # shuffled-hash join, or a skewed aggregate feeding the join). The
+    # fact side tags each row with salt = pmod(event_id, S); the dim
+    # side is replicated S times via one explode(sequence) — the join
+    # key becomes (key, salt), splitting every hot key's rows across S
+    # shuffle partitions. events.event_type is exactly the 100 TB skew
+    # shape: 5 distinct keys, so an unsalted exchange lands 20% of the
+    # fact table in ONE task. Row-level correctness is visible in the
+    # output: each user's deviation sum mixes per-row dim lookups
+    # across types, all in exact integer cents.
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events
+        ), dim AS (
+            SELECT event_type,
+                   CAST(SUM(cents) AS BIGINT) AS type_sum,
+                   CAST(COUNT(*) AS BIGINT) AS type_cnt
+            FROM e GROUP BY 1
+        )
+        SELECT CAST(e.user_id AS BIGINT) AS user_id,
+               CAST(SUM(e.cents * d.type_cnt - d.type_sum) AS BIGINT)
+                   AS dev_units,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM e JOIN dim d ON e.event_type = d.event_type
+        GROUP BY e.user_id
+    """,
+    description="Hot-key salted join: dim replicated S=16x via "
+    "explode(sequence), fact salted with pmod(event_id, 16), join on "
+    "(event_type, salt) under a shuffle_hash hint (broadcast would "
+    "hide the exchange this rewrite exists to fix) — every hot key's "
+    "rows spread across 16 tasks instead of 1. The DuckDB oracle is "
+    "the UNSALTED join, so the hash match is the equivalence proof. "
+    "Per-user scaled deviation sum (cents*type_cnt - type_sum, exact "
+    "integers) makes row-level join correctness observable.",
+    tags=["join", "skew", "salting", "scale"],
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salt = 16
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    dim = ev.groupBy("event_type").agg(
+        F.sum("cents").cast("long").alias("type_sum"),
+        F.count(F.lit(1)).cast("long").alias("type_cnt"),
+    )
+    dim_rep = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    fact = ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(n_salt)).cast("int"))
+    joined = fact.join(
+        dim_rep.hint("shuffle_hash"),
+        ["event_type", "_salt"],
+    )
+    return joined.groupBy("user_id").agg(
+        F.sum(F.col("cents") * F.col("type_cnt") - F.col("type_sum"))
+        .cast("long")
+        .alias("dev_units"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"), "dev_units", "n_events"
+    )
 
 
 @register(
@@ -10996,6 +11258,9 @@ _PRIORITY_R07 = [
     # new in round 7 (never driver-checked)
     "ivfpq_exact_quantized",
     "cdc_scd2_history",
+    "connected_components_copurchase",
+    "salted_skew_join",
+    "psi_value_drift",
     # rows-only, never driver-executed in any round (VERDICT r6 #1)
     "ml_ensemble_scores",
     "ml_iforest_embeddings",

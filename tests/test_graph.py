@@ -1,0 +1,71 @@
+"""connected_components operator (operators/graph.py)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from financial_anomaly_detection_spark.operators.graph import connected_components
+
+
+def _union_find_truth(n_vertices, edges):
+    parent = list(range(n_vertices))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min vertex id in component
+    comp = {}
+    for v in range(n_vertices):
+        r = find(v)
+        comp.setdefault(r, []).append(v)
+    return {v: min(vs) for vs in comp.values() for v in vs}
+
+
+def test_connected_components_matches_union_find(spark):
+    rng = random.Random(7)
+    n = 400
+    # sparse random graph -> many components of varied sizes
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(300)})
+    edges = [(a, b) for a, b in edges if a != b]
+    truth = _union_find_truth(n, edges)
+    df = spark.createDataFrame(edges, "s long, d long").repartition(8)
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    # operator only labels vertices that appear in an edge
+    touched = {v for e in edges for v in e}
+    assert set(got) == touched
+    assert all(got[v] == truth[v] for v in touched)
+    # sanity: genuinely multiple components
+    assert len(set(got.values())) > 5
+
+
+def test_connected_components_path_graph_needs_diameter_rounds(spark):
+    # a 12-vertex path has diameter 11: min-label needs ~11 rounds, so
+    # a 3-round budget must raise rather than return unfinished labels
+    edges = [(i, i + 1) for i in range(11)]
+    df = spark.createDataFrame(edges, "s long, d long")
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(df, max_iter=3)
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {i: 0 for i in range(12)}
+
+
+def test_connected_components_check_every_skips_actions(spark):
+    edges = [(0, 1), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "s long, d long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, check_every=3).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 2, 3: 2, 4: 2}
