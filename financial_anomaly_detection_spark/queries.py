@@ -47,7 +47,7 @@ from .functions.scoring import (
     rule_flags,
     rule_score,
 )
-from .functions.mathfn import det_ln_sql
+from .functions.mathfn import det_exp_sql, det_ln_sql
 from .functions.timefn import dow_pandas, lookback_filter
 from .operators.prefix import ordered_prefix_sum
 from .functions.vectorfn import cosine_similarity, dot, l2_norm
@@ -6603,6 +6603,326 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic-transcendental fragments shared verbatim between the
+# Spark plans (F.expr) and the DuckDB oracles (see _PSI_* above and
+# functions/mathfn.py): identical parse trees -> bit-identical
+# doubles -> exact integer fixed-point columns.
+_KL_TERM_SQL = (
+    "CAST(floor(p * " + det_ln_sql("ratio") + " * 1e9 + 5e-1) AS BIGINT)"
+)
+_ENT_TERM_SQL = (
+    "CAST(floor(p * " + det_ln_sql("inv") + " * 1e9 + 5e-1) AS BIGINT)"
+)
+_PPLX_SQL = "CAST(floor(" + det_exp_sql("h") + " * 1e6 + 5e-1) AS BIGINT)"
+_SOFTMAX_E_SQL = "CAST(floor(" + det_exp_sql("hs") + " * 1e6 + 5e-1) AS BIGINT)"
+_TFIDF_SCORE_SQL = (
+    "CAST(floor((CAST(c AS DOUBLE) / CAST(len AS DOUBLE)) * ("
+    + det_ln_sql("rid")
+    + " + 1e0) * 1e9 + 5e-1) AS BIGINT)"
+)
+
+
+@register(
+    "kl_divergence_daily",
+    # Relative entropy of each day's event-type mix against the global
+    # mix — the information-theoretic drift monitor next to PSI
+    # (Kullback-Leibler 1951): KL(p||q) = sum_t p_t ln(p_t/q_t).
+    # Laplace-smoothed over the (day x type) spine so empty cells stay
+    # finite; per-cell terms floored to exact nano-nat integers AFTER
+    # the bit-identical deterministic ln, so the per-day sums are
+    # order-free. One (day, type) partial agg + a 5-row broadcast
+    # spine join — constant-width math at any fact scale.
+    oracle="""
+        WITH e AS (
+            SELECT epoch_us(ts) // 86400000000 AS day, event_type
+            FROM events
+        ), d AS (
+            SELECT day, event_type, COUNT(*) AS c FROM e GROUP BY 1, 2
+        ), dt AS (
+            SELECT day, SUM(c) AS n FROM d GROUP BY 1
+        ), g AS (
+            SELECT event_type, COUNT(*) AS gc FROM e GROUP BY 1
+        ), gt AS (
+            SELECT SUM(gc) AS gn FROM g
+        ), f AS (
+            SELECT dt.day, g.event_type, dt.n, g.gc,
+                   COALESCE(d.c, 0) AS c
+            FROM dt CROSS JOIN g
+            LEFT JOIN d ON d.day = dt.day AND d.event_type = g.event_type
+        ), r AS (
+            SELECT f.day, f.event_type, f.c,
+                   ((CAST(f.c AS DOUBLE) + 1e0)
+                    / (CAST(f.n AS DOUBLE) + 5e0)) AS p,
+                   ((CAST(f.gc AS DOUBLE) + 1e0)
+                    / (CAST(gt.gn AS DOUBLE) + 5e0)) AS q
+            FROM f, gt
+        ), rr AS (
+            SELECT day, event_type, c, p, q, (p / q) AS ratio FROM r
+        ), terms AS (
+            SELECT day, event_type, c, {KL_TERM} AS kl_term_nano FROM rr
+        )
+        SELECT CAST(day AS BIGINT) AS day,
+               event_type,
+               CAST(c AS BIGINT) AS n_type_events,
+               kl_term_nano,
+               CAST(SUM(kl_term_nano) OVER (PARTITION BY day) AS BIGINT)
+                   AS kl_day_nano
+        FROM terms
+    """.replace("{KL_TERM}", _KL_TERM_SQL),
+    description="Per-day KL divergence of the event-type mix vs the "
+    "global mix in exact nano-nat integers — PSI's information-"
+    "theoretic sibling, same deterministic-ln discipline (the shared "
+    "expression string is the oracle's, verbatim). Day-partitioned "
+    "window over a days x 5 grid; nothing global.",
+    tags=["drift", "monitoring", "aggregate"],
+)
+def q_kl_divergence_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"), "event_type"
+    )
+    d = e.groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    dt = d.groupBy("day").agg(F.sum("c").alias("n"))
+    g = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("gc"))
+    gt = g.agg(F.sum("gc").alias("gn"))
+    f = (
+        dt.crossJoin(F.broadcast(g))
+        .join(d, ["day", "event_type"], "left")
+        .select(
+            "day", "event_type", "n", "gc", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    r = f.join(F.broadcast(gt)).select(
+        "day",
+        "event_type",
+        "c",
+        F.expr(
+            "((CAST(c AS DOUBLE) + 1e0) / (CAST(n AS DOUBLE) + 5e0))"
+        ).alias("p"),
+        F.expr(
+            "((CAST(gc AS DOUBLE) + 1e0) / (CAST(gn AS DOUBLE) + 5e0))"
+        ).alias("q"),
+    )
+    rr = r.withColumn("ratio", F.expr("(p / q)"))
+    terms = rr.select(
+        "day", "event_type", "c", F.expr(_KL_TERM_SQL).alias("kl_term_nano")
+    )
+    wd = Window.partitionBy("day")
+    return terms.select(
+        F.col("day").cast("long").alias("day"),
+        "event_type",
+        F.col("c").cast("long").alias("n_type_events"),
+        "kl_term_nano",
+        F.sum("kl_term_nano").over(wd).cast("long").alias("kl_day_nano"),
+    )
+
+
+@register(
+    "entropy_user_types",
+    # Shannon entropy of each user's event-type mix (nats) plus the
+    # perplexity exp(H) — H through the deterministic ln, perplexity
+    # through the deterministic exp COMPOSED on the already-exact
+    # integer entropy, so both stay hash-stable. Empty cells
+    # contribute exactly 0 and are simply absent (no smoothing needed
+    # for entropy). gini_user_diversity is this family's log-free
+    # member; this is the information-theoretic one.
+    oracle="""
+        WITH c AS (
+            SELECT user_id, event_type, COUNT(*) AS c
+            FROM events GROUP BY 1, 2
+        ), n AS (
+            SELECT user_id, SUM(c) AS n FROM c GROUP BY 1
+        ), r AS (
+            SELECT c.user_id, c.c, n.n,
+                   (CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)) AS p,
+                   (CAST(n.n AS DOUBLE) / CAST(c.c AS DOUBLE)) AS inv
+            FROM c JOIN n USING (user_id)
+        ), terms AS (
+            SELECT user_id, n, {ENT_TERM} AS term_nano FROM r
+        ), agg AS (
+            SELECT user_id,
+                   CAST(ANY_VALUE(n) AS BIGINT) AS n_events,
+                   CAST(SUM(term_nano) AS BIGINT) AS entropy_nano
+            FROM terms GROUP BY user_id
+        ), h AS (
+            SELECT user_id, n_events, entropy_nano,
+                   (CAST(entropy_nano AS DOUBLE) / 1e9) AS h
+            FROM agg
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id, n_events, entropy_nano,
+               {PPLX} AS perplexity_micro
+        FROM h
+    """.replace("{ENT_TERM}", _ENT_TERM_SQL).replace("{PPLX}", _PPLX_SQL),
+    description="Per-user Shannon entropy of the event-type mix in "
+    "exact nano-nats, and its perplexity exp(H) in exact micro-units "
+    "— det_ln for the -p ln p terms, det_exp composed on the rounded "
+    "integer entropy (identical double on both engines by "
+    "construction). One (user, type) partial agg, user-keyed "
+    "everything.",
+    tags=["drift", "text", "aggregate"],
+)
+def q_entropy_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    n = c.groupBy("user_id").agg(F.sum("c").alias("n"))
+    r = c.join(n, "user_id").select(
+        "user_id",
+        F.expr("(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))").alias("p"),
+        F.expr("(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))").alias("inv"),
+        "n",
+    )
+    terms = r.select("user_id", "n", F.expr(_ENT_TERM_SQL).alias("term_nano"))
+    agg = terms.groupBy("user_id").agg(
+        F.any_value("n").cast("long").alias("n_events"),
+        F.sum("term_nano").cast("long").alias("entropy_nano"),
+    )
+    h = agg.withColumn("h", F.expr("(CAST(entropy_nano AS DOUBLE) / 1e9)"))
+    return h.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "n_events",
+        "entropy_nano",
+        F.expr(_PPLX_SQL).alias("perplexity_micro"),
+    )
+
+
+@register(
+    "softmax_temperature_mixing",
+    # Temperature softmax over per-source log-volume scores — the
+    # sampling-weight computation LLM data mixing actually runs
+    # (score = ln total chars, T = 2): w_s = exp(s_s/T) / sum_j
+    # exp(s_j/T). Both transcendentals go through the deterministic
+    # expressions; each exp is floored to exact integer micro-units
+    # BEFORE the normalization, which is then pure integer division —
+    # so the weights are exact permille-of-ppm integers on both
+    # engines. source_temperature_weights is the rational-power
+    # sibling; this is the true-softmax tier it could not express.
+    oracle="""
+        WITH s AS (
+            SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars
+            FROM documents GROUP BY source
+        ), l AS (
+            SELECT source, chars, CAST(chars AS DOUBLE) AS cd FROM s
+        ), sc AS (
+            SELECT source, chars, ({LN_CD} / 2e0) AS hs FROM l
+        ), e AS (
+            SELECT source, chars, {SM_E} AS e_units FROM sc
+        ), t AS (
+            SELECT SUM(e_units) AS total FROM e
+        )
+        SELECT e.source, e.chars AS total_chars, e.e_units,
+               CAST((e.e_units * 1000000) // t.total AS BIGINT) AS w_ppm
+        FROM e, t
+    """.replace("{LN_CD}", det_ln_sql("cd")).replace("{SM_E}", _SOFTMAX_E_SQL),
+    description="True temperature-softmax source mixing weights "
+    "(T=2 over ln char volume): deterministic ln + exp, exp floored "
+    "to integer micro-units pre-normalization so the final ppm "
+    "weights are exact integer arithmetic. 20 source rows; one "
+    "partial-agg shuffle at any corpus size.",
+    tags=["sampling", "llm-pipeline", "aggregate"],
+)
+def q_softmax_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.sum("n_chars").cast("long").alias("chars"))
+    sc = s.withColumn("cd", F.expr("CAST(chars AS DOUBLE)")).withColumn(
+        "hs", F.expr("(" + det_ln_sql("cd") + " / 2e0)")
+    )
+    e = sc.select("source", "chars", F.expr(_SOFTMAX_E_SQL).alias("e_units"))
+    t = e.agg(F.sum("e_units").alias("total"))
+    return e.join(F.broadcast(t)).select(
+        "source",
+        F.col("chars").alias("total_chars"),
+        "e_units",
+        F.expr("CAST((e_units * 1000000) div total AS BIGINT)").alias("w_ppm"),
+    )
+
+
+@register(
+    "tfidf_det_topk",
+    # Oracle-backed TF-IDF (the rows-only tfidf_top_terms pinned at
+    # the hash level, the lof_exact_quantized discipline): top-5 terms
+    # per document on a bounded 300-doc slice, score = tf * (ln((N+1)/
+    # (df+1)) + 1) — the smoothed-idf variant sklearn documents —
+    # with the ln through the deterministic expression and scores
+    # floored to exact nano integers before the per-doc rank.
+    oracle="""
+        WITH docs AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 300
+        ), e AS (
+            SELECT doc_id, u.w AS word
+            FROM docs, unnest(string_split_regex(trim(text), '\s+')) AS u(w)
+        ), c AS (
+            SELECT doc_id, word, COUNT(*) AS c FROM e GROUP BY 1, 2
+        ), len AS (
+            SELECT doc_id, SUM(c) AS len FROM c GROUP BY 1
+        ), df AS (
+            SELECT word, COUNT(DISTINCT doc_id) AS df FROM e GROUP BY 1
+        ), nd AS (
+            SELECT COUNT(*) AS nd FROM docs
+        ), r AS (
+            SELECT c.doc_id, c.word, c.c, len.len,
+                   ((CAST(nd.nd AS DOUBLE) + 1e0)
+                    / (CAST(df.df AS DOUBLE) + 1e0)) AS rid
+            FROM c
+            JOIN len USING (doc_id)
+            JOIN df USING (word), nd
+        ), scored AS (
+            SELECT doc_id, word, c, {SCORE} AS score_nano FROM r
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, word,
+               CAST(c AS BIGINT) AS tf_count, score_nano,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY score_nano DESC, word ASC) AS BIGINT) AS rn
+        FROM scored
+        QUALIFY rn <= 5
+    """.replace("{SCORE}", _TFIDF_SCORE_SQL),
+    description="TF-IDF top-5 terms per doc on a bounded slice, "
+    "hash-exact: smoothed idf via deterministic ln, integer nano "
+    "scores, (score desc, word) rank. Anchors the rows-only "
+    "tfidf_top_terms tier's math the way ann_exact_quantized anchors "
+    "ANN. Shuffle keys (doc, word) then word then doc — all "
+    "high-cardinality.",
+    tags=["text", "llm-pipeline", "oracle-surrogate"],
+)
+def q_tfidf_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    e = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    c = e.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    ln = c.groupBy("doc_id").agg(F.sum("c").alias("len"))
+    dfreq = e.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    r = (
+        c.join(ln, "doc_id")
+        .join(dfreq, "word")
+        .join(F.broadcast(nd))
+        .withColumn(
+            "rid",
+            F.expr(
+                "((CAST(nd AS DOUBLE) + 1e0) / (CAST(df AS DOUBLE) + 1e0))"
+            ),
+        )
+    )
+    scored = r.select(
+        "doc_id", "word", "c", F.expr(_TFIDF_SCORE_SQL).alias("score_nano")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_nano"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "word",
+            F.col("c").cast("long").alias("tf_count"),
+            "score_nano",
+            "rn",
+        )
+    )
+
+
 @register(
     "ks_value_drift",
     # Two-sample Kolmogorov-Smirnov drift test on the amount
@@ -11261,6 +11581,10 @@ _PRIORITY_R07 = [
     "connected_components_copurchase",
     "salted_skew_join",
     "psi_value_drift",
+    "kl_divergence_daily",
+    "entropy_user_types",
+    "softmax_temperature_mixing",
+    "tfidf_det_topk",
     # rows-only, never driver-executed in any round (VERDICT r6 #1)
     "ml_ensemble_scores",
     "ml_iforest_embeddings",

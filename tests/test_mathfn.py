@@ -44,3 +44,38 @@ def test_det_ln_exact_at_powers_of_two(spark):
     assert got[1.0] == 0.0
     assert got[4.0] == 2 * 0.6931471805599453
     assert got[0.25] == -2 * 0.6931471805599453
+
+
+def test_det_exp_bit_identical_across_engines_and_accurate(spark):
+    from financial_anomaly_detection_spark.functions.mathfn import det_exp_sql
+
+    vals = [x / 7.3 for x in range(-280, 281, 7)]
+    vals += [0.0, 1.0, -1.0, 39.9, -39.9, 1e-12, -1e-12]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v(x DOUBLE)")
+    con.executemany("INSERT INTO v VALUES (?)", [(v,) for v in vals])
+    duck = dict(con.sql(f"SELECT x, {det_exp_sql('x')} AS e FROM v").fetchall())
+    df = spark.createDataFrame([(v,) for v in vals], "x double").withColumn(
+        "e", F.expr(det_exp_sql("x"))
+    )
+    sp = {row["x"]: row["e"] for row in df.collect()}
+    for v in vals:
+        assert duck[v] == sp[v], f"engines disagree at {v}"
+        assert abs(sp[v] - math.exp(v)) / math.exp(v) < 1e-13, f"inaccurate at {v}"
+
+
+def test_det_literals_are_double_typed_in_spark(spark):
+    # the decimal-literal parser trap (a BIGINT floor times a DECIMAL
+    # literal stays exact-decimal and diverges ~1e-12): every fragment
+    # must evaluate as pure DOUBLE
+    from financial_anomaly_detection_spark.functions.mathfn import (
+        det_exp_sql,
+        det_ln_sql,
+    )
+
+    df = spark.createDataFrame([(3.7,)], "x double")
+    row = df.selectExpr(
+        f"typeof({det_ln_sql('x')}) AS tl",
+        f"typeof({det_exp_sql('x')}) AS te",
+    ).collect()[0]
+    assert row["tl"] == "double" and row["te"] == "double"
