@@ -5691,6 +5691,127 @@ def q_bm25_rational_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 det-ln fragments: rid{i} is the exact-integer odds ratio
+# (2(N-df)+1)/(2df+1) == (N-df+0.5)/(df+0.5); the term score is
+# ln(rid) * tf_part with the fraction-free tf_part of the rational
+# tier (k1=6/5, b=3/4 cleared by 20*W), floored to exact nano ints.
+_BM25_RID_SQL = (
+    "(CAST(2 * (n_docs - df{i}) + 1 AS DOUBLE)"
+    " / CAST(2 * df{i} + 1 AS DOUBLE))"
+)
+_BM25_TERM_SQL = (
+    "CAST(floor(" + det_ln_sql("rid{i}") + " * (CAST(44 * w_total * tf{i} AS DOUBLE)"
+    " / CAST(20 * w_total * tf{i} + 6 * w_total + 18 * dl * n_docs AS DOUBLE))"
+    " * 1e9 + 5e-1) AS BIGINT)"
+)
+
+
+@register(
+    "bm25_det_topk",
+    # True-log BM25 (Robertson & Sparck Jones; k1=1.2 b=0.75): the
+    # rational tier above keeps the ODDS ratio (2(N-df)+1)/(2df+1)
+    # unlogged to stay libm-free; with the deterministic ln that
+    # compromise is gone — idf = ln((N-df+0.5)/(df+0.5)) computed on
+    # the same exact-integer odds columns, per-term scores floored to
+    # exact nano integers AFTER the bit-identical double math, summed
+    # as integers (order-free), TakeOrdered top-20.
+    oracle="""
+        WITH w AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+') AS words
+            FROM documents
+        ), d AS (
+            SELECT doc_id,
+                   CAST(len(words) AS BIGINT) AS dl,
+                   CAST(len(list_filter(words, x -> x = 'table')) AS BIGINT) AS tf1,
+                   CAST(len(list_filter(words, x -> x = 'scan')) AS BIGINT) AS tf2,
+                   CAST(len(list_filter(words, x -> x = 'hash')) AS BIGINT) AS tf3
+            FROM w
+        ), g AS (
+            SELECT COUNT(*) AS n_docs,
+                   SUM(dl) AS w_total,
+                   SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                   SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+                   SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+            FROM d
+        ), r AS (
+            SELECT doc_id, dl, tf1, tf2, tf3, n_docs, w_total,
+                   (CAST(2 * (n_docs - df1) + 1 AS DOUBLE)
+                    / CAST(2 * df1 + 1 AS DOUBLE)) AS rid1,
+                   (CAST(2 * (n_docs - df2) + 1 AS DOUBLE)
+                    / CAST(2 * df2 + 1 AS DOUBLE)) AS rid2,
+                   (CAST(2 * (n_docs - df3) + 1 AS DOUBLE)
+                    / CAST(2 * df3 + 1 AS DOUBLE)) AS rid3
+            FROM d CROSS JOIN g
+            WHERE tf1 + tf2 + tf3 > 0
+        ), t AS (
+            SELECT doc_id, tf1, tf2, tf3,
+                   {T1} AS t1_nano, {T2} AS t2_nano, {T3} AS t3_nano
+            FROM r
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, tf1, tf2, tf3,
+               CAST(t1_nano + t2_nano + t3_nano AS BIGINT) AS score_nano
+        FROM t
+        ORDER BY score_nano DESC, doc_id
+        LIMIT 20
+    """.replace("{T1}", _BM25_TERM_SQL.format(i=1))
+    .replace("{T2}", _BM25_TERM_SQL.format(i=2))
+    .replace("{T3}", _BM25_TERM_SQL.format(i=3)),
+    description="BM25 top-20 with the TRUE log idf via the "
+    "deterministic ln (the rational tier's documented compromise "
+    "removed): per-term nano-int scores from bit-identical doubles, "
+    "integer sum, TakeOrdered. Same scale shape as the rational tier "
+    "— parallel scan + 1-row broadcast + k-row result, no shuffle.",
+    tags=["text", "retrieval", "llm-pipeline"],
+)
+def q_bm25_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+
+    def tf(term: str) -> Column:
+        return F.size(F.filter(words, lambda x: x == F.lit(term))).cast("long")
+
+    d = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("dl"),
+        tf("table").alias("tf1"),
+        tf("scan").alias("tf2"),
+        tf("hash").alias("tf3"),
+    )
+    g = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("w_total"),
+        F.sum((F.col("tf1") > 0).cast("long")).alias("df1"),
+        F.sum((F.col("tf2") > 0).cast("long")).alias("df2"),
+        F.sum((F.col("tf3") > 0).cast("long")).alias("df3"),
+    )
+    r = (
+        d.join(F.broadcast(g))
+        .filter(F.col("tf1") + F.col("tf2") + F.col("tf3") > 0)
+        .withColumn("rid1", F.expr(_BM25_RID_SQL.format(i=1)))
+        .withColumn("rid2", F.expr(_BM25_RID_SQL.format(i=2)))
+        .withColumn("rid3", F.expr(_BM25_RID_SQL.format(i=3)))
+    )
+    t = r.select(
+        "doc_id",
+        "tf1",
+        "tf2",
+        "tf3",
+        F.expr(_BM25_TERM_SQL.format(i=1)).alias("t1_nano"),
+        F.expr(_BM25_TERM_SQL.format(i=2)).alias("t2_nano"),
+        F.expr(_BM25_TERM_SQL.format(i=3)).alias("t3_nano"),
+    )
+    return (
+        t.withColumn(
+            "score_nano",
+            (F.col("t1_nano") + F.col("t2_nano") + F.col("t3_nano")).cast("long"),
+        )
+        .orderBy(F.col("score_nano").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", "tf1", "tf2", "tf3", "score_nano")
+    )
+
+
 @register(
     "pagerank_part_supplier",
     # Fixed-iteration PageRank (Page & Brin 1998) over the undirected
@@ -6844,7 +6965,7 @@ def q_softmax_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (df+1)) + 1) — the smoothed-idf variant sklearn documents —
     # with the ln through the deterministic expression and scores
     # floored to exact nano integers before the per-doc rank.
-    oracle="""
+    oracle=r"""
         WITH docs AS (
             SELECT doc_id, text FROM documents WHERE doc_id < 300
         ), e AS (
@@ -11149,6 +11270,126 @@ def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_point_in_time_join",
+    # The query a user runs right after building an SCD2 dimension:
+    # point-in-time fact enrichment — each purchase joined to the
+    # tier version VALID AT its timestamp. The oracle states it as
+    # the textbook interval join (user equi + valid_from <= ts < 
+    # valid_to); the Spark plan instead runs the SCALABLE form: union
+    # the version-boundary rows with the fact rows into one per-user
+    # timeline and take last_value(tier, ignorenulls) — an as-of
+    # lookup with ZERO joins, one user-keyed window, immune to the
+    # per-fact version fan-out an interval join pays on hot users. A
+    # version opened BY a purchase's own event sorts before the fact
+    # row at the same (us, event_id) (kind 0 < 1), matching the
+    # oracle's inclusive valid_from.
+    oracle="""
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) AS us, event_id,
+                   CASE WHEN value < 50 THEN 1
+                        WHEN value < 150 THEN 2
+                        ELSE 3 END AS tier
+            FROM events
+        ), marked AS (
+            SELECT user_id, us, event_id, tier,
+                   lag(tier) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) AS prev_tier
+            FROM e
+        ), versions AS (
+            SELECT user_id, tier, us AS valid_from_us, event_id
+            FROM marked
+            WHERE prev_tier IS NULL OR tier <> prev_tier
+        ), closed AS (
+            SELECT user_id, tier, valid_from_us, event_id,
+                   lead(valid_from_us) OVER (PARTITION BY user_id
+                       ORDER BY valid_from_us, event_id) AS valid_to_us
+            FROM versions
+        ), p AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   epoch_us(ts) // 86400000000 AS day,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ), j AS (
+            SELECT p.day, v.tier, p.cents
+            FROM p JOIN closed v
+              ON p.user_id = v.user_id
+             AND v.valid_from_us <= p.us
+             AND (v.valid_to_us IS NULL OR p.us < v.valid_to_us)
+        )
+        SELECT CAST(day AS BIGINT) AS day,
+               CAST(tier AS BIGINT) AS tier,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM j GROUP BY 1, 2
+    """,
+    description="Point-in-time SCD2 lookup: purchases enriched with "
+    "the tier version valid at their timestamp, aggregated by (day, "
+    "tier). Oracle = the interval join; Spark plan = the join-FREE "
+    "as-of form (version boundaries and facts unioned into one "
+    "per-user timeline, last_value ignorenulls window) — one "
+    "user-keyed sort shuffle total, no per-fact version fan-out. "
+    "Same-instant boundary semantics pinned by the kind sort key.",
+    tags=["cdc", "window", "asof", "warehouse"],
+)
+def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tier = (
+        F.when(F.col("value") < 50, 1).when(F.col("value") < 150, 2).otherwise(3)
+    )
+    e = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        tier.alias("tier"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    versions = (
+        e.withColumn("prev_tier", F.lag("tier").over(w))
+        .filter(F.col("prev_tier").isNull() | (F.col("tier") != F.col("prev_tier")))
+        .select(
+            "user_id",
+            "us",
+            "event_id",
+            F.lit(0).alias("kind"),
+            "tier",
+            F.lit(None).cast("long").alias("cents"),
+            F.lit(None).cast("long").alias("day"),
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("int").alias("tier"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    wt = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    timeline = versions.unionByName(facts).withColumn(
+        "cur_tier", F.last("tier", ignorenulls=True).over(wt)
+    )
+    return (
+        timeline.filter(F.col("kind") == 1)
+        .groupBy("day", "cur_tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .select(
+            F.col("day").cast("long").alias("day"),
+            F.col("cur_tier").cast("long").alias("tier"),
+            "n_purchases",
+            "sum_cents",
+        )
+    )
+
+
+@register(
     "map_functions_user_profile",
     # The §2.8 MAP-typed column family (map_from_entries, map_keys,
     # map_values, map_filter, transform_values, element_at) exercised
@@ -11568,6 +11809,11 @@ def q_levenshtein_parity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   4. the 17 oracle-backed queries whose freshest green is r3
 #      (VERDICT r6 missing #2 — the displaced constant-shape fills).
 # Everything past slot 50 has a green hash-match row in r4/r5/r6.
+# The window is EXACTLY full (5 changed + 9 new + 19 rows-only + 17
+# r3-stale); later-r7 additions (scd2_point_in_time_join, …) keep
+# pytest + local-sim evidence and lead the r8 rotation as
+# never-driver-checked queries rather than displace the r3-stale
+# refreshes (VERDICT r6 task 2's done-criterion needs ALL 17 green).
 _PRIORITY_R07 = [
     # changed in round 7 -> needs fresh evidence
     "ml_recon_mse_threshold",

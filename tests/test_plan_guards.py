@@ -164,6 +164,27 @@ EXPECTED = {
     # 200-row pinned slice, brand equi-joined to itself — no scans,
     # no NLJ (the < predicate rides the hash join as a filter)
     "levenshtein_parity_pairs": (0, {}),
+    # round-7 additions. The injected-quantizer ADC pin is pure Arrow
+    # kernels + (cell) equi-join; SCD2 is three user-keyed windows;
+    # CC's edge list is pinned via localCheckpoint (no parquet scans
+    # downstream); the salted join is a ShuffledHashJoin on
+    # (key, salt) — never NLJ. The det-math queries' NLJ allowances
+    # are all intentional bounded broadcasts over <=10-row post-agg
+    # frames (global-total scalars and the 10-bucket / 5-type spine).
+    "ivfpq_exact_quantized": (0, {"embeddings": 2}),
+    "cdc_scd2_history": (0, {"events": 5}),
+    "connected_components_copurchase": (0, {}),
+    "salted_skew_join": (0, {"events": 4}),
+    "psi_value_drift": (3, {"events": 2}),
+    "kl_divergence_daily": (2, {"events": 2}),
+    "entropy_user_types": (0, {"events": 2}),
+    "softmax_temperature_mixing": (1, {"documents": 2}),
+    "tfidf_det_topk": (1, {"documents": 2}),
+    # later-r7: the PIT lookup is the join-FREE as-of form (one
+    # user-keyed window over the unioned timeline); bm25's one NLJ is
+    # the 1-row corpus-stats broadcast shared with the rational tier
+    "scd2_point_in_time_join": (0, {"events": 5}),
+    "bm25_det_topk": (1, {"documents": 2}),
 }
 
 
