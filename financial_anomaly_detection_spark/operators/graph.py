@@ -14,6 +14,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _free_checkpoint(df: DataFrame) -> None:
+    """Release the block-manager storage behind a ``localCheckpoint``ed
+    DataFrame immediately.
+
+    The blocks are otherwise reclaimed only when the JVM Dataset is
+    garbage-collected, and py4j holds that reference until Python GC
+    runs — far too lazy for a convergence loop that supersedes a
+    generation per round (measured: 8 GB JVM exhausted at the x10
+    graph drill). The checkpointed Dataset's analyzed plan is a
+    LogicalRDD whose ``rdd`` accessor reaches the persisted RDD; pass
+    the CHECKPOINTED handle itself — on any other plan shape this is
+    a silent no-op, never an error.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "s",
@@ -43,13 +62,28 @@ def connected_components(
     edge list each round — worth it only on pathological-diameter
     graphs; co-occurrence graphs have tiny diameters).
 
-    Every iteration ``localCheckpoint``s the new label table — the
-    lineage cap every convergent loop needs (the BFS query's
-    discipline) — and every ``check_every`` rounds runs ONE count()
-    action over the changed labels to test the fixpoint (at very
-    large scale set ``check_every`` > 1 to trade wasted rounds for
-    fewer actions). Raises after ``max_iter`` rounds without
-    convergence rather than returning silently-unfinished labels.
+    Two failure modes shape the loop's memory discipline, both
+    measured here:
+
+    * ``persist`` alone is NOT a lineage cap — each generation's
+      LOGICAL plan references its parent twice (once in the union,
+      once through the messages join), so plan size doubles per round
+      and analysis OOMs after ~17 rounds even on a toy graph. Only
+      ``localCheckpoint`` (a LogicalRDD leaf) keeps plan size
+      constant — the repo-wide iterative discipline.
+    * localCheckpoint blocks are only reclaimed when the JVM Dataset
+      is garbage-collected, which via py4j is far too lazy for a
+      convergence loop: at the x10 drill scale (24M edges) the
+      accumulated superseded generations exhausted an 8 GB JVM when a
+      later broadcast tried to build. Each superseded generation's
+      checkpoint RDD is therefore unpersisted EXPLICITLY through its
+      analyzed-plan handle (``_free_checkpoint``).
+
+    Every ``check_every`` rounds ONE limit(1) count probes the
+    fixpoint (at very large scale set ``check_every`` > 1 to trade
+    wasted rounds for fewer probe actions). Raises after ``max_iter``
+    rounds without convergence rather than returning
+    silently-unfinished labels.
     """
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     sym = e.unionAll(
@@ -62,30 +96,42 @@ def connected_components(
         .withColumn("_lbl", F.col("_v"))
         .localCheckpoint(eager=True)
     )
-    for it in range(max_iter):
-        msgs = sym.join(
-            labels, sym["_s"] == labels["_v"]
-        ).select(F.col("_d").alias("_v"), F.col("_lbl"))
-        new = (
-            labels.unionAll(msgs)
-            .groupBy("_v")
-            .agg(F.min("_lbl").alias("_new"))
-            .localCheckpoint(eager=True)
+    try:
+        for it in range(max_iter):
+            # shuffle_hash, never broadcast: the label table scales
+            # with VERTICES, so broadcasting it is wrong at cluster
+            # scale — and locally the per-round broadcast builds were
+            # what exhausted the driver heap at the x10 drill (the
+            # checkpoint storage left no room to build). A vertex-
+            # keyed shuffle join has a flat memory profile at every
+            # scale.
+            msgs = sym.join(
+                labels.hint("shuffle_hash"), sym["_s"] == labels["_v"]
+            ).select(F.col("_d").alias("_v"), F.col("_lbl"))
+            new = (
+                labels.unionAll(msgs)
+                .groupBy("_v")
+                .agg(F.min("_lbl").alias("_new"))
+                .localCheckpoint(eager=True)
+            )
+            if (it + 1) % check_every == 0 or it == max_iter - 1:
+                changed = (
+                    new.join(labels, "_v")
+                    .filter(F.col("_new") < F.col("_lbl"))
+                    .limit(1)
+                    .count()
+                )
+            else:
+                changed = 1
+            _free_checkpoint(labels)  # retire the superseded generation
+            labels = new.select("_v", F.col("_new").alias("_lbl"))
+            if changed == 0:
+                return labels.select(
+                    F.col("_v").alias(out_vertex), F.col("_lbl").alias(out_col)
+                )
+        _free_checkpoint(new)
+        raise ValueError(
+            f"connected_components did not converge in {max_iter} iterations"
         )
-        if (it + 1) % check_every == 0 or it == max_iter - 1:
-            changed = (
-                new.join(labels, "_v")
-                .filter(F.col("_new") < F.col("_lbl"))
-                .limit(1)
-                .count()
-            )
-        else:
-            changed = 1
-        labels = new.select("_v", F.col("_new").alias("_lbl"))
-        if changed == 0:
-            return labels.select(
-                F.col("_v").alias(out_vertex), F.col("_lbl").alias(out_col)
-            )
-    raise ValueError(
-        f"connected_components did not converge in {max_iter} iterations"
-    )
+    finally:
+        _free_checkpoint(sym)

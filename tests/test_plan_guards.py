@@ -185,6 +185,9 @@ EXPECTED = {
     # the 1-row corpus-stats broadcast shared with the rational tier
     "scd2_point_in_time_join": (0, {"events": 5}),
     "bm25_det_topk": (1, {"documents": 2}),
+    # ER e2e: variant equi-join blocking + CC (checkpointed leaves) —
+    # zero NLJ, 2-col customer scan
+    "entity_resolution_e2e": (0, {"customer": 2}),
 }
 
 
