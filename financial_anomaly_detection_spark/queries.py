@@ -4864,6 +4864,48 @@ def q_ivfpq_exact_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winnow_fingerprint_md5",
+    # Hash-level oracle surrogate for the winnowing document
+    # fingerprint (Schleimer, Wilkerson & Aiken 2003 "Winnowing:
+    # Local Algorithms for Document Fingerprinting"): the production
+    # tier (text_lang_fingerprint / operators/textops.
+    # rolling_fingerprint) takes the min xxhash64 over character
+    # 8-gram rolling substrings — engine-specific hash, rows-only.
+    # Here the same minimum-sampling math runs on md5-derived 32-bit
+    # gram hashes both engines share (the minhash_exact_md5 /
+    # hll_exact_md5 discipline), entirely in higher-order functions:
+    # no explode, no shuffle — one map-side expression per document.
+    oracle="""
+        SELECT doc_id,
+               CAST(greatest(length(text) - 7, 1) AS BIGINT) AS n_grams,
+               CAST(list_min(list_transform(
+                   range(1, greatest(length(text) - 7, 1) + 1),
+                   i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT
+               )) AS BIGINT) AS fp_u
+        FROM documents
+    """,
+    description="Winnowing fingerprint with md5-surrogate hashes: min "
+    "32-bit gram hash over all character 8-grams per document, pure "
+    "higher-order functions (zero shuffle, zero explode — the gram "
+    "array never materializes past the expression). Pins the "
+    "minimum-sampling math of the rows-only xxhash64 tier. At 100 TB "
+    "this is embarrassingly parallel map work.",
+    tags=["text", "dedup", "oracle-surrogate", "llm-pipeline"],
+)
+def q_winnow_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("CAST(greatest(length(text) - 7, 1) AS BIGINT)").alias("n_grams"),
+        F.expr(
+            "CAST(array_min(transform(sequence(1, greatest(length(text) - 7, 1)), "
+            "i -> CAST(conv(substring(md5(substr(text, i, 8)), 1, 8), 16, 10) "
+            "AS BIGINT))) AS BIGINT)"
+        ).alias("fp_u"),
+    )
+
+
+@register(
     "minhash_exact_md5",
     # Hash-level oracle surrogate for the MinHash tier's signature math
     # (operators/dedup.py:minhash_near_dup — the MLlib hash family is
@@ -8218,6 +8260,109 @@ def q_entity_resolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
     return full.join(sizes, "canonical").select("name", "canonical", "cluster_size")
+
+
+@register(
+    "near_dup_clusters_md5",
+    # The near-dup CLUSTERING tier pinned at the hash level: the
+    # production near_dup_clusters is rows-only (MLlib MinHashLSH),
+    # but its structure — banded candidate pairs -> connected
+    # components -> one canonical id per duplicate cluster — is fully
+    # reproducible on the md5 signature family minhash_band_pairs_md5
+    # already pins. Composition proof: signatures, banding, pair
+    # join, CC fixpoint, singleton passthrough, and cluster sizes all
+    # hash-match a single relational DuckDB reconstruction.
+    oracle=_MINHASH_SIG_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + r"""
+        , bands AS (
+            SELECT doc_id, band_idx,
+                   CASE band_idx
+                        WHEN 0 THEN CAST(sig_0 AS VARCHAR) || '-' || CAST(sig_1 AS VARCHAR)
+                             || '-' || CAST(sig_2 AS VARCHAR) || '-' || CAST(sig_3 AS VARCHAR)
+                        WHEN 1 THEN CAST(sig_4 AS VARCHAR) || '-' || CAST(sig_5 AS VARCHAR)
+                             || '-' || CAST(sig_6 AS VARCHAR) || '-' || CAST(sig_7 AS VARCHAR)
+                        WHEN 2 THEN CAST(sig_8 AS VARCHAR) || '-' || CAST(sig_9 AS VARCHAR)
+                             || '-' || CAST(sig_10 AS VARCHAR) || '-' || CAST(sig_11 AS VARCHAR)
+                        ELSE CAST(sig_12 AS VARCHAR) || '-' || CAST(sig_13 AS VARCHAR)
+                             || '-' || CAST(sig_14 AS VARCHAR) || '-' || CAST(sig_15 AS VARCHAR)
+                   END AS band_key
+            FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_idx)
+        ), p AS (
+            SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+            FROM bands a
+            JOIN bands b ON a.band_idx = b.band_idx
+                        AND a.band_key = b.band_key
+                        AND a.doc_id < b.doc_id
+        ), e2 AS (
+            SELECT s, d FROM p UNION ALL SELECT d, s FROM p
+        ), verts AS (
+            SELECT DISTINCT s AS v FROM e2
+        ), lp(v, label) AS (
+            SELECT v, v FROM verts
+            UNION
+            SELECT e2.d, lp.label FROM lp JOIN e2 ON e2.s = lp.v
+        ), cc AS (
+            SELECT v AS doc_id, MIN(label) AS cluster FROM lp GROUP BY v
+        ), resolved AS (
+            SELECT d.doc_id, COALESCE(cc.cluster, d.doc_id) AS cluster
+            FROM documents d LEFT JOIN cc USING (doc_id)
+        ), sz AS (
+            SELECT cluster, COUNT(*) AS cluster_size
+            FROM resolved GROUP BY 1
+        )
+        SELECT r.doc_id, CAST(r.cluster AS BIGINT) AS cluster,
+               CAST(sz.cluster_size AS BIGINT) AS cluster_size
+        FROM resolved r JOIN sz USING (cluster)
+    """,
+    description="Near-duplicate clusters with hash-level oracle "
+    "parity: md5-family minhash signatures -> 4x4 banding -> "
+    "candidate pairs -> connected components -> canonical min-doc_id "
+    "cluster per document (singletons to themselves) + cluster "
+    "sizes. Pins the rows-only MLlib tier's clustering structure end "
+    "to end; every stage is band-key- or vertex-local at scale.",
+    tags=["dedup", "minhash", "graph", "oracle-surrogate", "llm-pipeline"],
+)
+def q_near_dup_clusters_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import connected_components
+
+    sigs = _md5_minhash_sigs(spark, sf_dir)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "-", *[F.col(f"sig_{4 * b + j}").cast("string") for j in range(4)]
+            )
+            for b in range(4)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("s"), F.col("b.doc_id").alias("d"))
+        .distinct()
+    )
+    cc = connected_components(
+        pairs, src="s", dst="d", out_vertex="doc_id", out_col="cluster"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    resolved = docs.join(cc, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster", F.col("doc_id")).alias("cluster")
+    )
+    sizes = resolved.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return resolved.join(sizes, "cluster").select(
+        "doc_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        "cluster_size",
+    )
 
 
 @register(

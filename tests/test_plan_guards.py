@@ -188,6 +188,11 @@ EXPECTED = {
     # ER e2e: variant equi-join blocking + CC (checkpointed leaves) —
     # zero NLJ, 2-col customer scan
     "entity_resolution_e2e": (0, {"customer": 2}),
+    # md5-surrogate tiers: winnowing is pure map-side HOFs; the
+    # cluster composition's CC leaves are checkpointed (doc scan is
+    # the singleton passthrough only)
+    "winnow_fingerprint_md5": (0, {"documents": 2}),
+    "near_dup_clusters_md5": (0, {"documents": 1}),
 }
 
 
