@@ -358,6 +358,12 @@ def near_dup_clusters(
             .limit(1)
             .count()
         )
+        # retire the superseded generation's checkpoint blocks (py4j GC
+        # is too lazy for convergence loops — see operators/graph.py's
+        # measured x10-drill failure)
+        from .graph import _free_checkpoint
+
+        _free_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break

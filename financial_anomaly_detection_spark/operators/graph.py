@@ -135,3 +135,106 @@ def connected_components(
         )
     finally:
         _free_checkpoint(sym)
+
+
+def connected_components_twophase(
+    edges: DataFrame,
+    src: str = "s",
+    dst: str = "d",
+    out_vertex: str = "node",
+    out_col: str = "component",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond", the Two-Phase algorithm) — the
+    O(log^2 n)-round upgrade over min-label propagation's O(diameter)
+    for pathological-diameter graphs (long chains, meshes). Same
+    contract as :func:`connected_components`: every vertex labeled
+    with its component's minimum vertex id.
+
+    Per round, TWO vertex-keyed shuffles over the current edge set:
+
+    * large-star — group the symmetric edge list by center u, compute
+      m(u) = min(N(u) + {u}) (one min-agg + one join-back, never a
+      collected neighborhood), reattach every STRICTLY LARGER
+      neighbor to m(u);
+    * small-star — orient each edge toward its larger endpoint, group
+      by that endpoint, reattach it and all its smaller neighbors to
+      the minimum.
+
+    Both steps strictly shrink a potential function, and the fixpoint
+    is a forest of stars (every edge (v, root)). Fixpoint detection is
+    EXACT: round output vs input compared by count + one-sided
+    exceptAll probe (both distinct sets). Edge sets are
+    localCheckpointed per round with superseded generations freed —
+    the same two memory disciplines as the label-prop loop.
+    """
+    e0 = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        e0.select(F.col("_a").alias("_v"))
+        .unionAll(e0.select(F.col("_b").alias("_v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = e0
+    try:
+        for _ in range(max_rounds):
+            # large-star on the symmetric view
+            sym = cur.select(F.col("_a").alias("_u"), F.col("_b").alias("_w")).unionAll(
+                cur.select(F.col("_b").alias("_u"), F.col("_a").alias("_w"))
+            )
+            m = sym.groupBy("_u").agg(
+                F.least(F.min("_w"), F.first("_u")).alias("_m")
+            )
+            large = (
+                sym.join(m.hint("shuffle_hash"), "_u")
+                .filter(F.col("_w") > F.col("_u"))
+                .select(F.col("_w").alias("_a"), F.col("_m").alias("_b"))
+                .filter(F.col("_a") != F.col("_b"))
+                .distinct()
+            )
+            # small-star on the larger-endpoint orientation
+            oriented = large.select(
+                F.greatest("_a", "_b").alias("_u"), F.least("_a", "_b").alias("_w")
+            )
+            m2 = oriented.groupBy("_u").agg(F.min("_w").alias("_m"))
+            attached = oriented.join(m2.hint("shuffle_hash"), "_u")
+            nxt = (
+                attached.select(F.col("_w").alias("_a"), F.col("_m").alias("_b"))
+                .unionAll(
+                    attached.select(F.col("_u").alias("_a"), F.col("_m").alias("_b"))
+                )
+                .filter(F.col("_a") != F.col("_b"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            same = (
+                nxt.count() == cur.count()
+                and nxt.exceptAll(cur).limit(1).count() == 0
+            )
+            if cur is not e0:
+                _free_checkpoint(cur)
+            cur = nxt
+            if same:
+                roots = cur.select(
+                    F.col("_a").alias("_v"), F.col("_b").alias("_lbl")
+                )
+                return (
+                    verts.join(roots, "_v", "left")
+                    .select(
+                        F.col("_v").alias(out_vertex),
+                        F.coalesce("_lbl", F.col("_v")).alias(out_col),
+                    )
+                )
+        raise ValueError(
+            f"connected_components_twophase did not converge in "
+            f"{max_rounds} rounds"
+        )
+    finally:
+        _free_checkpoint(e0)

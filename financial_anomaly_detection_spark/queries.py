@@ -9652,6 +9652,33 @@ def q_connected_components_copurchase(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "cc_twophase_copurchase",
+    # The alternating large-star/small-star algorithm (Kiveris 2014
+    # Two-Phase — O(log^2 n) rounds vs label-prop's O(diameter),
+    # machine-checked on a 64-path in tests/test_graph.py) run on the
+    # SAME bounded co-purchase subgraph and against the SAME
+    # recursive-CTE oracle as connected_components_copurchase: two
+    # independent distributed algorithms, one ground truth.
+    oracle=REGISTRY["connected_components_copurchase"].oracle,
+    description="Connected components via alternating star "
+    "contraction (two vertex-keyed shuffles per round, exact "
+    "fixpoint detection, checkpoint-freed generations) — the "
+    "pathological-diameter upgrade path, hash-matched against the "
+    "identical oracle as the label-prop tier.",
+    tags=["graph", "iterative", "join", "llm-pipeline"],
+)
+def q_cc_twophase_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import connected_components_twophase
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 1000)
+    e = _copurchase_pairs(li)
+    return connected_components_twophase(e, src="a", dst="b").select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+@register(
     "quantile_sketch_values",
     # Fully oracle-backed DESPITE the Arrow/numpy execution path: the
     # sketch is a deterministic pure function of the data (md5 group

@@ -193,6 +193,8 @@ EXPECTED = {
     # the singleton passthrough only)
     "winnow_fingerprint_md5": (0, {"documents": 2}),
     "near_dup_clusters_md5": (0, {"documents": 1}),
+    # two-phase star contraction: all leaves checkpointed, zero NLJ
+    "cc_twophase_copurchase": (0, {}),
 }
 
 
