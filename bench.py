@@ -67,6 +67,14 @@ slowdown. A degraded artifact carries the clean prior's canary
 median forward (``last_clean_canary_median``) so normalization
 stays anchored to the timings it actually compares against.
 
+The broad-slowdown guard trips only when RAW AND NORMALIZED geomeans
+both exceed the limit (``broad_slowdown``): the scan-bound canary can
+get faster for canary-specific reasons (page cache) while CPU-bound
+queries stay put, which deflates the host factor and inflates the
+normalized ratios of unchanged code — observed in round 7 as raw
+1.00 / normalized 1.18 on a healthy run. A genuine fleet-wide code
+regression on a steady host shows in both numbers.
+
 Each query is forced end-to-end with the ``noop`` datasource sink
 (full JVM-side computation, no collect-to-driver bottleneck, no
 count()-only plan pruning). One warmup run of the first query pays
@@ -163,6 +171,35 @@ def geomean_vs(
         return None
     s = sum(math.log(timings[n] / (prior[n] * host)) for n in common)
     return round(math.exp(s / len(common)), 3)
+
+
+def broad_slowdown(
+    timings: dict[str, float],
+    prior: dict[str, float],
+    host: float,
+    limit: float = GEOMEAN_LIMIT,
+) -> tuple[float | None, float | None, bool]:
+    """(raw geomean, host-normalized geomean, guard tripped?).
+
+    The guard trips only when BOTH exceed the limit. Either alone is
+    a known phantom: a uniformly slower host inflates the RAW ratios
+    of unchanged code (the r6 failure the normalization exists for),
+    and a canary that got faster for canary-specific reasons — the
+    scan-bound canary rides the page cache, CPU-bound queries don't —
+    deflates the host factor and inflates the NORMALIZED ratios of
+    unchanged code (observed r7: raw 1.00, normalized 1.18, zero real
+    regressions). A genuine fleet-wide code regression on a steady
+    host shows in both. The blind spot (code regressed <= limit x
+    host-speedup while the host genuinely got faster) is bounded by
+    the host factor and still covered per-query by the 2x rerun
+    guard.
+    """
+    raw = geomean_vs(timings, prior, 1.0)
+    norm = geomean_vs(timings, prior, host)
+    tripped = (
+        raw is not None and norm is not None and raw > limit and norm > limit
+    )
+    return raw, norm, tripped
 
 
 def _prior_from_artifact(obj: dict) -> tuple[dict[str, float], float | None]:
@@ -417,22 +454,24 @@ def main() -> None:
     # SEPARATELY from the attempt records — attempts[] is sweep-time
     # evidence (canary/load), and retroactively rewriting the selected
     # attempt would misreport why no retry fired.
-    geomean = geomean_vs(timings, prior, host_run)
-    geomean_re = geomean_vs(timings, re_prior, host_re)
+    geomean_raw, geomean, trip_run = broad_slowdown(timings, prior, host_run)
+    geomean_re_raw, geomean_re, trip_re = broad_slowdown(
+        timings, re_prior, host_re
+    )
     final_degraded = best["degraded"]
     final_reasons = list(best["degraded_reasons"])
-    if geomean is not None and geomean > GEOMEAN_LIMIT:
+    if trip_run:
         final_degraded = True
         final_reasons.append(
-            f"broad slowdown: geomean {geomean} vs prior > {GEOMEAN_LIMIT}"
-            f" (host-normalized /{round(host_run, 3)})"
+            f"broad slowdown: geomean raw {geomean_raw} / normalized "
+            f"{geomean} vs prior > {GEOMEAN_LIMIT} (host {round(host_run, 3)})"
         )
-    if geomean_re is not None and geomean_re > GEOMEAN_LIMIT:
+    if trip_re:
         final_degraded = True
         final_reasons.append(
-            f"broad slowdown: geomean {geomean_re} vs round-end "
-            f"{(re_commit or '?')[:12]} > {GEOMEAN_LIMIT}"
-            f" (host-normalized /{round(host_re, 3)})"
+            f"broad slowdown: geomean raw {geomean_re_raw} / normalized "
+            f"{geomean_re} vs round-end {(re_commit or '?')[:12]} > "
+            f"{GEOMEAN_LIMIT} (host {round(host_re, 3)})"
         )
 
     headline = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
@@ -446,7 +485,9 @@ def main() -> None:
         "sf": sf,
         "degraded": final_degraded,
         "geomean_vs_prior": geomean,
+        "geomean_vs_prior_raw": geomean_raw,
         "geomean_vs_round_end": geomean_re,
+        "geomean_vs_round_end_raw": geomean_re_raw,
         "round_end_commit": re_commit,
         "host_factor_vs_prior": round(host_run, 3),
         "host_factor_vs_round_end": round(host_re, 3),

@@ -98,3 +98,25 @@ def test_round_end_prior_reads_driver_round_commit():
     assert commit, "no driver round commit found"
     assert prior and all(v > 0 for v in prior.values())
     assert canary is None or canary > 0
+
+
+def test_broad_slowdown_needs_both_raw_and_normalized():
+    # r7 phantom: scan-bound canary rode the page cache 15% faster
+    # while CPU-bound queries were unchanged — normalized geomean 1.18
+    # on raw parity must NOT trip
+    timings = dict(PRIOR)
+    raw, norm, tripped = bench.broad_slowdown(timings, PRIOR, host=0.85)
+    assert abs(raw - 1.0) < 1e-9 and norm > bench.GEOMEAN_LIMIT
+    assert not tripped
+    # r6 phantom: uniformly slower host, unchanged code — raw 1.3,
+    # normalized 1.0 must NOT trip
+    slow = {n: t * 1.3 for n, t in PRIOR.items()}
+    raw, norm, tripped = bench.broad_slowdown(slow, PRIOR, host=1.3)
+    assert raw > bench.GEOMEAN_LIMIT and abs(norm - 1.0) < 1e-9
+    assert not tripped
+    # genuine fleet-wide regression on a steady host trips
+    reg = {n: t * 1.25 for n, t in PRIOR.items()}
+    raw, norm, tripped = bench.broad_slowdown(reg, PRIOR, host=1.0)
+    assert tripped and raw == norm
+    # no overlap -> never trips
+    assert bench.broad_slowdown({"x": 1.0}, PRIOR, host=1.0) == (None, None, False)
