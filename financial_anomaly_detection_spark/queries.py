@@ -7087,6 +7087,107 @@ def q_tfidf_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cramers_v_type_dow",
+    # Association strength between event type and day-of-week:
+    # chi-square over the 5x7 contingency table plus Cramer's V
+    # (chi2 / (n * min(r-1, c-1)), sqrt'd) — the normalized effect
+    # size the chisq drift family lacked. All cell terms are floored
+    # to exact nano integers BEFORE the total (order-free sum, the
+    # PSI discipline); V then derives from the integer total through
+    # one division and one sqrt — IEEE-754 sqrt is correctly rounded,
+    # so it is bit-identical across engines with no series tricks.
+    # dow = epoch-day % 7 (pure integer; independence doesn't care
+    # which weekday is 0, and no engine date semantics are involved).
+    oracle="""
+        WITH e AS (
+            SELECT event_type,
+                   (epoch_us(ts) // 86400000000) % 7 AS dow
+            FROM events
+        ), o AS (
+            SELECT event_type, dow, COUNT(*) AS o FROM e GROUP BY 1, 2
+        ), r AS (
+            SELECT event_type, SUM(o) AS rt FROM o GROUP BY 1
+        ), c AS (
+            SELECT dow, SUM(o) AS ct FROM o GROUP BY 1
+        ), n AS (
+            SELECT SUM(o) AS n FROM o
+        ), cells AS (
+            SELECT o.event_type, o.dow, o.o,
+                   CAST(floor(
+                       (CAST(o.o * n.n - r.rt * c.ct AS DOUBLE)
+                        * CAST(o.o * n.n - r.rt * c.ct AS DOUBLE))
+                       / (CAST(n.n AS DOUBLE) * CAST(r.rt AS DOUBLE)
+                          * CAST(c.ct AS DOUBLE))
+                       * 1e9 + 5e-1) AS BIGINT) AS term_nano,
+                   n.n
+            FROM o JOIN r USING (event_type) JOIN c USING (dow), n
+        ), tot AS (
+            SELECT CAST(SUM(term_nano) AS BIGINT) AS chi2_nano,
+                   CAST(ANY_VALUE(n) AS BIGINT) AS n
+            FROM cells
+        )
+        SELECT cells.event_type, CAST(cells.dow AS BIGINT) AS dow,
+               CAST(cells.o AS BIGINT) AS n_events,
+               cells.term_nano,
+               tot.chi2_nano,
+               CAST(floor(sqrt((CAST(tot.chi2_nano AS DOUBLE) / 1e9)
+                               / (CAST(tot.n AS DOUBLE) * 4e0))
+                          * 1e6 + 5e-1) AS BIGINT) AS cramers_v_micro
+        FROM cells, tot
+    """,
+    description="Chi-square + Cramer's V over the event-type x "
+    "day-of-week contingency table: per-cell (o*n - r*c)^2/(n*r*c) "
+    "terms in exact nano integers (order-free total), effect size "
+    "through one correctly-rounded IEEE sqrt — no libm divergence "
+    "possible. One partial-agg shuffle to a 35-cell grid; "
+    "constant-size math at any fact scale.",
+    tags=["drift", "monitoring", "aggregate", "stats"],
+)
+def q_cramers_v_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.expr("(unix_micros(ts) div 86400000000) % 7").alias("dow"),
+    )
+    o = e.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("o"))
+    r = o.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    c = o.groupBy("dow").agg(F.sum("o").alias("ct"))
+    n = o.agg(F.sum("o").alias("n"))
+    cells = (
+        o.join(r, "event_type")
+        .join(c, "dow")
+        .join(F.broadcast(n))
+        .select(
+            "event_type",
+            "dow",
+            "o",
+            "n",
+            F.expr(
+                "CAST(floor((CAST(o * n - rt * ct AS DOUBLE)"
+                " * CAST(o * n - rt * ct AS DOUBLE))"
+                " / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE)"
+                " * CAST(ct AS DOUBLE)) * 1e9 + 5e-1) AS BIGINT)"
+            ).alias("term_nano"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("term_nano").cast("long").alias("chi2_nano"),
+        F.any_value("n").cast("long").alias("n_total"),
+    )
+    return cells.drop("n").join(F.broadcast(tot)).select(
+        "event_type",
+        F.col("dow").cast("long").alias("dow"),
+        F.col("o").cast("long").alias("n_events"),
+        "term_nano",
+        "chi2_nano",
+        F.expr(
+            "CAST(floor(sqrt((CAST(chi2_nano AS DOUBLE) / 1e9)"
+            " / (CAST(n_total AS DOUBLE) * 4e0)) * 1e6 + 5e-1) AS BIGINT)"
+        ).alias("cramers_v_micro"),
+    )
+
+
+@register(
     "ks_value_drift",
     # Two-sample Kolmogorov-Smirnov drift test on the amount
     # distribution (reference window vs current window, same split as

@@ -195,6 +195,9 @@ EXPECTED = {
     "near_dup_clusters_md5": (0, {"documents": 1}),
     # two-phase star contraction: all leaves checkpointed, zero NLJ
     "cc_twophase_copurchase": (0, {}),
+    # three bounded broadcasts over the 35-cell grid (n scalar join x2
+    # consumers + the chi2 total scalar)
+    "cramers_v_type_dow": (3, {"events": 2}),
 }
 
 
