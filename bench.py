@@ -75,6 +75,15 @@ normalized ratios of unchanged code — observed in round 7 as raw
 1.00 / normalized 1.18 on a healthy run. A genuine fleet-wide code
 regression on a steady host shows in both numbers.
 
+Dual-canary cross-check (round 8): a single scan-shaped canary can
+launder a real scan-path regression — anything that slows the canary
+itself (session conf, parquet reader path) inflates the host factor
+and normalizes the regression away. A second canary with a different
+shape (a fixed-size python-worker Arrow round-trip, no file scan)
+now runs in the same brackets; the two host factors must agree
+within ``HOST_AGREE_BAND`` for normalization to apply, else the run
+is tagged ``host_ambiguous`` and the guards judge RAW ratios.
+
 Each query is forced end-to-end with the ``noop`` datasource sink
 (full JVM-side computation, no collect-to-driver bottleneck, no
 count()-only plan pruning). One warmup run of the first query pays
@@ -114,6 +123,17 @@ HEADLINE = [
 # Scan-bound, pure-Catalyst, ~0.2 s at sf0.1 — cheap enough to run 6x,
 # heavy enough that host contention shows up in it.
 CANARY = "events_scan_filter_project"
+
+# Fit-inclusive queries stay OUT of the perf sweep: their time is
+# dominated by model fitting (bounded-sample collects + driver-side
+# numpy), which buries scoring-plan regressions in fit noise (r7:
+# ml_ensemble_scores at 20.4 s was the sweep's most expensive entry,
+# none of it plan time). The fit-free twin below measures the plan;
+# the e2e keeps its CORRECTNESS role.
+SWEEP_EXCLUDE = {"ml_ensemble_scores"}
+# Queries whose fn caches expensive driver-side state on first call:
+# invoke once UN-measured so the measured invocation times the plan.
+PREFIT_WARMUP = ["ml_ensemble_scores_pretrained"]
 # Degradation = the host got SLOWER while the sweep ran, or a
 # contention spike hit one canary run. A min-max spread over all six
 # runs conflated warm-up (end batch FASTER than start — JIT + page
@@ -141,6 +161,18 @@ OUTLIER_FLOOR_SEC = 0.75
 # Per-query 2x reruns don't catch a fleet-wide +20%.
 GEOMEAN_LIMIT = 1.15
 
+# Dual-canary agreement band (round 8): a SINGLE scan-shaped canary
+# can launder a real scan-path regression as host noise — anything
+# that slows the canary itself (session conf, parquet reader path)
+# inflates the host factor and normalizes the regression away. A
+# second canary with a DIFFERENT shape (a fixed-size python-worker
+# Arrow round-trip, no parquet scan at all) cross-checks: the two
+# host factors must agree within this band for normalization to be
+# trusted; otherwise the run is tagged host_ambiguous and the guards
+# use RAW ratios (host 1.0). A genuine host event moves both shapes
+# together; a scan-path code regression moves only the scan canary.
+HOST_AGREE_BAND = 0.25
+
 
 def host_factor(canary_cur: float | None, canary_prior: float | None) -> float:
     """Host-speed ratio between two runs, from their canary medians.
@@ -153,6 +185,40 @@ def host_factor(canary_cur: float | None, canary_prior: float | None) -> float:
     if not canary_cur or not canary_prior or canary_prior <= 0:
         return 1.0
     return canary_cur / canary_prior
+
+
+def combined_host_factor(
+    scan_cur: float | None,
+    scan_prior: float | None,
+    py_cur: float | None,
+    py_prior: float | None,
+    band: float = HOST_AGREE_BAND,
+) -> tuple[float, bool]:
+    """(host factor, host_ambiguous) from BOTH canary shapes.
+
+    Both shapes have evidence: factors agreeing within ``band`` mean
+    a real host event — return their geometric mean. Disagreement
+    means something canary-shape-specific moved (a scan-path code
+    change, page-cache luck, a python-worker stall): normalization
+    would launder it, so return (1.0, True) and let the guards judge
+    RAW ratios. Only one shape has prior evidence (artifacts predating
+    round 8 carry no python canary): fall back to that single factor,
+    un-ambiguous — the legacy behavior.
+    """
+    f_scan = host_factor(scan_cur, scan_prior)
+    f_py = host_factor(py_cur, py_prior)
+    has_scan = bool(scan_cur and scan_prior)
+    has_py = bool(py_cur and py_prior)
+    if has_scan and has_py:
+        hi, lo = max(f_scan, f_py), min(f_scan, f_py)
+        if lo > 0 and hi / lo - 1.0 <= band:
+            return (f_scan * f_py) ** 0.5, False
+        return 1.0, True
+    if has_scan:
+        return f_scan, False
+    if has_py:
+        return f_py, False
+    return 1.0, False
 
 
 def geomean_vs(
@@ -202,23 +268,31 @@ def broad_slowdown(
     return raw, norm, tripped
 
 
-def _prior_from_artifact(obj: dict) -> tuple[dict[str, float], float | None]:
-    """(per-query prior map, matching canary median) from an artifact.
+def _prior_from_artifact(
+    obj: dict,
+) -> tuple[dict[str, float], float | None, float | None]:
+    """(per-query prior map, scan-canary median, python-canary median)
+    from an artifact.
 
     A degraded artifact's own numbers must never serve as priors; it
-    carries the last CLEAN map (and that map's canary median) forward
+    carries the last CLEAN map (and that map's canary medians) forward
     instead, so the comparison chain always anchors on a clean run.
+    Artifacts predating round 8 carry no python canary -> None.
     """
     if obj.get("degraded"):
         return (
             obj.get("last_clean_queries") or {},
             obj.get("last_clean_canary_median"),
+            obj.get("last_clean_canary_py_median"),
         )
-    return obj.get("queries") or {}, (obj.get("canary") or {}).get("median")
+    canary = obj.get("canary") or {}
+    return obj.get("queries") or {}, canary.get("median"), canary.get("py_median")
 
 
-def _round_end_prior(here: str) -> tuple[dict[str, float], float | None, str | None]:
-    """Prior map + canary median from the last ROUND-END artifact: the
+def _round_end_prior(
+    here: str,
+) -> tuple[dict[str, float], float | None, float | None, str | None]:
+    """Prior map + canary medians from the last ROUND-END artifact: the
     BENCH_FULL.json committed in the driver's ``round N: ...`` commit.
     Unlike the working-tree BENCH_FULL.json (overwritten every run),
     this anchor only moves at round boundaries, so a gradual
@@ -232,17 +306,17 @@ def _round_end_prior(here: str) -> tuple[dict[str, float], float | None, str | N
             capture_output=True, text=True, timeout=15,
         ).stdout.strip()
         if not head:
-            return {}, None, None
+            return {}, None, None, None
         blob = subprocess.run(
             ["git", "-C", here, "show", f"{head}:BENCH_FULL.json"],
             capture_output=True, text=True, timeout=15,
         )
         if blob.returncode != 0:
-            return {}, None, head
-        prior, canary = _prior_from_artifact(json.loads(blob.stdout))
-        return prior, canary, head
+            return {}, None, None, head
+        prior, canary, canary_py = _prior_from_artifact(json.loads(blob.stdout))
+        return prior, canary, canary_py, head
     except Exception:
-        return {}, None, None
+        return {}, None, None, None
 
 
 def force(df) -> None:
@@ -254,6 +328,34 @@ def _canary_times(spark, sf_dir: str, n: int = 3) -> list[float]:
     for _ in range(n):
         t0 = time.perf_counter()
         force(REGISTRY[CANARY].fn(spark, sf_dir))
+        out.append(round(time.perf_counter() - t0, 3))
+    return out
+
+
+def _canary_py_batch(batches):
+    # fixed CPU work per batch: the shape is python-worker fork +
+    # Arrow ser/de + a little numpy — deliberately NO file scan, so
+    # it moves independently of the parquet/scan path
+    import numpy as np
+
+    for pdf in batches:
+        pdf["id"] = np.sqrt(pdf["id"].to_numpy(dtype="float64")).astype("int64")
+        yield pdf
+
+
+def _canary_py_times(spark, n: int = 3) -> list[float]:
+    """The second canary SHAPE: a fixed-size python-worker Arrow
+    round-trip (no parquet scan, no registry query). Host contention
+    moves this AND the scan canary; a scan-path code change moves
+    only the scan canary — the disagreement is the signal."""
+    out = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        force(
+            spark.range(2_000_000)
+            .repartition(8)
+            .mapInPandas(_canary_py_batch, "id long")
+        )
         out.append(round(time.perf_counter() - t0, 3))
     return out
 
@@ -276,7 +378,9 @@ def run_sweep(spark, sf_dir: str, names: list[str], first_attempt: bool = True):
     # start triplet measures codegen, not the host (r6: 0.84 -> 0.55 s
     # warmup trend read as spread 2.63 and burned a full retry)
     _canary_times(spark, sf_dir, n=1)
+    _canary_py_times(spark, n=1)
     canary_start = _canary_times(spark, sf_dir)
+    canary_py_start = _canary_py_times(spark)
 
     # One failing query must not zero the whole round's bench (round 2
     # lost every number to a single AnalysisException): record the error
@@ -292,6 +396,7 @@ def run_sweep(spark, sf_dir: str, names: list[str], first_attempt: bool = True):
             errors[name] = f"{type(e).__name__}: {e}"[:300]
 
     canary_end = _canary_times(spark, sf_dir)
+    canary_py_end = _canary_py_times(spark)
     try:
         load_end = os.getloadavg()[0]
     except OSError:  # pragma: no cover
@@ -329,6 +434,11 @@ def run_sweep(spark, sf_dir: str, names: list[str], first_attempt: bool = True):
         "drift": round(drift, 3),
         "spike_max": max(all_canary),
         "median": round(med_all, 3),
+        "py_start": canary_py_start,
+        "py_end": canary_py_end,
+        "py_median": round(
+            statistics.median(canary_py_start + canary_py_end), 3
+        ),
         "load1_start": load_start,
         "load1_end": load_end,
     }
@@ -347,7 +457,9 @@ def main() -> None:
     # other registered query — full registry coverage so each operator
     # has a per-round perf trace.
     names = [n for n in HEADLINE if n in REGISTRY]
-    names += [n for n in REGISTRY if n not in names]
+    names += [
+        n for n in REGISTRY if n not in names and n not in SWEEP_EXCLUDE
+    ]
 
     # Warmup: pay JVM/codegen startup outside the measured window.
     try:
@@ -372,6 +484,15 @@ def main() -> None:
         )
     except Exception:
         pass
+    # Pre-fit warmup: pay model fits OUTSIDE the measured window so the
+    # pretrained twins time only their scoring plans (building the
+    # DataFrame triggers the cached fit; the plan itself stays lazy).
+    for name in PREFIT_WARMUP:
+        if name in REGISTRY:
+            try:
+                REGISTRY[name].fn(spark, sf_dir)
+            except Exception:
+                pass
 
     attempts = []
     for attempt in range(max_attempts):
@@ -409,18 +530,28 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     prior: dict[str, float] = {}
     prior_canary: float | None = None
+    prior_canary_py: float | None = None
     try:
         with open(os.path.join(here, "BENCH_FULL.json")) as f:
-            prior, prior_canary = _prior_from_artifact(json.load(f))
+            prior, prior_canary, prior_canary_py = _prior_from_artifact(
+                json.load(f)
+            )
     except (OSError, ValueError):
         pass
-    re_prior, re_canary, re_commit = _round_end_prior(here)
+    re_prior, re_canary, re_canary_py, re_commit = _round_end_prior(here)
     cur_canary = best["canary"]["median"]
+    cur_canary_py = best["canary"].get("py_median")
     # host-speed factors: divide each cur/prior ratio by these so a
     # uniformly slower (or faster) HOST neither trips the guards nor
-    # masks a real code regression
-    host_run = host_factor(cur_canary, prior_canary)
-    host_re = host_factor(cur_canary, re_canary)
+    # masks a real code regression. Both canary SHAPES must agree for
+    # normalization to apply — a scan-only slowdown is a code signal,
+    # not a host one, and the guards then judge raw ratios.
+    host_run, ambiguous_run = combined_host_factor(
+        cur_canary, prior_canary, cur_canary_py, prior_canary_py
+    )
+    host_re, ambiguous_re = combined_host_factor(
+        cur_canary, re_canary, cur_canary_py, re_canary_py
+    )
     reruns: dict[str, dict] = {}
     outliers: list[str] = []
     for name, t in sorted(timings.items()):
@@ -491,6 +622,8 @@ def main() -> None:
         "round_end_commit": re_commit,
         "host_factor_vs_prior": round(host_run, 3),
         "host_factor_vs_round_end": round(host_re, 3),
+        "host_ambiguous_vs_prior": ambiguous_run,
+        "host_ambiguous_vs_round_end": ambiguous_re,
         "canary": best["canary"],
         "attempts": [
             {k: a[k] for k in ("total", "degraded", "degraded_reasons", "canary")}
@@ -504,6 +637,7 @@ def main() -> None:
         # not this degraded run's
         full["last_clean_queries"] = prior
         full["last_clean_canary_median"] = prior_canary
+        full["last_clean_canary_py_median"] = prior_canary_py
     if errors:
         full["errors"] = errors
     if reruns:

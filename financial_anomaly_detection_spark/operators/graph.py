@@ -13,6 +13,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# Rounds-to-fixpoint of the most recent convergence-loop call, keyed by
+# function name — drill/observability metadata only (tools/
+# diameter_drill.py records it); never read by query logic.
+LAST_RUN_STATS: dict[str, int] = {}
+
 
 def _free_checkpoint(df: DataFrame) -> None:
     """Release the block-manager storage behind a ``localCheckpoint``ed
@@ -126,6 +131,7 @@ def connected_components(
             _free_checkpoint(labels)  # retire the superseded generation
             labels = new.select("_v", F.col("_new").alias("_lbl"))
             if changed == 0:
+                LAST_RUN_STATS["connected_components"] = it + 1
                 return labels.select(
                     F.col("_v").alias(out_vertex), F.col("_lbl").alias(out_col)
                 )
@@ -184,7 +190,7 @@ def connected_components_twophase(
     )
     cur = e0
     try:
-        for _ in range(max_rounds):
+        for rnd in range(max_rounds):
             # large-star on the symmetric view
             sym = cur.select(F.col("_a").alias("_u"), F.col("_b").alias("_w")).unionAll(
                 cur.select(F.col("_b").alias("_u"), F.col("_a").alias("_w"))
@@ -222,6 +228,7 @@ def connected_components_twophase(
                 _free_checkpoint(cur)
             cur = nxt
             if same:
+                LAST_RUN_STATS["connected_components_twophase"] = rnd + 1
                 roots = cur.select(
                     F.col("_a").alias("_v"), F.col("_b").alias("_lbl")
                 )

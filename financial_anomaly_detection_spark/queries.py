@@ -2849,6 +2849,64 @@ def q_text_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _vec_scalars(col: str, prefix: str) -> list[Column]:
+    """Project an array<float> column to canonicalizer-safe scalars.
+
+    The driver canonicalizes results through pandas ``sort_values``,
+    which cannot order ndarray cells (CORRECTNESS_r07: ``TypeError:
+    unhashable type: 'numpy.ndarray'``). Driver-facing multimodal
+    queries therefore emit a quantized md5 of the vector plus element
+    aggregates; the array form stays in the operator API
+    (operators/multimodal.py IMAGE/VIDEO_FEATURES_SCHEMA).
+    """
+    quantized = F.transform(
+        F.col(col), lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long")
+    )
+    dim = F.size(F.col(col))
+    return [
+        F.md5(F.concat_ws(",", quantized)).alias(f"{prefix}_md5"),
+        dim.cast("long").alias(f"{prefix}_dim"),
+        sround(F.array_min(F.col(col)).cast("double"), 6).alias(f"{prefix}_min"),
+        sround(F.array_max(F.col(col)).cast("double"), 6).alias(f"{prefix}_max"),
+        sround(
+            F.aggregate(
+                F.col(col), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            )
+            / F.greatest(dim, F.lit(1)).cast("double"),
+            6,
+        ).alias(f"{prefix}_mean"),
+    ]
+
+
+def _image_features_flat(feats: DataFrame) -> DataFrame:
+    """Driver-facing projection of IMAGE_FEATURES_SCHEMA (array-free)."""
+    return feats.select(
+        F.col("doc_id").cast("long"),
+        F.col("width").cast("int"),
+        F.col("height").cast("int"),
+        F.col("channels").cast("int"),
+        sround(F.col("mean_intensity"), 6).alias("mean_intensity"),
+        *_vec_scalars("feature_vec", "fvec"),
+        F.col("decoder"),
+    )
+
+
+def _video_features_flat(feats: DataFrame) -> DataFrame:
+    """Driver-facing projection of VIDEO_FEATURES_SCHEMA (array-free)."""
+    return feats.select(
+        F.col("doc_id").cast("long"),
+        F.col("n_frames").cast("int"),
+        F.col("width").cast("int"),
+        F.col("height").cast("int"),
+        sround(F.col("fps"), 6).alias("fps"),
+        sround(F.col("duration_sec"), 6).alias("duration_sec"),
+        sround(F.col("mean_intensity"), 6).alias("mean_intensity"),
+        sround(F.col("motion_score"), 6).alias("motion_score"),
+        *_vec_scalars("sampled_means", "frames"),
+        F.col("decoder"),
+    )
+
+
 @register(
     "multimodal_image_features",
     oracle=None,
@@ -2857,7 +2915,10 @@ def q_text_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pure-stdlib PNG codec (operators/codecs.py — zlib inflate + "
     "unfilter per the public spec) in a mapInPandas stage; rows tagged "
     "decoder='png-purepy'. PIL wins when installed; undecodable bytes "
-    "fall to a tagged stub.",
+    "fall to a tagged stub. Driver-facing output scalarizes feature_vec "
+    "(quantized md5 + element aggregates) because the driver's pandas "
+    "sort_values canonicalizer cannot order array cells; the vector "
+    "form stays in decode_image_features.",
     tags=["multimodal", "mapinpandas"],
 )
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2865,7 +2926,7 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     media = attach_png_payload(docs, "doc_id")
-    return decode_image_features(media, "doc_id", "payload")
+    return _image_features_flat(decode_image_features(media, "doc_id", "payload"))
 
 
 @register(
@@ -2884,7 +2945,7 @@ def q_multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     media = attach_jpeg_payload(docs, "doc_id")
-    return decode_image_features(media, "doc_id", "payload")
+    return _image_features_flat(decode_image_features(media, "doc_id", "payload"))
 
 
 @register(
@@ -2942,7 +3003,7 @@ def q_multimodal_mjpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     media = attach_mjpeg_payload(docs, "doc_id")
-    return decode_video_features(media, "doc_id", "payload")
+    return _video_features_flat(decode_video_features(media, "doc_id", "payload"))
 
 
 @register(
@@ -2961,7 +3022,7 @@ def q_multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     media = attach_avi_payload(docs, "doc_id")
-    return decode_video_features(media, "doc_id", "payload")
+    return _video_features_flat(decode_video_features(media, "doc_id", "payload"))
 
 
 # ---------------------------------------------------------------------------
@@ -3075,6 +3136,44 @@ def q_ml_ensemble_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the window features + MLlib transform) and returns an eagerly
     # checkpointed result with every pin released.
     return ens.fit_transform(feature_df, id_col="event_id")
+
+
+# One-slot cache for the pretrained bench twin: (appId, sf_dir) -> fitted
+# ensemble. bench.py invokes the query once un-measured so the fit lands
+# outside the measured window; the timed invocation then measures ONLY
+# the scoring plan (VERDICT r7 task 5 — the fit-inclusive e2e conflated
+# model-fit time with query time and masked scoring-plan regressions).
+_PRETRAINED_ENSEMBLE: dict = {}
+
+
+@register(
+    "ml_ensemble_scores_pretrained",
+    oracle=None,
+    description="Fit-free bench twin of ml_ensemble_scores (pattern: "
+    "ml_fusion_scores_precomputed): the ensemble fits ONCE per "
+    "(session, sf_dir) and is cached driver-side; repeat invocations "
+    "measure only the scoring plan — MLlib transform + three "
+    "Arrow-vectorized model kernels + rules + fusion + risk bucket. "
+    "ml_ensemble_scores keeps the fit-inclusive e2e role.",
+    tags=["ml", "ensemble", "bench-twin"],
+)
+def q_ml_ensemble_scores_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ml.ensemble import AnomalyEnsemble
+    from .ml.features import prepare_event_features
+
+    ev = load_table(spark, sf_dir, "events")
+    feature_df = prepare_event_features(ev)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    ens = _PRETRAINED_ENSEMBLE.get(key)
+    if ens is None:
+        ens = AnomalyEnsemble(
+            seed=42,
+            rule_large_amount=EV_LARGE_AMOUNT,
+            high_risk_amount=EV_HIGH_RISK_AMOUNT,
+        ).fit(feature_df)
+        _PRETRAINED_ENSEMBLE.clear()  # one slot: stale sessions keep JVM refs
+        _PRETRAINED_ENSEMBLE[key] = ens
+    return ens.transform(feature_df, id_col="event_id")
 
 
 @register(
@@ -12155,8 +12254,91 @@ def q_levenshtein_parity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exceeds 50, the overflow rotates across rounds: queries rotated out
 # this round all have green hash-match evidence from a previous round.
 
-# Round-7 window (stalest-evidence-first rotation, same policy as
-# r4/r5/r6), 50 slots:
+# Round-8 window (stalest-evidence-first rotation, same policy as
+# r4-r7), 50 slots:
+#   1. queries whose code changed in r8 — the four multimodal queries
+#      that ERRORED in the r7 window (array<double> columns broke the
+#      driver's pandas sort_values canonicalizer; now projected to
+#      quantized-md5 + element-aggregate scalars, VERDICT r7 task 1);
+#   2. queries NEW in r8 — ml_ensemble_scores_pretrained (the
+#      fit-free bench twin, VERDICT r7 task 5);
+#   3. the 7 oracle-backed queries that landed after the r7 window
+#      closed and have NEVER had a driver execution (VERDICT r7
+#      missing #1): bm25_det_topk, cc_twophase_copurchase,
+#      cramers_v_type_dow, entity_resolution_e2e,
+#      near_dup_clusters_md5, scd2_point_in_time_join,
+#      winnow_fingerprint_md5;
+#   4. 38 of the 47 oracle-backed queries whose freshest green is r4
+#      (three rounds stale — VERDICT r7 task 3). The 9 left out for
+#      lack of slots (amount_histogram, array_map_functions,
+#      cube_nation_priority, explode_type_matrix, having_active_users,
+#      ntile_distribution_ranks, rollup_order_volume,
+#      scalar_subquery_above_avg, union_all_monthly_activity) are the
+#      lowest-risk constant-shape aggregate/pivot/set queries; they
+#      keep their banked r4 greens and lead the r9 rotation.
+# Everything past slot 50 has a green hash-match row in r4-r7. New
+# r8 queries added after this window fills keep pytest + local-sim
+# evidence and lead the r9 rotation (r7 precedent) rather than
+# displace stale refreshes.
+_PRIORITY_R08 = [
+    # changed in round 8 -> must re-execute clean (r7 driver errors)
+    "multimodal_image_features",
+    "multimodal_jpeg_features",
+    "multimodal_mjpeg_features",
+    "multimodal_video_features",
+    # new in round 8 (never driver-checked)
+    "ml_ensemble_scores_pretrained",
+    # landed after the r7 window; never driver-executed
+    "bm25_det_topk",
+    "cc_twophase_copurchase",
+    "cramers_v_type_dow",
+    "entity_resolution_e2e",
+    "near_dup_clusters_md5",
+    "scd2_point_in_time_join",
+    "winnow_fingerprint_md5",
+    # oracle-backed, freshest green r4 (38 of 47 — see header item 4)
+    "ann_cosine_topk",
+    "ann_exact_quantized",
+    "asof_forward_click_purchase",
+    "benchmark_contamination",
+    "bigram_coverage_quality",
+    "bm25_rational_topk",
+    "chisq_type_drift",
+    "chunk_text_windows",
+    "cohort_retention",
+    "curation_pipeline_e2e",
+    "dedup_keep_first",
+    "deterministic_split",
+    "duplicate_chunks_across_docs",
+    "embedding_cosine_near_dup",
+    "embedding_norm_stats",
+    "event_type_association_rules",
+    "ewma_amounts",
+    "funnel_conversion",
+    "gini_user_diversity",
+    "int8_quantize_embeddings",
+    "lang_token_stats",
+    "loo_target_encode",
+    "minhash_band_pairs_md5",
+    "minhash_exact_md5",
+    "ngram_jaccard_pairs",
+    "pack_sequences_2048",
+    "pagerank_part_supplier",
+    "pii_scrub_documents",
+    "profile_window_7d",
+    "q11_important_parts",
+    "quantile_rank_embeddings",
+    "rfm_segments",
+    "scd2_user_tiers",
+    "simhash_exact_md5",
+    "skyline_pareto_parts",
+    "text_quality_profile",
+    "text_quality_stats",
+    "weighted_sample_docs",
+]
+
+# Round-7 window kept for provenance (stalest-evidence-first rotation,
+# same policy as r4/r5/r6), 50 slots:
 #   1. queries whose code changed in r7 — ml_recon_mse_threshold
 #      (ordered_rank_desc gained the infinity screen),
 #      mahalanobis_outliers (degenerate-channel coalesce fix),
@@ -12624,9 +12806,10 @@ _PRIORITY_R03 = [
 
 
 def _ordered_names() -> list[str]:
-    pri = [n for n in _PRIORITY_R07 if n in REGISTRY]
+    pri = [n for n in _PRIORITY_R08 if n in REGISTRY]
     # prior-round orderings fill next (their own stalest-first
     # logic), then the rest of the registry
+    pri += [n for n in _PRIORITY_R07 if n in REGISTRY and n not in pri]
     pri += [n for n in _PRIORITY_R06 if n in REGISTRY and n not in pri]
     pri += [n for n in _PRIORITY_R05 if n in REGISTRY and n not in pri]
     pri_set = set(pri)

@@ -47,17 +47,29 @@ def norm(v):
         return "NaN" if math.isnan(v) else repr(v + 0.0)
     if isinstance(v, (datetime, date)):
         return v.isoformat()
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
     return v
 
 
+def canonical_frame(rows, cols):
+    """The driver's canonicalization path: pandas sort_values over the
+    whole result frame. This RAISES on array/map/struct cells exactly
+    like the real driver did in r7 (TypeError: unhashable type) — the
+    previous repr-sort silently accepted them, which is how the four
+    multimodal queries shipped red."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=list(cols))
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf.columns) and len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    return pdf.reset_index(drop=True)
+
+
 def value_hash(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    canon = sorted([tuple(norm(r[i]) for i in order) for r in rows], key=repr)
+    pdf = canonical_frame(rows, cols)
     h = hashlib.md5()
-    for r in canon:
-        h.update(repr(r).encode())
+    for r in pdf.itertuples(index=False, name=None):
+        h.update(repr(tuple(norm(v) for v in r)).encode())
     return h.hexdigest()
 
 
@@ -69,6 +81,9 @@ for name, fn in qs.items():
     s_rows = [tuple(r) for r in sdf.collect()]
     s_cols = sdf.columns
     if name not in oracles:
+        # rows-only results still pass through the driver's pandas
+        # canonicalizer — run it so array-cell outputs error here too
+        canonical_frame(s_rows, s_cols)
         print(f"ROWSONLY {name}: rows={len(s_rows)}")
         continue
     rel = con.sql(oracles[name])

@@ -43,6 +43,48 @@ def _norm_cell(v):
     return v
 
 
+def driver_canonicalize(rows, colnames):
+    """Reproduce the REAL driver's canonicalization: a pandas frame
+    sorted with ``sort_values`` over every column.
+
+    Round-7 lesson (CORRECTNESS_r07): our repr-based sort accepted
+    array-typed cells that the driver's pandas path cannot order
+    (``TypeError: unhashable type: 'numpy.ndarray'``), so four
+    multimodal queries shipped driver-red despite a green local sim.
+    Any query output with array/map/struct cells must raise HERE,
+    locally, first.
+    """
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=list(colnames))
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf.columns) and len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    return pdf.reset_index(drop=True)
+
+
+_COMPLEX_TYPE_NAMES = ("ArrayType", "MapType", "StructType")
+
+
+def assert_canonicalizer_safe(df, name: str, rows=None):
+    """Fail if a driver-facing output would break the driver's pandas
+    canonicalizer: complex-typed top-level columns, or cells the
+    sort_values path cannot order."""
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if type(f.dataType).__name__ in _COMPLEX_TYPE_NAMES
+    ]
+    assert not bad, (
+        f"{name}: driver-facing output has complex-typed columns {bad} — "
+        "the driver's pandas sort_values canonicalizer cannot order "
+        "array/map/struct cells (r7: multimodal_*_features). Project to "
+        "scalars (quantized md5 + element aggregates)."
+    )
+    if rows is not None:
+        driver_canonicalize([tuple(r) for r in rows], df.columns)
+
+
 def _canon(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]

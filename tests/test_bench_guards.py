@@ -75,18 +75,23 @@ def test_geomean_no_overlap_is_none():
 
 
 def test_prior_from_artifact_degraded_carries_clean_map_and_canary():
-    clean = {"queries": {"a": 1.0}, "canary": {"median": 0.3}}
-    q, c = bench._prior_from_artifact(clean)
-    assert q == {"a": 1.0} and c == 0.3
+    clean = {"queries": {"a": 1.0}, "canary": {"median": 0.3, "py_median": 0.5}}
+    q, c, cp = bench._prior_from_artifact(clean)
+    assert q == {"a": 1.0} and c == 0.3 and cp == 0.5
     degraded = {
         "degraded": True,
         "queries": {"a": 9.0},
-        "canary": {"median": 0.9},
+        "canary": {"median": 0.9, "py_median": 1.5},
         "last_clean_queries": {"a": 1.0},
         "last_clean_canary_median": 0.3,
+        "last_clean_canary_py_median": 0.5,
     }
-    q, c = bench._prior_from_artifact(degraded)
-    assert q == {"a": 1.0} and c == 0.3
+    q, c, cp = bench._prior_from_artifact(degraded)
+    assert q == {"a": 1.0} and c == 0.3 and cp == 0.5
+    # pre-round-8 artifacts carry no python canary
+    legacy = {"queries": {"a": 1.0}, "canary": {"median": 0.3}}
+    q, c, cp = bench._prior_from_artifact(legacy)
+    assert q == {"a": 1.0} and c == 0.3 and cp is None
 
 
 def test_round_end_prior_reads_driver_round_commit():
@@ -94,10 +99,47 @@ def test_round_end_prior_reads_driver_round_commit():
     # committed BENCH_FULL.json — the anchor must resolve to a
     # non-empty map with a canary median.
     here = os.path.join(os.path.dirname(__file__), "..")
-    prior, canary, commit = bench._round_end_prior(here)
+    prior, canary, canary_py, commit = bench._round_end_prior(here)
     assert commit, "no driver round commit found"
     assert prior and all(v > 0 for v in prior.values())
     assert canary is None or canary > 0
+    assert canary_py is None or canary_py > 0
+
+
+def test_dual_canary_agreement_normalizes():
+    # Genuine host event: both canary shapes 1.5x slower -> factors
+    # agree -> geometric-mean factor, NOT ambiguous, and a uniformly
+    # 1.5x-slower sweep normalizes clean.
+    host, ambiguous = bench.combined_host_factor(0.45, 0.30, 1.5, 1.0)
+    assert not ambiguous and abs(host - 1.5) < 1e-9
+    timings = {n: t * 1.5 for n, t in PRIOR.items()}
+    raw, norm, tripped = bench.broad_slowdown(timings, PRIOR, host=host)
+    assert not tripped and abs(norm - 1.0) < 1e-9
+
+
+def test_scan_only_slowdown_is_ambiguous_and_trips_raw():
+    # The round-7 blind spot: a scan-path code regression (session
+    # conf, parquet reader) slows the scan canary 2x while the
+    # python-worker canary is flat. The single-canary design would
+    # normalize the whole sweep by 2x and classify the regression as
+    # host noise. The dual-canary guard must refuse to normalize
+    # (host_ambiguous) and judge raw ratios — which trip.
+    host, ambiguous = bench.combined_host_factor(0.60, 0.30, 1.0, 1.0)
+    assert ambiguous and host == 1.0
+    timings = {n: t * 2.0 for n, t in PRIOR.items()}  # every scan 2x
+    raw, norm, tripped = bench.broad_slowdown(timings, PRIOR, host=host)
+    assert tripped and raw == norm and raw > bench.GEOMEAN_LIMIT
+
+
+def test_single_canary_fallback_for_legacy_priors():
+    # Artifacts predating round 8 have no python-canary median: fall
+    # back to the scan factor alone, un-ambiguous (legacy behavior).
+    host, ambiguous = bench.combined_host_factor(0.45, 0.30, 1.2, None)
+    assert not ambiguous and abs(host - 1.5) < 1e-9
+    host, ambiguous = bench.combined_host_factor(None, None, 1.5, 1.0)
+    assert not ambiguous and abs(host - 1.5) < 1e-9
+    host, ambiguous = bench.combined_host_factor(None, None, None, None)
+    assert not ambiguous and host == 1.0
 
 
 def test_broad_slowdown_needs_both_raw_and_normalized():

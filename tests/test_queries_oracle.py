@@ -10,7 +10,11 @@ from __future__ import annotations
 import pytest
 
 from financial_anomaly_detection_spark.queries import REGISTRY
-from tests.oracle_harness import compare, duck_connection
+from tests.oracle_harness import (
+    assert_canonicalizer_safe,
+    compare,
+    duck_connection,
+)
 
 ORACLE_QUERIES = [n for n, s in REGISTRY.items() if s.oracle is not None]
 ROWS_ONLY_QUERIES = [n for n, s in REGISTRY.items() if s.oracle is None]
@@ -27,6 +31,7 @@ def duck(sf_dir):
 def test_query_matches_oracle(spark, sf_dir, duck, name):
     spec = REGISTRY[name]
     df = spec.fn(spark, sf_dir)
+    assert_canonicalizer_safe(df, name)
     res = compare(df, duck, spec.oracle)
     assert res["rowcount_match"], f"{name}: rows {res['spark_rows']} != {res['oracle_rows']}"
     assert res["schema_match"], f"{name}: cols {res['spark_cols']} != {res['oracle_cols']}"
@@ -43,8 +48,14 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
 def test_rows_only_query_runs(spark, sf_dir, name):
     spec = REGISTRY[name]
     df = spec.fn(spark, sf_dir)
-    assert df.count() >= 0
     assert len(df.columns) > 0
+    # Driver contract: the driver collects the FULL result and pushes
+    # it through a pandas sort_values canonicalizer. Run the same path
+    # here so a query emitting array/map/struct cells fails locally
+    # before it ever reaches a driver window (r7 defect class).
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert_canonicalizer_safe(df, name, rows=rows)
 
 
 # --- short-document robustness -------------------------------------------

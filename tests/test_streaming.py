@@ -846,3 +846,87 @@ def test_moments_sink_rehydrates_after_restart(spark, tmp_path):
     # at-least-once replay is idempotent
     sink2(frame([card2]), 1)
     assert run2[1]["card"] == corr_quantized(m_card2)
+
+
+# --- streaming entity resolution (round 8, VERDICT r7 task 8) ------------
+#
+# The batch entity_resolution_e2e query proves blocking + clustering
+# against a recursive-CTE oracle; this is its SERVING-path twin — the
+# reference's record-at-a-time shape (api/app.py:91-265) — resolving
+# incoming records in foreachBatch via a broadcast stream-static join
+# against the batch-built canonical map.
+
+
+def test_stream_entity_resolution_against_canonical_map(spark, tmp_path):
+    from financial_anomaly_detection_spark.streaming.entity_resolution import (
+        build_canonical_index,
+        resolve_names,
+    )
+
+    # batch leg: a curated name catalog with two fuzzy clusters
+    # {alice, alyce, alice!} (pairwise-or-transitively ed1) and
+    # {robert, roberta}, plus a singleton
+    known = spark.createDataFrame(
+        [("alice",), ("alyce",), ("alicee",), ("robert",), ("roberta",),
+         ("zanele",)],
+        "name string",
+    )
+    index = build_canonical_index(known, "name").localCheckpoint(eager=True)
+    batch_canon = {
+        r["name"]: r["canonical"]
+        for r in index.select("name", "canonical").distinct().collect()
+    }
+    # CC ground truth: min-name canonical per cluster
+    assert batch_canon == {
+        "alice": "alice", "alyce": "alice", "alicee": "alice",
+        "robert": "robert", "roberta": "robert",
+        "zanele": "zanele",
+    }
+
+    # stream leg: new records arrive one per micro-batch — a known
+    # name, an UNSEEN typo of a known name, and a novel name
+    src = tmp_path / "records"
+    src.mkdir()
+    incoming = [
+        ("r1", "alyce"),    # known -> cluster canonical
+        ("r2", "alice "),   # unseen trailing-space typo -> ed1 match
+        ("r3", "xolani"),   # novel -> itself, matched=false
+    ]
+    for rid, name in incoming:
+        with open(src / f"{rid}.json", "w") as f:
+            json.dump({"record_id": rid, "name": name}, f)
+
+    stream = (
+        spark.readStream.schema("record_id string, name string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    seen: list = []
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, _bid: seen.extend(
+                resolve_names(bdf, index, "name").collect()
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["record_id"]: (r["canonical"], r["matched"]) for r in seen}
+    assert got == {
+        "r1": ("alice", True),
+        "r2": ("alice", True),
+        "r3": ("xolani", False),
+    }
+
+    # stream == batch parity: the same records through the static plan
+    static = resolve_names(
+        spark.createDataFrame(
+            [{"record_id": rid, "name": n} for rid, n in incoming],
+            "record_id string, name string",
+        ),
+        index,
+        "name",
+    ).collect()
+    assert {r["record_id"]: (r["canonical"], r["matched"]) for r in static} == got
