@@ -61,11 +61,22 @@ def connected_components(
     into the previous ones. Both shuffles key on vertex id —
     high-cardinality and AQE-splittable at 100 TB. Labels are
     monotonically non-increasing, so iteration converges in at most
-    O(diameter) rounds (plain label-prop; the large-star/small-star
-    doubling of Kiveris 2014 "Connected Components in MapReduce and
-    Beyond" drops that to O(log d) rounds at the cost of rewiring the
-    edge list each round — worth it only on pathological-diameter
-    graphs; co-occurrence graphs have tiny diameters).
+    O(diameter) rounds.
+
+    ROUTING (measured, tools/diameter_drill.py, SCALING.md §round-8):
+    rounds here are EXACTLY the graph diameter (path fixtures: 64 /
+    256 / 1024 rounds at diameters 63 / 255 / 1023), while
+    :func:`connected_components_twophase` (Kiveris 2014 large-star/
+    small-star) stays flat at 7-11 rounds across that whole range —
+    its per-round cost is ~3-4x (two shuffles + an exact exceptAll
+    probe, edge-set-sized state), so label-prop wins only while
+    rounds stay small. Use THIS function when the expected diameter
+    is ≲ ~30 (co-occurrence / similarity / entity-match graphs — the
+    pipeline's native shapes, all <10 measured); route chains,
+    meshes, road-network-like or UNKNOWN-diameter graphs to
+    two-phase. A robust unknown-diameter pattern: run this with
+    ``max_iter≈32`` and fall back to two-phase on the convergence
+    ValueError — the wasted rounds are bounded and cheap.
 
     Two failure modes shape the loop's memory discipline, both
     measured here:

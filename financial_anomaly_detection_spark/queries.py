@@ -12244,6 +12244,500 @@ def q_levenshtein_parity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-8 additions: sequence modeling, time-series decomposition,
+# runtime-filter join pruning, reconciliation checksums
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seasonal_decompose_daily",
+    # Additive seasonal decomposition of the daily event-value series:
+    # trend = centered 7-day moving average (RANGE +-3 over the integer
+    # day index), seasonal = day-of-week mean deviation from the global
+    # mean, residual = value - trend - seasonal. All sums are exact
+    # integer cents; every double is a single int/int division or a
+    # fixed-association row-wise combination, so the decomposition is
+    # bit-identical across engines. The windows/joins all run on the
+    # DAY-grain frame (~hundreds of rows at any fact scale) — the
+    # day-grain global window is the benign tiny-spine pattern, not a
+    # full-data funnel.
+    oracle=f"""
+        WITH e AS (
+            SELECT epoch_us(ts) // 86400000000 AS day,
+                   CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM events
+        ), d AS (
+            SELECT day, SUM(cents) AS c, COUNT(*) AS n FROM e GROUP BY 1
+        ), tw AS (
+            SELECT day, c,
+                   SUM(c) OVER w AS sw, COUNT(*) OVER w AS cw
+            FROM d
+            WINDOW w AS (ORDER BY day
+                         RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ), g AS (
+            SELECT SUM(c) AS gs, COUNT(*) AS gn FROM d
+        ), s AS (
+            SELECT day % 7 AS dow, SUM(c) AS ds, COUNT(*) AS dn
+            FROM d GROUP BY 1
+        ), j AS (
+            SELECT tw.day, tw.c,
+                   (CAST(tw.sw AS DOUBLE) / CAST(tw.cw AS DOUBLE)) AS trend,
+                   ((CAST(s.ds AS DOUBLE) / CAST(s.dn AS DOUBLE))
+                    - (CAST(g.gs AS DOUBLE) / CAST(g.gn AS DOUBLE)))
+                       AS seasonal
+            FROM tw JOIN s ON tw.day % 7 = s.dow CROSS JOIN g
+        )
+        SELECT CAST(day AS BIGINT) AS day,
+               CAST(c AS BIGINT) AS value_cents,
+               {sround_sql('trend', 4)} AS trend_cents,
+               {sround_sql('seasonal', 4)} AS seasonal_cents,
+               {sround_sql('(CAST(c AS DOUBLE) - trend) - seasonal', 4)}
+                   AS residual_cents
+        FROM j
+    """,
+    description="Additive trend/seasonal/residual decomposition of the "
+    "daily value series: exact-cents daily sums, centered 7-day RANGE "
+    "moving average for trend — the component dow_seasonality_index "
+    "(the r5 multiplicative dow profile) does not extract — plus "
+    "day-of-week mean deviation and the residual. The fact-sized work "
+    "is ONE (day) partial agg; everything after runs on the day-grain "
+    "spine.",
+    tags=["timeseries", "window", "aggregate"],
+)
+def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    d = e.groupBy("day").agg(
+        F.sum("cents").alias("c"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day").rangeBetween(-3, 3)
+    tw = d.select(
+        "day", "c",
+        F.sum("c").over(w).alias("sw"),
+        F.count(F.lit(1)).over(w).alias("cw"),
+    )
+    g = d.agg(F.sum("c").alias("gs"), F.count(F.lit(1)).alias("gn"))
+    s = d.groupBy((F.col("day") % 7).alias("dow")).agg(
+        F.sum("c").alias("ds"), F.count(F.lit(1)).alias("dn")
+    )
+    j = (
+        tw.join(F.broadcast(s), tw["day"] % 7 == s["dow"])
+        .crossJoin(F.broadcast(g))
+        .select(
+            "day", "c",
+            (F.col("sw").cast("double") / F.col("cw").cast("double")).alias(
+                "trend"
+            ),
+            (
+                (F.col("ds").cast("double") / F.col("dn").cast("double"))
+                - (F.col("gs").cast("double") / F.col("gn").cast("double"))
+            ).alias("seasonal"),
+        )
+    )
+    return j.select(
+        F.col("day").cast("long"),
+        F.col("c").cast("long").alias("value_cents"),
+        sround(F.col("trend"), 4).alias("trend_cents"),
+        sround(F.col("seasonal"), 4).alias("seasonal_cents"),
+        sround(
+            (F.col("c").cast("double") - F.col("trend")) - F.col("seasonal"), 4
+        ).alias("residual_cents"),
+    )
+
+
+@register(
+    "runtime_filter_semi_join",
+    # Declarative runtime-filter join pruning — the bloom-filter-join
+    # idea as a composition: hash the dim keys into a FIXED 2^20
+    # bucket space (the portable multiplicative hash below, NOT
+    # engine xxhash), broadcast the distinct-bucket set (bounded at
+    # ~1M ints no matter how large the dim grows — the property that
+    # makes this broadcastable where the raw key set is not), LEFT
+    # SEMI the fact side on bucket membership BEFORE the exact
+    # equi-join. Bucket collisions only ever ADD candidate rows, and
+    # the exact join removes them — so the result equals the plain
+    # join, which is precisely what the oracle checks.
+    oracle="""
+        WITH dim AS (
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_mktsegment = 'BUILDING'
+        )
+        SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(o.o_custkey AS BIGINT) AS o_custkey,
+               d.c_name,
+               CAST(floor(CAST(o.o_totalprice AS DOUBLE) * 100 + 0.5)
+                    AS BIGINT) AS total_cents
+        FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+    """,
+    description="Runtime-filter join LOSSLESSNESS pin: the r5 "
+    "bloom_semi_join_prune primitive measured the filter's FPR ledger; "
+    "this composes the prune into the full join and proves the "
+    "composition exact. The BUILDING-segment dim's keys hash into a "
+    "2^20 bucket set (Knuth multiplicative hash — engine-portable), "
+    "the fact side is pruned by a broadcast bucket semi-join before "
+    "the exact equi-join, and the oracle is the PLAIN join. At 100 TB "
+    "the bucket set stays <=1M ints however big the dim is, and the "
+    "pruned fact shuffle carries only ~1/5 of the rows.",
+    tags=["join", "runtime-filter", "scale"],
+)
+def q_runtime_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_name"
+    )
+    # Knuth multiplicative hash into 2^20 buckets — pure integer
+    # arithmetic, identical on any engine (keys are positive; the
+    # product stays < 2^63 up to ~3.4e9 keys)
+    def bkt(col):
+        return (F.col(col).cast("long") * F.lit(2654435761)) % F.lit(1 << 20)
+
+    buckets = dim.select(bkt("c_custkey").alias("_bkt")).distinct()
+    pruned = orders.withColumn("_bkt", bkt("o_custkey")).join(
+        F.broadcast(buckets), "_bkt", "left_semi"
+    )
+    return pruned.join(dim, pruned["o_custkey"] == dim["c_custkey"]).select(
+        F.col("o_orderkey").cast("long"),
+        F.col("o_custkey").cast("long"),
+        "c_name",
+        F.floor(F.col("o_totalprice").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("total_cents"),
+    )
+
+
+@register(
+    "table_fingerprint_checksum",
+    # Order-invariant content fingerprint per table slice — the
+    # reconciliation primitive for verifying a 100 TB copy/migration
+    # without moving the data twice: each row hashes to a 32-bit
+    # integer via the engine-portable md5-prefix trick (integer and
+    # ISO-date renderings only — no double formatting in the hash
+    # input), and the slice digest is the commutative (bit_xor, count,
+    # sum) triple, computable as ONE partial-aggregated scan on each
+    # side independently. XOR alone is blind to duplicated row PAIRS;
+    # the count and the value sum in the same triple close that hole.
+    oracle="""
+        WITH r AS (
+            SELECT l_returnflag,
+                   ('0x' || substr(md5(
+                        CAST(l_orderkey AS VARCHAR) || '|' ||
+                        CAST(l_linenumber AS VARCHAR) || '|' ||
+                        CAST(l_partkey AS VARCHAR) || '|' ||
+                        CAST(l_suppkey AS VARCHAR) || '|' ||
+                        CAST(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100
+                                        + 0.5) AS BIGINT) AS VARCHAR) || '|' ||
+                        CAST(l_shipdate AS VARCHAR)
+                   ), 1, 8))::BIGINT AS sig,
+                   CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5)
+                        AS BIGINT) AS cents
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               CAST(bit_xor(sig) AS BIGINT) AS xor_sig,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM r GROUP BY 1
+    """,
+    description="Per-returnflag order-invariant table checksum: "
+    "portable md5-prefix row signatures folded with bit_xor + count + "
+    "exact cents sum. One partial-agg scan, no shuffle beyond the "
+    "3-row group key — run it on source and replica independently and "
+    "compare 3 rows instead of re-reading 100 TB twice.",
+    tags=["aggregate", "reconciliation", "scale"],
+)
+def q_table_fingerprint_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice").cast("double") * 100 + F.lit(0.5)
+    ).cast("long")
+    row_str = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        cents.cast("string"),
+        F.col("l_shipdate").cast("string"),
+    )
+    sig = F.conv(F.substring(F.md5(row_str), 1, 8), 16, 10).cast("long")
+    return (
+        li.select("l_returnflag", sig.alias("sig"), cents.alias("cents"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.bit_xor("sig").cast("long").alias("xor_sig"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+@register(
+    "threshold_sweep_pr",
+    # Model-evaluation family (new in r8 — the engine scored anomalies
+    # for seven rounds with no distributed evaluator): precision /
+    # recall / F1 at EVERY decision threshold of an integer risk
+    # score, as one pass. The deterministic fixture: label = cents >=
+    # 20000 (the rule_score large-amount shape), score = graded value
+    # points + error-type bump + night bump (0..11, integer — so
+    # bucketing is exact). The fact-sized work is ONE (score, label)
+    # partial agg to a <=24-cell grid; the sweep itself is
+    # cumulative-from-top window sums ON THE GRID, and every metric is
+    # a SINGLE int/int division (F1 via 2tp/(2tp+fp+fn) — never
+    # composed from the rounded precision/recall doubles).
+    oracle=f"""
+        WITH e AS (
+            SELECT CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)
+                       AS cents,
+                   event_type,
+                   (epoch_us(ts) // 3600000000) % 24 AS hour
+            FROM events
+        ), s AS (
+            SELECT CASE WHEN cents >= 20000 THEN 1 ELSE 0 END AS label,
+                   least(cents // 5000, 8)
+                   + CASE WHEN event_type = 'error' THEN 2 ELSE 0 END
+                   + CASE WHEN hour < 6 THEN 1 ELSE 0 END AS score
+            FROM e
+        ), g AS (
+            SELECT score, label, COUNT(*) AS c FROM s GROUP BY 1, 2
+        ), grid AS (
+            SELECT t.score AS threshold,
+                   COALESCE(SUM(CASE WHEN g.score >= t.score AND g.label = 1
+                                     THEN g.c END), 0) AS tp,
+                   COALESCE(SUM(CASE WHEN g.score >= t.score AND g.label = 0
+                                     THEN g.c END), 0) AS fp,
+                   COALESCE(SUM(CASE WHEN g.score < t.score AND g.label = 1
+                                     THEN g.c END), 0) AS fn
+            FROM (SELECT DISTINCT score FROM g) t CROSS JOIN g
+            GROUP BY 1
+        )
+        SELECT CAST(threshold AS BIGINT) AS threshold,
+               CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn,
+               {sround_sql('CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)', 6)}
+                   AS precision_,
+               {sround_sql('CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)', 6)}
+                   AS recall_,
+               {sround_sql(
+                   'CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)',
+                   6,
+               )} AS f1
+        FROM grid WHERE tp + fp > 0 AND tp + fn > 0
+    """,
+    description="Distributed threshold-sweep evaluation: P/R/F1 at "
+    "every threshold of an integer risk score in ONE fact pass — the "
+    "(score, label) grid is <=24 cells, the sweep runs entirely on the "
+    "grid, and each metric is a single exact int/int division (F1 in "
+    "its 2tp form, never composed from rounded P and R). The missing "
+    "eval surface for the anomaly-scorer family; at 100 TB the sweep "
+    "costs one partial-agg scan regardless of threshold count.",
+    tags=["ml", "evaluation", "aggregate"],
+)
+def q_threshold_sweep_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        "event_type",
+        (F.expr("unix_micros(ts) div 3600000000") % 24).alias("hour"),
+    )
+    s = e.select(
+        F.when(F.col("cents") >= 20000, 1).otherwise(0).alias("label"),
+        (
+            F.least(F.expr("cents div 5000"), F.lit(8))
+            + F.when(F.col("event_type") == "error", 2).otherwise(0)
+            + F.when(F.col("hour") < 6, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("score"),
+    )
+    g = s.groupBy("score", "label").agg(F.count(F.lit(1)).alias("c"))
+    t = g.select(F.col("score").alias("threshold")).distinct()
+    grid = (
+        t.join(F.broadcast(g))
+        .groupBy("threshold")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("score") >= F.col("threshold"))
+                        & (F.col("label") == 1),
+                        F.col("c"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("tp"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("score") >= F.col("threshold"))
+                        & (F.col("label") == 0),
+                        F.col("c"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("fp"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("score") < F.col("threshold"))
+                        & (F.col("label") == 1),
+                        F.col("c"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("fn"),
+        )
+    )
+    return grid.filter(
+        (F.col("tp") + F.col("fp") > 0) & (F.col("tp") + F.col("fn") > 0)
+    ).select(
+        F.col("threshold").cast("long"),
+        F.col("tp").cast("long"),
+        F.col("fp").cast("long"),
+        F.col("fn").cast("long"),
+        sround(
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"),
+            6,
+        ).alias("precision_"),
+        sround(
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"),
+            6,
+        ).alias("recall_"),
+        sround(
+            (2 * F.col("tp")).cast("double")
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+            6,
+        ).alias("f1"),
+    )
+
+
+@register(
+    "markov_next_event_hitrate",
+    # Sequence-model evaluation with a TEMPORAL train/test split —
+    # extends markov_transition_matrix (which fits in-sample) to the
+    # honest protocol: fit the transition argmax on the first half of
+    # the date range, score top-1 next-event accuracy on the second.
+    # Split day = (min+max+1) div 2 in exact integers; argmax ties
+    # break deterministically (count desc, then next_type asc).
+    # Prev-states unseen in training predict '(none)' and score as
+    # misses. Fact-sized work: one user-keyed lag shuffle + two
+    # (prev, next) aggs; everything else runs on the 5x5 grid.
+    oracle=f"""
+        WITH s AS (
+            SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ), b AS (
+            SELECT (MIN(day) + MAX(day) + 1) // 2 AS split_day FROM s
+        ), train AS (
+            SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+            FROM s, b
+            WHERE prev_type IS NOT NULL AND day < split_day
+            GROUP BY 1, 2
+        ), pred AS (
+            SELECT prev_type, next_type AS predicted_next
+            FROM (
+                SELECT prev_type, next_type,
+                       row_number() OVER (
+                           PARTITION BY prev_type
+                           ORDER BY n DESC, next_type
+                       ) AS rk
+                FROM train
+            ) WHERE rk = 1
+        ), test AS (
+            SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+            FROM s, b
+            WHERE prev_type IS NOT NULL AND day >= split_day
+            GROUP BY 1, 2
+        )
+        SELECT t.prev_type,
+               COALESCE(p.predicted_next, '(none)') AS predicted_next,
+               CAST(SUM(t.n) AS BIGINT) AS n_test,
+               CAST(COALESCE(SUM(CASE WHEN t.next_type = p.predicted_next
+                                      THEN t.n END), 0) AS BIGINT) AS n_hits,
+               {sround_sql(
+                   'CAST(COALESCE(SUM(CASE WHEN t.next_type = '
+                   'p.predicted_next THEN t.n END), 0) AS DOUBLE) '
+                   '/ CAST(SUM(t.n) AS DOUBLE)', 6)}
+                   AS hit_rate
+        FROM test t LEFT JOIN pred p USING (prev_type)
+        GROUP BY 1, 2
+    """,
+    description="Top-1 next-event accuracy of the Markov transition "
+    "model under a temporal train/test split: argmax fitted on the "
+    "first half of the date range (deterministic tiebreak), hit rate "
+    "per prev-state on the second half, unseen states scored as "
+    "misses. The evaluation twin of markov_transition_matrix; one "
+    "user-keyed lag shuffle, grid-sized everything else.",
+    tags=["ml", "evaluation", "sequence"],
+)
+def q_markov_next_event_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    b = s.agg(
+        F.expr("(min(day) + max(day) + 1) div 2").alias("split_day")
+    )
+    s2 = s.crossJoin(F.broadcast(b))
+    train = (
+        s2.filter(F.col("day") < F.col("split_day"))
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type").orderBy(
+        F.col("n").desc(), F.col("next_type")
+    )
+    pred = (
+        train.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted_next"))
+    )
+    test = (
+        s2.filter(F.col("day") >= F.col("split_day"))
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hits = F.coalesce(
+        F.sum(
+            F.when(
+                F.col("next_type") == F.col("predicted_next"), F.col("n")
+            )
+        ),
+        F.lit(0),
+    )
+    return (
+        test.join(F.broadcast(pred), "prev_type", "left")
+        .groupBy(
+            "prev_type",
+            F.coalesce("predicted_next", F.lit("(none)")).alias(
+                "predicted_next"
+            ),
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n_test"),
+            hits.cast("long").alias("n_hits"),
+            sround(hits.cast("double") / F.sum("n").cast("double"), 6).alias(
+                "hit_rate"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
 #
@@ -12268,14 +12762,17 @@ def q_levenshtein_parity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      cramers_v_type_dow, entity_resolution_e2e,
 #      near_dup_clusters_md5, scd2_point_in_time_join,
 #      winnow_fingerprint_md5;
-#   4. 38 of the 47 oracle-backed queries whose freshest green is r4
-#      (three rounds stale — VERDICT r7 task 3). The 9 left out for
+#   4. 33 of the 47 oracle-backed queries whose freshest green is r4
+#      (three rounds stale — VERDICT r7 task 3). The 14 left out for
 #      lack of slots (amount_histogram, array_map_functions,
-#      cube_nation_priority, explode_type_matrix, having_active_users,
+#      cube_nation_priority, embedding_norm_stats, explode_type_matrix,
+#      gini_user_diversity, having_active_users,
+#      int8_quantize_embeddings, lang_token_stats,
 #      ntile_distribution_ranks, rollup_order_volume,
-#      scalar_subquery_above_avg, union_all_monthly_activity) are the
-#      lowest-risk constant-shape aggregate/pivot/set queries; they
-#      keep their banked r4 greens and lead the r9 rotation.
+#      scalar_subquery_above_avg, text_quality_stats,
+#      union_all_monthly_activity) are the lowest-risk constant-shape
+#      aggregate/scalar/pivot/set/map queries; they keep their banked
+#      r4 greens and lead the r9 rotation.
 # Everything past slot 50 has a green hash-match row in r4-r7. New
 # r8 queries added after this window fills keep pytest + local-sim
 # evidence and lead the r9 rotation (r7 precedent) rather than
@@ -12288,6 +12785,11 @@ _PRIORITY_R08 = [
     "multimodal_video_features",
     # new in round 8 (never driver-checked)
     "ml_ensemble_scores_pretrained",
+    "seasonal_decompose_daily",
+    "runtime_filter_semi_join",
+    "table_fingerprint_checksum",
+    "threshold_sweep_pr",
+    "markov_next_event_hitrate",
     # landed after the r7 window; never driver-executed
     "bm25_det_topk",
     "cc_twophase_copurchase",
@@ -12311,13 +12813,9 @@ _PRIORITY_R08 = [
     "deterministic_split",
     "duplicate_chunks_across_docs",
     "embedding_cosine_near_dup",
-    "embedding_norm_stats",
     "event_type_association_rules",
     "ewma_amounts",
     "funnel_conversion",
-    "gini_user_diversity",
-    "int8_quantize_embeddings",
-    "lang_token_stats",
     "loo_target_encode",
     "minhash_band_pairs_md5",
     "minhash_exact_md5",
@@ -12333,7 +12831,6 @@ _PRIORITY_R08 = [
     "simhash_exact_md5",
     "skyline_pareto_parts",
     "text_quality_profile",
-    "text_quality_stats",
     "weighted_sample_docs",
 ]
 

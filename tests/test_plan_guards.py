@@ -198,6 +198,19 @@ EXPECTED = {
     # three bounded broadcasts over the 35-cell grid (n scalar join x2
     # consumers + the chi2 total scalar)
     "cramers_v_type_dow": (3, {"events": 2}),
+    # round-8 additions: day-grain decomposition (the one NLJ is the
+    # one-row global-mean scalar broadcast); bucket-prefiltered join
+    # (broadcast semi + broadcast equi, zero NLJ); single-scan
+    # partial-agg checksum
+    "seasonal_decompose_daily": (1, {"events": 2}),
+    "runtime_filter_semi_join": (0, {"orders": 3, "customer": 3}),
+    "table_fingerprint_checksum": (0, {"lineitem": 7}),
+    # eval family: grid-sized sweep (the one NLJ is the threshold-spine
+    # x 24-cell-grid broadcast); hitrate's two NLJs are the SAME
+    # one-row split-day scalar broadcast, replayed in the train and
+    # test branches
+    "threshold_sweep_pr": (1, {"events": 3}),
+    "markov_next_event_hitrate": (2, {"events": 4}),
 }
 
 
