@@ -12737,6 +12737,277 @@ def q_markov_next_event_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Poisson(1) inverse-CDF thresholds scaled to u32: floor(cum_pmf * 2^32)
+# for k = 0..8 (else 9). Fixed integer literals, so the replicate
+# weights come from pure integer comparisons — no libm, no RNG.
+_POIS1_U32 = [
+    1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
+    4292415291, 4294609777, 4294923276, 4294962463,
+]
+
+
+def _pois_w_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS1_U32)
+    )
+    return f"CASE {cases} ELSE 9 END"
+
+
+@register(
+    "poisson_bootstrap_ci",
+    # Bootstrap confidence intervals the way they are actually run on
+    # massive data (Chamandy et al. 2012, "Estimating uncertainty for
+    # massive data streams"; also Kleiner 2012 BLB context): instead
+    # of resampling rows (impossible at 100 TB), every row gets a
+    # DETERMINISTIC pseudo-Poisson(1) weight per replicate — here 32
+    # replicates whose uniforms are the 4-byte chunks of 8 md5 digests
+    # per row, mapped through fixed integer inverse-CDF thresholds
+    # (floor(cum_pmf * 2^32)) — so the whole resample is ONE scan with
+    # a (group, replicate)-keyed partial agg and zero randomness.
+    # Replicate means are single int/int divisions; the 95% CI is the
+    # 2nd/31st order statistic of the 32 means (deterministic
+    # replicate-id tiebreak).
+    oracle=f"""
+        WITH e AS (
+            SELECT event_type,
+                   CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)
+                       AS cents,
+                   md5(CAST(event_id AS VARCHAR) || ':b0')
+                   || md5(CAST(event_id AS VARCHAR) || ':b1')
+                   || md5(CAST(event_id AS VARCHAR) || ':b2')
+                   || md5(CAST(event_id AS VARCHAR) || ':b3')
+                   || md5(CAST(event_id AS VARCHAR) || ':b4')
+                   || md5(CAST(event_id AS VARCHAR) || ':b5')
+                   || md5(CAST(event_id AS VARCHAR) || ':b6')
+                   || md5(CAST(event_id AS VARCHAR) || ':b7') AS h
+            FROM events
+        ), x AS (
+            SELECT event_type, cents, r.r,
+                   ('0x' || substr(h, 1 + 8 * r.r, 8))::BIGINT AS u
+            FROM e, (SELECT unnest(generate_series(0, 31)) AS r) r
+        ), w AS (
+            SELECT event_type, r, {_pois_w_sql('u')} AS w, cents FROM x
+        ), rep AS (
+            SELECT event_type, r, SUM(w * cents) AS sw, SUM(w) AS nw
+            FROM w GROUP BY 1, 2
+        ), m AS (
+            SELECT event_type, r,
+                   CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE) AS mean_r,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE), r
+                   ) AS rk
+            FROM rep WHERE nw > 0
+        ), ci AS (
+            SELECT event_type,
+                   MAX(CASE WHEN rk = 2 THEN mean_r END) AS lo,
+                   MAX(CASE WHEN rk = 31 THEN mean_r END) AS hi
+            FROM m GROUP BY 1
+        ), pt AS (
+            SELECT event_type, SUM(cents) AS s, COUNT(*) AS n
+            FROM e GROUP BY 1
+        )
+        SELECT pt.event_type,
+               CAST(pt.n AS BIGINT) AS n_rows,
+               {sround_sql('CAST(pt.s AS DOUBLE) / CAST(pt.n AS DOUBLE)', 4)}
+                   AS mean_cents,
+               {sround_sql('ci.lo', 4)} AS ci_lo_cents,
+               {sround_sql('ci.hi', 4)} AS ci_hi_cents
+        FROM pt JOIN ci USING (event_type)
+    """,
+    description="Deterministic Poisson bootstrap (the massive-data "
+    "bootstrap): 32 resample replicates as hash-derived Poisson(1) "
+    "weights — 8 md5 digests per row sliced into 32 u32 uniforms, "
+    "integer inverse-CDF thresholds — folded in ONE scan by a "
+    "(group, replicate) partial agg; 95% CI from the order statistics "
+    "of the 32 replicate means. No RNG, no row resampling, no second "
+    "pass over the data; replicate count scales the agg width, never "
+    "the scan count.",
+    tags=["statistics", "evaluation", "aggregate", "scale"],
+)
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = F.concat(
+        *[
+            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(f":b{c}")))
+            for c in range(8)
+        ]
+    )
+    e = ev.select(
+        "event_type",
+        F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        h.alias("h"),
+    )
+    x = e.select(
+        "event_type",
+        "cents",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 31), "
+                "r -> cast(conv(substr(h, 1 + 8 * r, 8), 16, 10) as bigint))"
+            )
+        ).alias("r", "u"),
+    )
+    w = x.select(
+        "event_type", "r", "cents", F.expr(_pois_w_sql("u")).alias("w")
+    )
+    rep = w.groupBy("event_type", "r").agg(
+        F.sum(F.col("w") * F.col("cents")).alias("sw"),
+        F.sum("w").alias("nw"),
+    )
+    mean_r = F.col("sw").cast("double") / F.col("nw").cast("double")
+    wr = Window.partitionBy("event_type").orderBy(mean_r, F.col("r"))
+    m = (
+        rep.filter(F.col("nw") > 0)
+        .withColumn("mean_r", mean_r)
+        .withColumn("rk", F.row_number().over(wr))
+    )
+    ci = m.groupBy("event_type").agg(
+        F.max(F.when(F.col("rk") == 2, F.col("mean_r"))).alias("lo"),
+        F.max(F.when(F.col("rk") == 31, F.col("mean_r"))).alias("hi"),
+    )
+    pt = e.groupBy("event_type").agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return pt.join(ci, "event_type").select(
+        "event_type",
+        F.col("n").cast("long").alias("n_rows"),
+        sround(F.col("s").cast("double") / F.col("n").cast("double"), 4).alias(
+            "mean_cents"
+        ),
+        sround(F.col("lo"), 4).alias("ci_lo_cents"),
+        sround(F.col("hi"), 4).alias("ci_hi_cents"),
+    )
+
+
+_G2_TERM_A_SQL = (
+    "CASE WHEN a = 0 THEN 0 ELSE CAST(floor(CAST(a AS DOUBLE) * "
+    + det_ln_sql("ratio_a")
+    + " * 1e9 + 5e-1) AS BIGINT) END"
+)
+_G2_TERM_B_SQL = (
+    "CASE WHEN b = 0 THEN 0 ELSE CAST(floor(CAST(b AS DOUBLE) * "
+    + det_ln_sql("ratio_b")
+    + " * 1e9 + 5e-1) AS BIGINT) END"
+)
+
+
+@register(
+    "keyness_g2_en_vs_rest",
+    # Corpus-comparison keyness (Dunning 1993, "Accurate Methods for
+    # the Statistics of Surprise and Coincidence"): which words are
+    # over-represented in the English sub-corpus vs the rest, by
+    # log-likelihood ratio G2 = 2*(a*ln(a/E_a) + b*ln(b/E_b)). The
+    # contrastive-corpus primitive under keyword extraction, domain
+    # tagging and contamination forensics that TF-IDF (within-corpus)
+    # doesn't cover. Ratios a/E_a collapse to integer-product
+    # fractions ((a*(NA+NB))/(NA*(a+b))) divided ONCE in doubles, the
+    # lns go through the deterministic expression, each term floors
+    # to exact nano integers (zero-count terms are exactly 0 — the
+    # x*ln(x) -> 0 limit), and the direction flag is a pure
+    # cross-multiplied integer comparison. Word-keyed aggs all the
+    # way; the two corpus totals broadcast as one row.
+    oracle=f"""
+        WITH e AS (
+            SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'rest' END AS grp,
+                   u.w AS word
+            FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS u(w)
+        ), c AS (
+            SELECT word,
+                   COALESCE(SUM(CASE WHEN grp = 'en' THEN 1 END), 0) AS a,
+                   COALESCE(SUM(CASE WHEN grp = 'rest' THEN 1 END), 0) AS b
+            FROM e GROUP BY 1
+        ), t AS (
+            SELECT SUM(a) AS na, SUM(b) AS nb FROM c
+        ), r AS (
+            SELECT word, a, b,
+                   CASE WHEN a = 0 THEN 1e0
+                        ELSE CAST(a * (t.na + t.nb) AS DOUBLE)
+                             / CAST(t.na * (a + b) AS DOUBLE) END AS ratio_a,
+                   CASE WHEN b = 0 THEN 1e0
+                        ELSE CAST(b * (t.na + t.nb) AS DOUBLE)
+                             / CAST(t.nb * (a + b) AS DOUBLE) END AS ratio_b,
+                   a * t.nb AS lhs, b * t.na AS rhs
+            FROM c, t
+            WHERE a + b >= 10
+        ), g AS (
+            SELECT word, a, b, lhs, rhs,
+                   2 * ({_G2_TERM_A_SQL} + {_G2_TERM_B_SQL}) AS g2_nano
+            FROM r
+        )
+        SELECT word,
+               CAST(a AS BIGINT) AS cnt_en,
+               CAST(b AS BIGINT) AS cnt_rest,
+               CAST(g2_nano AS BIGINT) AS g2_nano,
+               CASE WHEN lhs > rhs THEN 'en'
+                    WHEN lhs < rhs THEN 'rest'
+                    ELSE 'balanced' END AS over_in
+        FROM g
+    """,
+    description="Dunning G2 log-likelihood keyness of every word "
+    "(min corpus count 10) between the English documents and the "
+    "rest: the contrastive-corpus keyword measure, hash-exact via "
+    "deterministic ln + nano-int terms + cross-multiplied integer "
+    "direction. One token explode, word-keyed aggs, one broadcast "
+    "totals row — nothing quadratic, nothing global.",
+    tags=["text", "llm-pipeline", "statistics"],
+)
+def q_keyness_g2_en_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select(
+        F.when(F.col("lang") == "en", "en").otherwise("rest").alias("grp"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    )
+    c = e.groupBy("word").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("grp") == "en", 1)), F.lit(0)
+        ).alias("a"),
+        F.coalesce(
+            F.sum(F.when(F.col("grp") == "rest", 1)), F.lit(0)
+        ).alias("b"),
+    )
+    t = c.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    r = (
+        c.filter(F.col("a") + F.col("b") >= 10)
+        .crossJoin(F.broadcast(t))
+        .select(
+            "word", "a", "b",
+            F.when(F.col("a") == 0, F.lit(1.0))
+            .otherwise(
+                (F.col("a") * (F.col("na") + F.col("nb"))).cast("double")
+                / (F.col("na") * (F.col("a") + F.col("b"))).cast("double")
+            )
+            .alias("ratio_a"),
+            F.when(F.col("b") == 0, F.lit(1.0))
+            .otherwise(
+                (F.col("b") * (F.col("na") + F.col("nb"))).cast("double")
+                / (F.col("nb") * (F.col("a") + F.col("b"))).cast("double")
+            )
+            .alias("ratio_b"),
+            (F.col("a") * F.col("nb")).alias("lhs"),
+            (F.col("b") * F.col("na")).alias("rhs"),
+        )
+    )
+    g = r.select(
+        "word", "a", "b", "lhs", "rhs",
+        (
+            2 * (F.expr(_G2_TERM_A_SQL) + F.expr(_G2_TERM_B_SQL))
+        ).alias("g2_nano"),
+    )
+    return g.select(
+        "word",
+        F.col("a").cast("long").alias("cnt_en"),
+        F.col("b").cast("long").alias("cnt_rest"),
+        F.col("g2_nano").cast("long").alias("g2_nano"),
+        F.when(F.col("lhs") > F.col("rhs"), "en")
+        .when(F.col("lhs") < F.col("rhs"), "rest")
+        .otherwise("balanced")
+        .alias("over_in"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------

@@ -211,6 +211,11 @@ EXPECTED = {
     # test branches
     "threshold_sweep_pr": (1, {"events": 3}),
     "markov_next_event_hitrate": (2, {"events": 4}),
+    # one scan feeds the replicate agg (3 cols), the point-estimate
+    # branch prunes to 2 — zero NLJ, zero randomness
+    "poisson_bootstrap_ci": (0, {"events": 3}),
+    # the one NLJ is the one-row corpus-totals scalar broadcast
+    "keyness_g2_en_vs_rest": (1, {"documents": 2}),
 }
 
 
@@ -320,6 +325,11 @@ _GLOBAL_WINDOW_ALLOWLIST = [
     # TakeOrdered — the bounded-list RRF contract (see its docstring)
     ("queries.py", r'F\.col\("qcos"\)\.desc\(\), "doc_id"'),
     ("queries.py", r'Window\.orderBy\("dist", "doc_id"\)'),
+    # seasonal_decompose_daily's centered moving average runs on the
+    # DAY-grain frame — bounded by the calendar (a century is ~36k
+    # rows), aggregated BEFORE the window; the benign tiny-spine
+    # pattern its docstring documents
+    ("queries.py", r'Window\.orderBy\("day"\)\.rangeBetween\(-3, 3\)'),
 ]
 
 

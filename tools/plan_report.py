@@ -139,6 +139,28 @@ QUERIES = [
     "sequence_gap_detection",
     # Late-r6 cross-engine levenshtein parity probe.
     "levenshtein_parity_pairs",
+    # Round-7 additions: drift/info-theory family on det_ln, skew
+    # insurance, SCD2 pair, true-log BM25, IVFADC math pin.
+    "psi_value_drift",
+    "kl_divergence_daily",
+    "entropy_user_types",
+    "cramers_v_type_dow",
+    "salted_skew_join",
+    "cdc_scd2_history",
+    "scd2_point_in_time_join",
+    "bm25_det_topk",
+    "ivfpq_exact_quantized",
+    "winnow_fingerprint_md5",
+    # Round-8 additions: eval family, decomposition, runtime-filter
+    # composition pin, reconciliation checksum, Poisson bootstrap,
+    # G2 keyness.
+    "threshold_sweep_pr",
+    "markov_next_event_hitrate",
+    "seasonal_decompose_daily",
+    "runtime_filter_semi_join",
+    "table_fingerprint_checksum",
+    "poisson_bootstrap_ci",
+    "keyness_g2_en_vs_rest",
 ]
 
 
