@@ -154,6 +154,76 @@ def connected_components(
         _free_checkpoint(sym)
 
 
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "s",
+    dst: str = "d",
+    out_vertex: str = "node",
+    out_col: str = "core_degree",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-core membership by iterative peeling (Seidman 1983, "Network
+    structure and minimum degree"): repeatedly delete vertices whose
+    degree in the REMAINING graph is below ``k`` until none qualify;
+    return the surviving vertices with their within-core degree. The
+    graph-curation filter under spam-cluster mining and dense-region
+    extraction (a vertex's core number is also a cheap robustness
+    signal for entity-match graphs).
+
+    ``edges`` is an undirected edge list in either or both directions
+    (symmetrized internally, self-loops dropped). Per round: one
+    vertex-keyed degree agg + two semi-joins reattaching the edge set
+    to the survivors — all shuffles key on vertex id. Edge sets only
+    SHRINK, so a round-over-round edge-count equality is an exact
+    fixpoint test (no exceptAll probe needed). Rounds = the peel
+    depth, bounded by the degeneracy ordering's cascade length —
+    small on dense co-occurrence graphs, O(n) only on adversarial
+    chains (same routing logic as :func:`connected_components`; at
+    pathological depths, switch to bucketed semi-peeling or accept
+    the rounds). Same two memory disciplines as the other
+    convergence loops: localCheckpoint lineage caps + explicit
+    generation freeing.
+    """
+    e = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+    )
+    cur = (
+        e.unionAll(e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    first = cur
+    n_cur = cur.count()
+    try:
+        for rnd in range(max_rounds):
+            deg = cur.groupBy("_a").agg(F.count(F.lit(1)).alias("_deg"))
+            keep = deg.filter(F.col("_deg") >= k).select("_a")
+            nxt = (
+                cur.join(keep.hint("shuffle_hash"), "_a", "left_semi")
+                .join(
+                    keep.withColumnRenamed("_a", "_b").hint("shuffle_hash"),
+                    "_b",
+                    "left_semi",
+                )
+                .localCheckpoint(eager=True)
+            )
+            n_nxt = nxt.count()
+            if cur is not first:
+                _free_checkpoint(cur)
+            cur, n_prev = nxt, n_cur
+            n_cur = n_nxt
+            if n_nxt == n_prev:
+                LAST_RUN_STATS["k_core"] = rnd + 1
+                return cur.groupBy("_a").agg(
+                    F.count(F.lit(1)).alias(out_col)
+                ).select(F.col("_a").alias(out_vertex), F.col(out_col))
+        raise ValueError(f"k_core did not converge in {max_rounds} rounds")
+    finally:
+        _free_checkpoint(first)
+
+
 def connected_components_twophase(
     edges: DataFrame,
     src: str = "s",

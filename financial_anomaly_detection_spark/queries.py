@@ -13008,6 +13008,212 @@ def q_keyness_g2_en_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "roc_auc_exact",
+    # Exact ROC AUC of the integer risk score via the rank-sum
+    # identity (AUC = P(score_pos > score_neg) + 0.5 P(tie), the
+    # Mann-Whitney relation — Hanley & McNeil 1982), completing the
+    # r8 eval family next to threshold_sweep_pr (same deterministic
+    # score/label fixture). Tie handling is EXACT in integers:
+    # average ranks are half-integers, so 2*sum_ranks_pos =
+    # sum over score groups of pos_cnt * (2*cum_below + cnt + 1) is
+    # an integer, and AUC = (S2 - n1*(n1+1)) / (2*n1*n0) is ONE
+    # int/int double division. The cumulative runs on the <=12-row
+    # score grid — fact-sized work is one (score, label-split) agg.
+    oracle=f"""
+        WITH e AS (
+            SELECT CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)
+                       AS cents,
+                   event_type,
+                   (epoch_us(ts) // 3600000000) % 24 AS hour
+            FROM events
+        ), s AS (
+            SELECT CASE WHEN cents >= 20000 THEN 1 ELSE 0 END AS label,
+                   least(cents // 5000, 8)
+                   + CASE WHEN event_type = 'error' THEN 2 ELSE 0 END
+                   + CASE WHEN hour < 6 THEN 1 ELSE 0 END AS score
+            FROM e
+        ), g AS (
+            SELECT score, COUNT(*) AS cnt, SUM(label) AS pos
+            FROM s GROUP BY 1
+        ), c AS (
+            SELECT score, cnt, pos,
+                   COALESCE(SUM(cnt) OVER (
+                       ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS below
+            FROM g
+        ), t AS (
+            SELECT SUM(pos * (2 * below + cnt + 1)) AS s2,
+                   SUM(pos) AS n1, SUM(cnt - pos) AS n0
+            FROM c
+        )
+        SELECT CAST(n1 AS BIGINT) AS n_pos,
+               CAST(n0 AS BIGINT) AS n_neg,
+               {sround_sql(
+                   'CAST(s2 - n1 * (n1 + 1) AS DOUBLE) '
+                   '/ CAST(2 * n1 * n0 AS DOUBLE)', 6)} AS auc,
+               {sround_sql(
+                   'CAST(s2 - n1 * (n1 + 1) - n1 * n0 AS DOUBLE) '
+                   '/ CAST(n1 * n0 AS DOUBLE)', 6)} AS gini
+        FROM t
+    """,
+    description="Exact tie-aware ROC AUC (and Gini) of the integer "
+    "risk score by the Mann-Whitney rank-sum identity: one "
+    "(score)-keyed partial agg compresses the scan to a <=12-row "
+    "grid, average-rank tie handling stays in integers (2x trick), "
+    "and AUC/Gini are single exact divisions. The ranking-quality "
+    "summary beside threshold_sweep_pr's operating points.",
+    tags=["ml", "evaluation", "aggregate"],
+)
+def q_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        "event_type",
+        (F.expr("unix_micros(ts) div 3600000000") % 24).alias("hour"),
+    )
+    s = e.select(
+        F.when(F.col("cents") >= 20000, 1).otherwise(0).alias("label"),
+        (
+            F.least(F.expr("cents div 5000"), F.lit(8))
+            + F.when(F.col("event_type") == "error", 2).otherwise(0)
+            + F.when(F.col("hour") < 6, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("score"),
+    )
+    g = s.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("label").alias("pos")
+    )
+    wb = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "score", "cnt", "pos",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("below"),
+    )
+    t = c.agg(
+        F.sum(
+            F.col("pos") * (2 * F.col("below") + F.col("cnt") + 1)
+        ).alias("s2"),
+        F.sum("pos").alias("n1"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("n0"),
+    )
+    return t.select(
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n0").cast("long").alias("n_neg"),
+        sround(
+            (F.col("s2") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+            / (2 * F.col("n1") * F.col("n0")).cast("double"),
+            6,
+        ).alias("auc"),
+        sround(
+            (
+                F.col("s2")
+                - F.col("n1") * (F.col("n1") + 1)
+                - F.col("n1") * F.col("n0")
+            ).cast("double")
+            / (F.col("n1") * F.col("n0")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Mechanically-unrolled peel fixpoint: DuckDB's recursive CTEs
+    can't re-aggregate degrees per iteration, so the oracle unrolls
+    ``rounds`` (degree -> survivors -> reattach) steps — far past the
+    measured peel depth (9 at sf0.01; tests/test_graph.py pins a
+    <=14-round margin so data drift trips locally first). Edge sets
+    only shrink, so extra rounds past the fixpoint are no-ops."""
+    parts = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        # every CTE MATERIALIZED: each round references its
+        # predecessor three times (degree agg + both survivor join
+        # sides), and DuckDB's default CTE inlining would otherwise
+        # expand the chain 3^rounds-fold (observed as a file-handle
+        # explosion on the lineitem scan at rounds=20)
+        parts.append(
+            f", d{i} AS MATERIALIZED"
+            f" (SELECT s, COUNT(*) AS c FROM {prev} GROUP BY 1)"
+            f", v{i} AS MATERIALIZED (SELECT s FROM d{i} WHERE c >= {k})"
+            f", e{i} AS MATERIALIZED (SELECT e.s, e.d FROM {prev} e"
+            f" JOIN v{i} x ON e.s = x.s JOIN v{i} y ON e.d = y.s)"
+        )
+        prev = f"e{i}"
+    return f"""
+        WITH pairs AS MATERIALIZED (
+            SELECT pa, pb FROM (
+                SELECT DISTINCT a.l_orderkey, a.l_partkey AS pa,
+                       b.l_partkey AS pb
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+            ) GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), e0 AS MATERIALIZED (
+            SELECT pa AS s, pb AS d FROM pairs
+            UNION ALL
+            SELECT pb, pa FROM pairs
+        ){''.join(parts)}
+        SELECT CAST(s AS BIGINT) AS node,
+               CAST(COUNT(*) AS BIGINT) AS core_degree
+        FROM {prev} GROUP BY 1
+    """
+
+
+@register(
+    "kcore_repeat_copurchase",
+    # k-core extraction (Seidman 1983) on the REPEAT-co-purchase
+    # graph — parts co-bought in >=2 distinct orders (the plain
+    # co-purchase slice is too dense to peel: min degree > 16). The
+    # Spark side runs the REAL convergent peel operator
+    # (operators/graph.k_core: degree agg + two survivor semi-joins
+    # per round, edge-count fixpoint, checkpoint-freed generations —
+    # measured 9 peel rounds at sf0.01); the oracle unrolls 20 peel
+    # rounds mechanically. The dense-region curation filter under
+    # spam-cluster mining; the same graph family as CC/triangles but
+    # a different fixpoint (monotone DELETION, not label spread).
+    oracle=_kcore_oracle_sql(3, 20),
+    description="3-core of the repeat-co-purchase graph by true "
+    "iterative peeling: per round one vertex-keyed degree agg + two "
+    "survivor semi-joins, exact edge-count fixpoint. Surviving "
+    "vertices with within-core degree. All shuffles vertex-keyed; "
+    "rounds = peel-cascade depth (measured 9), never data volume.",
+    tags=["graph", "iterative", "llm-pipeline"],
+)
+def q_kcore_repeat_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import k_core
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ps"), i + 2, F.greatest(F.size("ps") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    pairs = (
+        per_order.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("pa", "pb")
+    )
+    return k_core(pairs, k=3, src="pa", dst="pb").select(
+        F.col("node").cast("long").alias("node"),
+        F.col("core_degree").cast("long").alias("core_degree"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------

@@ -124,3 +124,53 @@ def test_twophase_single_edge_and_singleton_free(spark):
     }
     # self-loop (9,9) is dropped; 9 never appears as a vertex
     assert got == {2: 2, 5: 2}
+
+
+def test_k_core_peels_to_known_core(spark):
+    from financial_anomaly_detection_spark.operators.graph import (
+        LAST_RUN_STATS,
+        k_core,
+    )
+
+    # K4 on {0,1,2,3} (every vertex degree 3) + a pendant chain
+    # 3-4-5 + a triangle {6,7,8} hanging off 0 via edge (0,6).
+    # 3-core = exactly the K4: the chain peels immediately; the
+    # triangle's vertices have degree 2 (except 6 with 3, but after
+    # 7/8 peel in cascade, 6 drops too).
+    edges = (
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        + [(3, 4), (4, 5)]
+        + [(6, 7), (7, 8), (6, 8), (0, 6)]
+    )
+    df = spark.createDataFrame(edges, "s long, d long")
+    got = {r["node"]: r["core_degree"] for r in k_core(df, k=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # the triangle+pendant cascade needs >1 peel round
+    assert 2 <= LAST_RUN_STATS["k_core"] <= 6
+
+
+def test_k_core_empty_core_converges(spark):
+    from financial_anomaly_detection_spark.operators.graph import k_core
+
+    # a path graph has no 3-core at all — must converge to EMPTY,
+    # not raise (the sf0.1 repeat-co-purchase graph hits this)
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "s long, d long"
+    )
+    assert k_core(df, k=3).count() == 0
+
+
+def test_kcore_query_rounds_stay_inside_oracle_unroll(spark, sf_dir):
+    """The kcore_repeat_copurchase oracle unrolls 20 peel rounds
+    (each one MATERIALIZED — DuckDB's CTE inlining is 3^rounds
+    otherwise). Measured depth is 9 at sf0.01; if regenerated
+    testdata ever pushes the cascade past this margin, this trips
+    BEFORE the driver sees an oracle that stopped short of the
+    fixpoint."""
+    from financial_anomaly_detection_spark.operators.graph import (
+        LAST_RUN_STATS,
+    )
+    from financial_anomaly_detection_spark.queries import REGISTRY
+
+    REGISTRY["kcore_repeat_copurchase"].fn(spark, sf_dir).count()
+    assert LAST_RUN_STATS["k_core"] <= 14

@@ -216,6 +216,11 @@ EXPECTED = {
     "poisson_bootstrap_ci": (0, {"events": 3}),
     # the one NLJ is the one-row corpus-totals scalar broadcast
     "keyness_g2_en_vs_rest": (1, {"documents": 2}),
+    # grid-sized rank-sum: one (score) agg, cumulative on <=12 rows
+    "roc_auc_exact": (0, {"events": 3}),
+    # peel loop runs during construction; final plan reads the
+    # checkpointed core edge set, no parquet scan survives
+    "kcore_repeat_copurchase": (0, {}),
 }
 
 
@@ -330,6 +335,10 @@ _GLOBAL_WINDOW_ALLOWLIST = [
     # rows), aggregated BEFORE the window; the benign tiny-spine
     # pattern its docstring documents
     ("queries.py", r'Window\.orderBy\("day"\)\.rangeBetween\(-3, 3\)'),
+    # roc_auc_exact's cumulative runs on the score grid — bounded at
+    # <=12 rows by the integer score's construction, aggregated
+    # BEFORE the window
+    ("queries.py", r'Window\.orderBy\("score"\)\.rowsBetween'),
 ]
 
 
