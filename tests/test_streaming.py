@@ -930,3 +930,90 @@ def test_stream_entity_resolution_against_canonical_map(spark, tmp_path):
         "name",
     ).collect()
     assert {r["record_id"]: (r["canonical"], r["matched"]) for r in static} == got
+
+
+# --- streaming heavy hitters (round 8): Misra-Gries in stream state ------
+
+
+def test_mg_update_guarantees_hold_on_adversarial_sequence():
+    from financial_anomaly_detection_spark.streaming.topk import mg_update
+
+    # deterministic skewed sequence: two heavy items + a long tail
+    seq = (["hot1"] * 400 + ["hot2"] * 250
+           + [f"tail{i % 37}" for i in range(350)])
+    k = 8
+    summary: dict[str, int] = {}
+    truth: dict[str, int] = {}
+    for it in seq:
+        truth[it] = truth.get(it, 0) + 1
+        mg_update(summary, it, 1, k)
+    n = len(seq)
+    bound = n // (k + 1)
+    assert len(summary) <= k
+    for item, true_cnt in truth.items():
+        if true_cnt > bound:
+            assert item in summary, (item, true_cnt, bound)
+    for item, cnt in summary.items():
+        assert truth[item] - bound <= cnt <= truth[item]
+
+
+def test_stateful_heavy_hitters_stream_matches_guarantees(spark, tmp_path):
+    from financial_anomaly_detection_spark.streaming.topk import (
+        stateful_heavy_hitters,
+    )
+
+    src = tmp_path / "hh"
+    src.mkdir()
+    # 3 micro-batches, one file each; channel A skewed to 'x',
+    # channel B uniform-ish
+    batches = [
+        [("A", "x")] * 30 + [("A", "y")] * 5 + [("B", f"b{i}") for i in range(10)],
+        [("A", "x")] * 25 + [("A", "z")] * 8 + [("B", "b1")] * 12,
+        [("A", "x")] * 20 + [("A", "y")] * 9 + [("B", "b2")] * 6,
+    ]
+    truth: dict[tuple, int] = {}
+    for i, rows in enumerate(batches):
+        with open(src / f"{i}.json", "w") as f:
+            for g, it in rows:
+                f.write(json.dumps({"grp_in": g, "item_in": it}) + "\n")
+                truth[(g, it)] = truth.get((g, it), 0) + 1
+
+    stream = (
+        spark.readStream.schema("grp_in string, item_in string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    k = 4
+    out = stateful_heavy_hitters(stream, "grp_in", "item_in", k=k)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from hh").collect()
+    # keep only each group's LAST emission (largest n_total)
+    last_n: dict[str, int] = {}
+    for r in rows:
+        last_n[r["grp"]] = max(last_n.get(r["grp"], 0), r["n_total"])
+    final = {
+        (r["grp"], r["item"]): r
+        for r in rows
+        if r["n_total"] == last_n[r["grp"]]
+    }
+    n_by_grp = {g: sum(c for (gg, _), c in truth.items() if gg == g)
+                for g in last_n}
+    assert last_n == n_by_grp  # state accumulated across all batches
+    for (g, it), true_cnt in truth.items():
+        bound = n_by_grp[g] // (k + 1)
+        if true_cnt > bound:
+            assert (g, it) in final, (g, it, true_cnt, bound)
+            r = final[(g, it)]
+            assert true_cnt - bound <= r["mg_count"] <= true_cnt
+            assert r["floor_bound"] == bound
+    # the skewed channel's top item is ranked first by mg_count
+    a_rows = [r for (g, _), r in final.items() if g == "A"]
+    assert max(a_rows, key=lambda r: r["mg_count"])["item"] == "x"
