@@ -13214,6 +13214,109 @@ def q_kcore_repeat_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "calibration_ece_bins",
+    # Calibration of the integer risk score (Naeini 2015's ECE shape,
+    # per-score bins): predicted probability = score/11 (the score's
+    # own scale), observed = positive rate per bin, and the expected
+    # calibration error ECE = sum_bins (cnt/N) * |obs - pred|. The
+    # whole thing is EXACT in integers until one division per output
+    # column: |pos/cnt - s/11| = |11*pos - s*cnt| / (11*cnt), so the
+    # per-bin gap numerators and the ECE numerator
+    # sum(|11*pos - s*cnt|) are plain BIGINTs, order-free. Completes
+    # the r8 eval family: operating points (threshold_sweep_pr),
+    # ranking (roc_auc_exact), calibration (here).
+    oracle=f"""
+        WITH e AS (
+            SELECT CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)
+                       AS cents,
+                   event_type,
+                   (epoch_us(ts) // 3600000000) % 24 AS hour
+            FROM events
+        ), s AS (
+            SELECT CASE WHEN cents >= 20000 THEN 1 ELSE 0 END AS label,
+                   least(cents // 5000, 8)
+                   + CASE WHEN event_type = 'error' THEN 2 ELSE 0 END
+                   + CASE WHEN hour < 6 THEN 1 ELSE 0 END AS score
+            FROM e
+        ), g AS (
+            SELECT score, COUNT(*) AS cnt, SUM(label) AS pos
+            FROM s GROUP BY 1
+        ), t AS (
+            SELECT SUM(cnt) AS n,
+                   SUM(abs(11 * pos - score * cnt)) AS ece_num
+            FROM g
+        )
+        SELECT CAST(g.score AS BIGINT) AS score,
+               CAST(g.cnt AS BIGINT) AS cnt,
+               CAST(g.pos AS BIGINT) AS pos,
+               {sround_sql('CAST(g.pos AS DOUBLE) / CAST(g.cnt AS DOUBLE)', 6)}
+                   AS obs_rate,
+               {sround_sql('CAST(g.score AS DOUBLE) / CAST(11 AS DOUBLE)', 6)}
+                   AS pred_rate,
+               CAST(abs(11 * g.pos - g.score * g.cnt) AS BIGINT)
+                   AS gap_num_11cnt,
+               {sround_sql(
+                   'CAST(t.ece_num AS DOUBLE) / CAST(11 * t.n AS DOUBLE)', 6)}
+                   AS ece
+        FROM g, t
+    """,
+    description="Reliability bins + expected calibration error of the "
+    "integer risk score, exact: per-bin |observed - predicted| gaps "
+    "carried as BIGINT numerators (|11*pos - s*cnt|), ECE one int/int "
+    "division over the order-free integer sum. One (score)-keyed "
+    "partial agg; everything else on the <=12-row grid.",
+    tags=["ml", "evaluation", "aggregate"],
+)
+def q_calibration_ece_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        "event_type",
+        (F.expr("unix_micros(ts) div 3600000000") % 24).alias("hour"),
+    )
+    s = e.select(
+        F.when(F.col("cents") >= 20000, 1).otherwise(0).alias("label"),
+        (
+            F.least(F.expr("cents div 5000"), F.lit(8))
+            + F.when(F.col("event_type") == "error", 2).otherwise(0)
+            + F.when(F.col("hour") < 6, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("score"),
+    )
+    g = s.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("label").alias("pos")
+    )
+    t = g.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(
+            F.abs(11 * F.col("pos") - F.col("score") * F.col("cnt"))
+        ).alias("ece_num"),
+    )
+    return g.crossJoin(F.broadcast(t)).select(
+        F.col("score").cast("long"),
+        F.col("cnt").cast("long"),
+        F.col("pos").cast("long"),
+        sround(F.col("pos").cast("double") / F.col("cnt").cast("double"), 6).alias(
+            "obs_rate"
+        ),
+        sround(F.col("score").cast("double") / F.lit(11).cast("double"), 6).alias(
+            "pred_rate"
+        ),
+        F.abs(11 * F.col("pos") - F.col("score") * F.col("cnt"))
+        .cast("long")
+        .alias("gap_num_11cnt"),
+        sround(
+            F.col("ece_num").cast("double")
+            / (11 * F.col("n")).cast("double"),
+            6,
+        ).alias("ece"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------

@@ -221,6 +221,8 @@ EXPECTED = {
     # peel loop runs during construction; final plan reads the
     # checkpointed core edge set, no parquet scan survives
     "kcore_repeat_copurchase": (0, {}),
+    # the one NLJ is the one-row (N, ece numerator) scalar broadcast
+    "calibration_ece_bins": (1, {"events": 3}),
 }
 
 
