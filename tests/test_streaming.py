@@ -1017,3 +1017,102 @@ def test_stateful_heavy_hitters_stream_matches_guarantees(spark, tmp_path):
     # the skewed channel's top item is ranked first by mg_count
     a_rows = [r for (g, _), r in final.items() if g == "A"]
     assert max(a_rows, key=lambda r: r["mg_count"])["item"] == "x"
+
+
+# --- streaming HLL registers (round 8): stream state == batch sketch -----
+
+
+def test_hll_j_rho_matches_batch_sql_math(spark):
+    """The python register math must be bit-identical to the batch
+    hll_exact_md5 SQL (md5 prefix -> j = top 6 bits, rho = strpos of
+    '1' in the zero-padded low 26 bits)."""
+    from financial_anomaly_detection_spark.streaming.cardinality import (
+        hll_j_rho,
+    )
+
+    keys = [str(i) for i in range(500)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    rows = df.selectExpr(
+        "k",
+        "cast(conv(substr(md5(k), 1, 8), 16, 10) as bigint) as h",
+    ).selectExpr(
+        "k",
+        "h div 67108864 as j",
+        "CASE WHEN instr(lpad(bin(h % 67108864), 26, '0'), '1') = 0 "
+        "THEN 27 ELSE instr(lpad(bin(h % 67108864), 26, '0'), '1') END as rho",
+    ).collect()
+    for r in rows:
+        assert hll_j_rho(r["k"]) == (r["j"], r["rho"]), r["k"]
+
+
+def test_stateful_hll_stream_equals_batch_registers(spark, tmp_path):
+    from financial_anomaly_detection_spark.streaming.cardinality import (
+        HLL_M,
+        hll_estimate,
+        hll_j_rho,
+        merge_registers,
+        stateful_hll_registers,
+    )
+
+    src = tmp_path / "hll"
+    src.mkdir()
+    # 3 micro-batches with overlapping keys (replay-safety: max is
+    # idempotent) across two groups
+    batches = [
+        [("A", f"u{i}") for i in range(0, 400)] + [("B", f"v{i}") for i in range(50)],
+        [("A", f"u{i}") for i in range(200, 700)],
+        [("A", f"u{i}") for i in range(600, 900)] + [("B", f"v{i}") for i in range(30, 80)],
+    ]
+    for i, rows in enumerate(batches):
+        with open(src / f"{i}.json", "w") as f:
+            for g, k in rows:
+                f.write(json.dumps({"grp_in": g, "key_in": k}) + "\n")
+
+    stream = (
+        spark.readStream.schema("grp_in string, key_in string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stateful_hll_registers(stream, "grp_in", "key_in")
+        .writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # final state per group = the emission with the largest estimate
+    # coverage — take the LAST micro-batch's rows (max registers are
+    # monotone, so elementwise-max over all emissions equals the last)
+    rows = spark.sql("select * from hll_regs").collect()
+    final: dict[str, list] = {}
+    for r in rows:
+        cur = final.get(r["grp"], [0] * HLL_M)
+        final[r["grp"]] = merge_registers(cur, list(r["registers"]))
+
+    # batch ground truth: same register math over the full static data
+    truth: dict[str, list] = {}
+    distinct: dict[str, set] = {}
+    for rows_b in batches:
+        for g, k in rows_b:
+            regs = truth.setdefault(g, [0] * HLL_M)
+            j, rho = hll_j_rho(k)
+            regs[j] = max(regs[j], rho)
+            distinct.setdefault(g, set()).add(k)
+    assert final == truth  # EXACT register equality, not a bound
+    for g, regs in truth.items():
+        est, true_n = hll_estimate(regs), len(distinct[g])
+        # raw estimator at m=64: ~13% rsd — generous 3-sigma check
+        assert abs(est - true_n) <= max(0.4 * true_n, 20), (g, est, true_n)
+
+    # mergeability: two half-streams' registers merge to the full ones
+    half_a, half_b = [0] * HLL_M, [0] * HLL_M
+    all_a = [k for rows_b in batches for g, k in rows_b if g == "A"]
+    for i, k in enumerate(all_a):
+        regs = half_a if i % 2 == 0 else half_b
+        j, rho = hll_j_rho(k)
+        regs[j] = max(regs[j], rho)
+    assert merge_registers(half_a, half_b) == truth["A"]
