@@ -13317,6 +13317,102 @@ def q_calibration_ece_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_XENT_TERM_SQL = (
+    "CAST(floor(" + det_ln_sql("inv_p") + " * 1e9 + 5e-1) AS BIGINT)"
+)
+
+
+@register(
+    "doc_lm_cross_entropy",
+    # TRUE unigram-LM cross-entropy quality scoring (the CCNet gate,
+    # Wenzek et al. 2020, in its actual log form — upgrading the
+    # count-based bigram_coverage_quality tier the way bm25_det_topk
+    # removed bm25_rational_topk's log compromise): per document,
+    # H = (1/n) sum_tokens ln(1/p(w)) nats against the Laplace-
+    # smoothed corpus unigram LM p(w) = (c(w)+1)/(T+V). Each token's
+    # ln goes through the deterministic expression and floors to
+    # exact nano-nats BEFORE the per-doc sum (order-free); the
+    # per-token mean is ONE int/int division. The keep/drop gate at
+    # 9 nats (~e^9 perplexity) is a pure integer comparison
+    # (sum_nano <= n * 9e9). det_ln domain note: inv_p <= T+V, fine
+    # through ~2^41 total tokens; past that, rescale p into the
+    # window first.
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, u.w AS word
+            FROM documents,
+                 unnest(string_split_regex(trim(text), '\\s+')) AS u(w)
+        ), corpus AS (
+            SELECT word, COUNT(*) AS c FROM tok GROUP BY 1
+        ), tot AS (
+            SELECT SUM(c) AS t, COUNT(*) AS v FROM corpus
+        ), r AS (
+            SELECT tok.doc_id,
+                   (CAST(tot.t + tot.v AS DOUBLE)
+                    / CAST(corpus.c + 1 AS DOUBLE)) AS inv_p
+            FROM tok JOIN corpus USING (word), tot
+        ), terms AS (
+            SELECT doc_id, {_XENT_TERM_SQL} AS nano FROM r
+        ), d AS (
+            SELECT doc_id, COUNT(*) AS n, SUM(nano) AS s FROM terms
+            GROUP BY 1
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(s AS BIGINT) AS xent_sum_nano,
+               {sround_sql('CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e9', 6)}
+                   AS xent_nats,
+               CAST(CASE WHEN s <= n * 9000000000 THEN 1 ELSE 0 END
+                    AS BIGINT) AS keep
+        FROM d
+    """,
+    description="Per-document unigram cross-entropy against the "
+    "Laplace-smoothed corpus LM, in exact nano-nats via the "
+    "deterministic ln — the CCNet perplexity gate's math with a "
+    "hash-checkable oracle; keep/drop at 9 nats is an integer "
+    "comparison. One token explode, one word-keyed corpus join "
+    "(AQE-skew-safe on hot words), one doc agg.",
+    tags=["text", "quality", "llm-pipeline"],
+)
+def q_doc_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    corpus = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = corpus.agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")
+    )
+    r = (
+        tok.join(corpus, "word")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (
+                (F.col("t") + F.col("v")).cast("double")
+                / (F.col("c") + 1).cast("double")
+            ).alias("inv_p"),
+        )
+    )
+    terms = r.select("doc_id", F.expr(_XENT_TERM_SQL).alias("nano"))
+    d = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("nano").alias("s")
+    )
+    return d.select(
+        F.col("doc_id").cast("long"),
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("s").cast("long").alias("xent_sum_nano"),
+        sround(
+            F.col("s").cast("double") / F.col("n").cast("double") / F.lit(1e9),
+            6,
+        ).alias("xent_nats"),
+        F.when(F.col("s") <= F.col("n") * F.lit(9000000000), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------

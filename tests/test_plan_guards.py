@@ -223,6 +223,8 @@ EXPECTED = {
     "kcore_repeat_copurchase": (0, {}),
     # the one NLJ is the one-row (N, ece numerator) scalar broadcast
     "calibration_ece_bins": (1, {"events": 3}),
+    # the one NLJ is the one-row (T, V) corpus-totals scalar broadcast
+    "doc_lm_cross_entropy": (1, {"documents": 2}),
 }
 
 

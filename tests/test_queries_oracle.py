@@ -71,6 +71,9 @@ SHORT_DOC_QUERIES = [
     "ngram_diversity_by_source",
     "jaccard_pairs_prefix_filter",
     "contrastive_negative_pairs",
+    # round-8: cross-entropy must agree down to 0-word texts (empty
+    # split yields the '' token on both engines)
+    "doc_lm_cross_entropy",
 ]
 
 
