@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, functions as F
 
 # Rounds-to-fixpoint of the most recent convergence-loop call, keyed by
 # function name — drill/observability metadata only (tools/
-# diameter_drill.py records it); never read by query logic.
+# diameter_drill.py records it); never read by query logic. PROBE-
+# granular: loops that probe every ``check_every`` rounds record the
+# round at which the fixpoint PROBE fired, which rounds the true
+# convergence round UP to the next check_every multiple (overstating
+# by at most check_every - 1). Exact only when check_every == 1.
 LAST_RUN_STATS: dict[str, int] = {}
 
 
@@ -65,7 +69,11 @@ def connected_components(
 
     ROUTING (measured, tools/diameter_drill.py, SCALING.md §round-8):
     rounds here are EXACTLY the graph diameter (path fixtures: 64 /
-    256 / 1024 rounds at diameters 63 / 255 / 1023), while
+    256 / 1024 recorded rounds at diameters 63 / 255 / 1023; the
+    63-diameter count is exact [check_every=1], the larger two are
+    probe-granular — the drill probes every 16 rounds, so the true
+    convergence round may be up to 15 lower; see LAST_RUN_STATS —
+    which leaves the linear-in-diameter conclusion unchanged), while
     :func:`connected_components_twophase` (Kiveris 2014 large-star/
     small-star) stays flat at 7-11 rounds across that whole range —
     its per-round cost is ~3-4x (two shuffles + an exact exceptAll

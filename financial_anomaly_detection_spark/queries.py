@@ -13424,8 +13424,90 @@ def q_doc_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exceeds 50, the overflow rotates across rounds: queries rotated out
 # this round all have green hash-match evidence from a previous round.
 
-# Round-8 window (stalest-evidence-first rotation, same policy as
-# r4-r7), 50 slots:
+# Round-9 window (stalest-evidence-first rotation, same policy as
+# r4-r8), 50 slots:
+#   1. queries NEW in r9 — prepended as they land; each one pushes the
+#      last r5-cohort fill past the window edge (those keep their
+#      banked r5 greens and lead the r10 rotation);
+#   2. the 6 oracle-backed queries that landed after the r8 window
+#      filled and have NEVER had a driver execution (VERDICT r8
+#      missing #1 / task 2): roc_auc_exact, calibration_ece_bins,
+#      poisson_bootstrap_ci, keyness_g2_en_vs_rest,
+#      doc_lm_cross_entropy, kcore_repeat_copurchase;
+#   3. the 14 oracle-backed queries whose freshest green is r4 (five
+#      rounds stale by r9 — the constant-shape fills the r8 window
+#      deliberately deferred, named in the _PRIORITY_R08 header);
+#   4. 30 of the 46 oracle-backed queries whose freshest green is r5.
+#      The 16 left out for lack of slots (acf_daily_lags,
+#      doc_repetition_signals, dow_seasonality_index, ols_trend_daily,
+#      q4_priority_exists, q6_forecast_revenue, q12_priority_linestatus,
+#      q13_customer_distribution, q15_top_supplier,
+#      q18_large_volume_customer, q22_dormant_customers,
+#      rolling_median_daily, source_mixing_stats, stratified_sample_docs,
+#      table_profile_events, top_word_fraction) are the lowest-risk
+#      constant-shape aggregate/TPC-H/profile queries; they keep their
+#      banked r5 greens and lead the r10 rotation.
+# Everything past slot 50 has a green hash-match row in r5-r8.
+_PRIORITY_R09 = [
+    # new in round 9 (never driver-checked) — newest first
+    # (section filled as queries land during the round)
+    # landed after the r8 window; never driver-executed (VERDICT r8 #1)
+    "roc_auc_exact",
+    "calibration_ece_bins",
+    "poisson_bootstrap_ci",
+    "keyness_g2_en_vs_rest",
+    "doc_lm_cross_entropy",
+    "kcore_repeat_copurchase",
+    # oracle-backed, freshest green r4 (all 14 deferred by the r8 window)
+    "amount_histogram",
+    "array_map_functions",
+    "cube_nation_priority",
+    "embedding_norm_stats",
+    "explode_type_matrix",
+    "gini_user_diversity",
+    "having_active_users",
+    "int8_quantize_embeddings",
+    "lang_token_stats",
+    "ntile_distribution_ranks",
+    "rollup_order_volume",
+    "scalar_subquery_above_avg",
+    "text_quality_stats",
+    "union_all_monthly_activity",
+    # oracle-backed, freshest green r5 (30 of 46 — see header item 4)
+    "bfs_reachability_copurchase",
+    "bloom_semi_join_prune",
+    "cms_heavy_hitters",
+    "contrastive_negative_pairs",
+    "cusum_changepoint_daily",
+    "dedup_rapid_repeats",
+    "fuzzy_name_pairs_ed1",
+    "hll_exact_md5",
+    "jaccard_pairs_prefix_filter",
+    "kmv_set_cardinality",
+    "ks_value_drift",
+    "longest_dup_span_pairs",
+    "mad_robust_outliers",
+    "mannwhitney_value_drift",
+    "markov_transition_matrix",
+    "max_concurrent_sessions",
+    "ml_fusion_scores_precomputed",
+    "ngram_diversity_by_source",
+    "pmi_collocations",
+    "profile_incremental_merge",
+    "referential_integrity_audit",
+    "rrf_fusion_topk",
+    "seasonal_robust_outliers",
+    "shuffle_skew_report",
+    "stream_replay_scoring",
+    "theilsen_daily_trend",
+    "triangle_count_copurchase",
+    "trigram_event_sequences",
+    "write_partition_plan",
+    "zorder_layout_parts",
+]
+
+# Round-8 window kept for provenance (stalest-evidence-first rotation,
+# same policy as r4-r7), 50 slots:
 #   1. queries whose code changed in r8 — the four multimodal queries
 #      that ERRORED in the r7 window (array<double> columns broke the
 #      driver's pandas sort_values canonicalizer; now projected to
@@ -13474,7 +13556,7 @@ _PRIORITY_R08 = [
     "near_dup_clusters_md5",
     "scd2_point_in_time_join",
     "winnow_fingerprint_md5",
-    # oracle-backed, freshest green r4 (38 of 47 — see header item 4)
+    # oracle-backed, freshest green r4 (33 of 47 — see header item 4)
     "ann_cosine_topk",
     "ann_exact_quantized",
     "asof_forward_click_purchase",
@@ -13979,9 +14061,10 @@ _PRIORITY_R03 = [
 
 
 def _ordered_names() -> list[str]:
-    pri = [n for n in _PRIORITY_R08 if n in REGISTRY]
+    pri = [n for n in _PRIORITY_R09 if n in REGISTRY]
     # prior-round orderings fill next (their own stalest-first
     # logic), then the rest of the registry
+    pri += [n for n in _PRIORITY_R08 if n in REGISTRY and n not in pri]
     pri += [n for n in _PRIORITY_R07 if n in REGISTRY and n not in pri]
     pri += [n for n in _PRIORITY_R06 if n in REGISTRY and n not in pri]
     pri += [n for n in _PRIORITY_R05 if n in REGISTRY and n not in pri]

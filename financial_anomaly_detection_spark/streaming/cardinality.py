@@ -65,7 +65,11 @@ def stateful_hll_registers(
     ) -> Iterator[pd.DataFrame]:
         regs = list(state.get[0]) if state.exists else [0] * HLL_M
         for pdf in pdfs:
-            for k in pdf[key_col].astype(str):
+            # NULL keys are dropped, matching the batch query exactly:
+            # md5(NULL) is NULL in SQL, so a null key never touches a
+            # register there — astype(str) alone would fold nulls into
+            # the literal 'None' and break the register parity.
+            for k in pdf[key_col].dropna().astype(str):
                 j, rho = hll_j_rho(k)
                 if rho > regs[j]:
                     regs[j] = rho

@@ -73,11 +73,25 @@ def value_hash(rows, cols):
     return h.hexdigest()
 
 
+_COMPLEX_TYPES = ("ArrayType", "MapType", "StructType")
+
 qs, oracles = mod.queries(), mod.oracle_sql()
 print(f"{len(qs)} queries, {len(oracles)} oracles")
 fails = 0
 for name, fn in qs.items():
     sdf = fn(spark, SF)
+    # Schema-level guard, independent of canonical_frame's raise: a
+    # SINGLE-column frame takes pandas' comparison-based argsort where
+    # Python-list cells ARE orderable, so a one-column array output
+    # would pass sort_values here yet still break the real driver.
+    bad = [
+        f.name for f in sdf.schema.fields
+        if type(f.dataType).__name__ in _COMPLEX_TYPES
+    ]
+    assert not bad, (
+        f"{name}: complex-typed driver-facing columns {bad} — project "
+        "to scalars (quantized md5 + element aggregates)"
+    )
     s_rows = [tuple(r) for r in sdf.collect()]
     s_cols = sdf.columns
     if name not in oracles:

@@ -1060,7 +1060,9 @@ def test_stateful_hll_stream_equals_batch_registers(spark, tmp_path):
     # idempotent) across two groups
     batches = [
         [("A", f"u{i}") for i in range(0, 400)] + [("B", f"v{i}") for i in range(50)],
-        [("A", f"u{i}") for i in range(200, 700)],
+        # null keys must be DROPPED (md5(NULL) is NULL in the batch
+        # SQL) — folding them into a register breaks stream==batch
+        [("A", f"u{i}") for i in range(200, 700)] + [("A", None), ("B", None)],
         [("A", f"u{i}") for i in range(600, 900)] + [("B", f"v{i}") for i in range(30, 80)],
     ]
     for i, rows in enumerate(batches):
@@ -1099,6 +1101,8 @@ def test_stateful_hll_stream_equals_batch_registers(spark, tmp_path):
     for rows_b in batches:
         for g, k in rows_b:
             regs = truth.setdefault(g, [0] * HLL_M)
+            if k is None:  # the batch SQL's md5(NULL)-is-NULL drop
+                continue
             j, rho = hll_j_rho(k)
             regs[j] = max(regs[j], rho)
             distinct.setdefault(g, set()).add(k)
@@ -1110,7 +1114,7 @@ def test_stateful_hll_stream_equals_batch_registers(spark, tmp_path):
 
     # mergeability: two half-streams' registers merge to the full ones
     half_a, half_b = [0] * HLL_M, [0] * HLL_M
-    all_a = [k for rows_b in batches for g, k in rows_b if g == "A"]
+    all_a = [k for rows_b in batches for g, k in rows_b if g == "A" and k is not None]
     for i, k in enumerate(all_a):
         regs = half_a if i % 2 == 0 else half_b
         j, rho = hll_j_rho(k)
