@@ -3158,6 +3158,14 @@ _PRETRAINED_ENSEMBLE: dict = {}
     tags=["ml", "ensemble", "bench-twin"],
 )
 def q_ml_ensemble_scores_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ens, feature_df = _pretrained_ensemble(spark, sf_dir)
+    return ens.transform(feature_df, id_col="event_id")
+
+
+def _pretrained_ensemble(spark: SparkSession, sf_dir: str):
+    """(fitted ensemble, raw feature frame) off the one-slot cache —
+    shared by the full pretrained twin and the per-kernel bench twins
+    below so all five measure scoring plans against the SAME models."""
     from .ml.ensemble import AnomalyEnsemble
     from .ml.features import prepare_event_features
 
@@ -3173,7 +3181,99 @@ def q_ml_ensemble_scores_pretrained(spark: SparkSession, sf_dir: str) -> DataFra
         ).fit(feature_df)
         _PRETRAINED_ENSEMBLE.clear()  # one slot: stale sessions keep JVM refs
         _PRETRAINED_ENSEMBLE[key] = ens
-    return ens.transform(feature_df, id_col="event_id")
+    return ens, feature_df
+
+
+def _pretrained_kernel_feats(spark: SparkSession, sf_dir: str):
+    """Fitted ensemble + MLlib-transformed (and spread) feature frame —
+    the common prefix every kernel twin shares with transform()."""
+    from .operators.partitioning import spread_narrow
+
+    ens, feature_df = _pretrained_ensemble(spark, sf_dir)
+    return ens, spread_narrow(ens.feature_model.transform(feature_df))
+
+
+# Per-kernel bench twins (VERDICT r8 task 4): the full pretrained twin
+# regressed 1.57x within r8 with no way to say WHICH of the three Arrow
+# kernels (IForest, LOF kNN, reconstruction) drifted — each twin below
+# runs the SAME MLlib transform prefix plus exactly ONE kernel, so
+# kernel_i cost ~= twin_i - base and the bench shows the split every
+# round. Rows-only by design: scoring outputs are not SQL-expressible,
+# and the score math itself is hash-pinned by lof_exact_quantized /
+# ml_recon_mse_threshold / the ensemble parity tests.
+
+
+@register(
+    "ml_kernel_base_pretrained",
+    oracle=None,
+    description="Kernel-split baseline twin: MLlib feature transform + "
+    "the pure-Catalyst rules tail, ZERO python kernels — the shared "
+    "prefix cost that ml_kernel_{iforest,lof,ae}_pretrained each add "
+    "one Arrow kernel to (VERDICT r8 task 4 instrumentation).",
+    tags=["ml", "ensemble", "bench-twin"],
+)
+def q_ml_kernel_base_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scoring import rule_score
+
+    ens, feats = _pretrained_kernel_feats(spark, sf_dir)
+    return feats.select(
+        "event_id",
+        sround(
+            rule_score(
+                "amount", "channel", "location", "hour",
+                large_amount_t=ens.rule_large_amount,
+            ),
+            6,
+        ).alias("rule_score"),
+    )
+
+
+@register(
+    "ml_kernel_iforest_pretrained",
+    oracle=None,
+    description="Kernel-split twin: MLlib transform + ONLY the "
+    "Isolation-Forest Arrow kernel (subtract ml_kernel_base_pretrained "
+    "for the kernel's own cost).",
+    tags=["ml", "ensemble", "bench-twin"],
+)
+def q_ml_kernel_iforest_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ens, feats = _pretrained_kernel_feats(spark, sf_dir)
+    return feats.select(
+        "event_id",
+        sround(ens.iforest.decision_col(feats), 6).alias("anomaly_score_iforest"),
+    )
+
+
+@register(
+    "ml_kernel_lof_pretrained",
+    oracle=None,
+    description="Kernel-split twin: MLlib transform + ONLY the LOF kNN "
+    "Arrow kernel (subtract ml_kernel_base_pretrained for the kernel's "
+    "own cost).",
+    tags=["ml", "ensemble", "bench-twin"],
+)
+def q_ml_kernel_lof_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ens, feats = _pretrained_kernel_feats(spark, sf_dir)
+    return feats.select(
+        "event_id",
+        sround(ens.lof.decision_col(feats), 6).alias("anomaly_score_lof"),
+    )
+
+
+@register(
+    "ml_kernel_ae_pretrained",
+    oracle=None,
+    description="Kernel-split twin: MLlib transform + ONLY the "
+    "reconstruction-error Arrow kernel (subtract "
+    "ml_kernel_base_pretrained for the kernel's own cost).",
+    tags=["ml", "ensemble", "bench-twin"],
+)
+def q_ml_kernel_ae_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ens, feats = _pretrained_kernel_feats(spark, sf_dir)
+    return feats.select(
+        "event_id",
+        sround(ens.recon.score_col(feats), 6).alias("anomaly_score_ae"),
+    )
 
 
 @register(
@@ -5406,6 +5506,165 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rate = F.when(F.col("lang") == "en", 60).otherwise(90)
     sampled = deduped.filter(bucket < rate)
+    packed = ordered_prefix_sum(sampled, "doc_id", "n_tokens", out_col="tok_before")
+    return packed.select(
+        "doc_id", "lang", "n_tokens", F.expr("tok_before div 2048").alias("pack_id")
+    )
+
+
+# Exact nano-nat ln term for the unigram-LM cross-entropy family
+# (doc_lm_cross_entropy and the v2 pipeline share it verbatim).
+_XENT_TERM_SQL = (
+    "CAST(floor(" + det_ln_sql("inv_p") + " * 1e9 + 5e-1) AS BIGINT)"
+)
+
+
+@register(
+    "curation_pipeline_v2",
+    # The e2e pipeline with the CCNet LM-perplexity gate composed in
+    # (VERDICT r8 task 7): C4 quality gate -> exact dedup -> unigram-LM
+    # cross-entropy keep/drop (doc_lm_cross_entropy's math: Laplace-
+    # smoothed corpus LM, exact nano-nat ln terms, keep iff mean xent
+    # <= 9 nats — Wenzek et al. 2020's standard ordering puts the LM
+    # filter after dedup) -> per-language hash sample -> 2048-token
+    # packing. The LM trains on the FULL corpus (the gate judges
+    # every doc against the same model regardless of upstream stages),
+    # and its keep set is doc-keyed — one row per doc, a semi-join at
+    # any scale. Still integer-exact end to end.
+    oracle=rf"""
+        WITH tok AS (
+            SELECT doc_id, u.w AS word
+            FROM documents,
+                 unnest(string_split_regex(trim(text), '\s+')) AS u(w)
+        ), corpus AS (
+            SELECT word, COUNT(*) AS c FROM tok GROUP BY 1
+        ), tot AS (
+            SELECT SUM(c) AS t, COUNT(*) AS v FROM corpus
+        ), rt AS (
+            SELECT tok.doc_id,
+                   (CAST(tot.t + tot.v AS DOUBLE)
+                    / CAST(corpus.c + 1 AS DOUBLE)) AS inv_p
+            FROM tok JOIN corpus USING (word), tot
+        ), terms AS (
+            SELECT doc_id, {_XENT_TERM_SQL} AS nano FROM rt
+        ), lm AS (
+            SELECT doc_id FROM terms GROUP BY doc_id
+            HAVING SUM(nano) <= COUNT(*) * 9000000000
+        ), w AS (
+            SELECT doc_id, lang, text,
+                   string_split_regex(trim(text), '\s+') AS words,
+                   length(replace(trim(text), ' ', '')) AS n_letters
+            FROM documents
+        ), gated AS (
+            SELECT doc_id, lang, text,
+                   CAST(len(words) AS BIGINT) AS n_tokens
+            FROM w
+            WHERE len(words) >= 20
+              AND (list_contains(words, 'the') OR list_contains(words, 'a'))
+              AND list_max(list_transform(
+                      list_distinct(words),
+                      u -> len(list_filter(words, x -> x = u)))) * 5 <= len(words)
+              AND n_letters >= len(words) * 3
+              AND n_letters <= len(words) * 8
+        ), deduped AS (
+            SELECT doc_id, lang, n_tokens
+            FROM gated
+            QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                       ORDER BY doc_id) = 1
+        ), lmkept AS (
+            SELECT d.doc_id, d.lang, d.n_tokens
+            FROM deduped d JOIN lm USING (doc_id)
+        ), sampled AS (
+            SELECT doc_id, lang, n_tokens
+            FROM lmkept
+            WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                        || ':curate-v1'), 1, 8)) AS BIGINT) % 100
+                  < CASE WHEN lang = 'en' THEN 60 ELSE 90 END
+        ), packed AS (
+            SELECT doc_id, lang, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS tok_before
+            FROM sampled
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(tok_before // 2048 AS BIGINT) AS pack_id
+        FROM packed
+    """,
+    description="Curation pipeline v2 — the e2e composition with the "
+    "CCNet unigram-LM cross-entropy gate between dedup and sampling: "
+    "C4 gate -> exact dedup -> LM keep/drop at 9 nats (exact nano-nat "
+    "integer comparison, model trained on the full corpus) -> "
+    "per-language hash sample -> 2048-token packing. The LM keep set "
+    "is one row per doc (semi-join at any scale); every stage stays "
+    "integer-exact so the five-stage composition hash-matches.",
+    tags=["llm-pipeline", "dedup", "quality", "sampling", "composition"],
+)
+def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # LM gate keep set over the FULL corpus (doc_lm_cross_entropy's
+    # exact math; one explode + word-keyed join + doc agg)
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    corpus = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = corpus.agg(F.sum("c").alias("t"), F.count(F.lit(1)).alias("v"))
+    terms = (
+        tok.join(corpus, "word")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (
+                (F.col("t") + F.col("v")).cast("double")
+                / (F.col("c") + 1).cast("double")
+            ).alias("inv_p"),
+        )
+        .select("doc_id", F.expr(_XENT_TERM_SQL).alias("nano"))
+    )
+    lm_keep = (
+        terms.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("nano").alias("s"))
+        .filter(F.col("s") <= F.col("n") * F.lit(9000000000))
+        .select("doc_id")
+    )
+    # C4 gate + dedup (identical to curation_pipeline_e2e)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(words).cast("long")
+    n_letters = F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda u: F.size(F.filter(words, lambda x: x == u)),
+        )
+    ).cast("long")
+    keep = (
+        (n >= 20)
+        & (F.array_contains(words, "the") | F.array_contains(words, "a"))
+        & (top_count * 5 <= n)
+        & (n_letters >= n * 3)
+        & (n_letters <= n * 8)
+    )
+    gated = d.filter(keep).select("doc_id", "lang", "text", n.alias("n_tokens"))
+    wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("_rn", F.row_number().over(wdup))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    lmkept = deduped.join(lm_keep, "doc_id", "left_semi")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":curate-v1"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", 60).otherwise(90)
+    sampled = lmkept.filter(bucket < rate)
     packed = ordered_prefix_sum(sampled, "doc_id", "n_tokens", out_col="tok_before")
     return packed.select(
         "doc_id", "lang", "n_tokens", F.expr("tok_before div 2048").alias("pack_id")
@@ -9879,6 +10138,37 @@ def q_cc_twophase_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cc_auto_copurchase",
+    # The diameter-adaptive router (operators/graph.py:
+    # connected_components_auto — label-prop bounded at 32 rounds,
+    # two-phase fallback on the convergence ValueError; the measured
+    # SCALING §round-8 routing note as code, VERDICT r8 task 6) on the
+    # SAME bounded co-purchase subgraph and against the SAME
+    # recursive-CTE oracle as both fixed-strategy CC queries. The
+    # co-purchase graph's diameter is <10, so this exercises the
+    # router's common path (label-prop, no fallback); the fallback
+    # path is machine-checked on the diameter-1023 fixture in
+    # tests/test_graph.py.
+    oracle=REGISTRY["connected_components_copurchase"].oracle,
+    description="Connected components through the diameter-adaptive "
+    "router: min-label propagation with a 32-round budget, automatic "
+    "two-phase star-contraction fallback for pathological diameters — "
+    "the production entry point for UNKNOWN-diameter graphs, "
+    "hash-matched against the identical oracle as both fixed tiers.",
+    tags=["graph", "iterative", "join", "llm-pipeline"],
+)
+def q_cc_auto_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import connected_components_auto
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 1000)
+    e = _copurchase_pairs(li)
+    return connected_components_auto(e, src="a", dst="b").select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+@register(
     "quantile_sketch_values",
     # Fully oracle-backed DESPITE the Arrow/numpy execution path: the
     # sketch is a deterministic pure function of the data (md5 group
@@ -13317,11 +13607,6 @@ def q_calibration_ece_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_XENT_TERM_SQL = (
-    "CAST(floor(" + det_ln_sql("inv_p") + " * 1e9 + 5e-1) AS BIGINT)"
-)
-
-
 @register(
     "doc_lm_cross_entropy",
     # TRUE unigram-LM cross-entropy quality scoring (the CCNet gate,
@@ -13451,6 +13736,8 @@ def q_doc_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY_R09 = [
     # new in round 9 (never driver-checked) — newest first
     # (section filled as queries land during the round)
+    "curation_pipeline_v2",
+    "cc_auto_copurchase",
     # landed after the r8 window; never driver-executed (VERDICT r8 #1)
     "roc_auc_exact",
     "calibration_ece_bins",

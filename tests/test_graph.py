@@ -174,3 +174,41 @@ def test_kcore_query_rounds_stay_inside_oracle_unroll(spark, sf_dir):
 
     REGISTRY["kcore_repeat_copurchase"].fn(spark, sf_dir).count()
     assert LAST_RUN_STATS["k_core"] <= 14
+
+
+def test_auto_cc_low_diameter_stays_on_label_prop(spark):
+    from financial_anomaly_detection_spark.operators.graph import (
+        LAST_RUN_STATS,
+        connected_components_auto,
+    )
+
+    # a star (diameter 2) converges in a couple of label-prop rounds —
+    # the auto router must NOT pay two-phase's per-round cost here
+    edges = [(0, i) for i in range(1, 20)] + [(100, 101)]
+    df = spark.createDataFrame(edges, "s long, d long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_auto(df).collect()
+    }
+    assert LAST_RUN_STATS["connected_components_auto_fallback"] == 0
+    assert got == {**{i: 0 for i in range(20)}, 100: 100, 101: 100}
+
+
+def test_auto_cc_pathological_diameter_falls_back(spark):
+    from financial_anomaly_detection_spark.operators.graph import (
+        LAST_RUN_STATS,
+        connected_components_auto,
+    )
+
+    # the diameter-1023 path from the drill: label-prop burns its full
+    # 32-round budget without converging, two-phase finishes flat —
+    # total rounds <= 32 + ~11 (VERDICT r8 task 6's done-criterion)
+    edges = [(i, i + 1) for i in range(1023)]
+    df = spark.createDataFrame(edges, "s long, d long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_auto(df, check_every=8).collect()
+    }
+    assert LAST_RUN_STATS["connected_components_auto_fallback"] == 1
+    assert LAST_RUN_STATS["connected_components_twophase"] <= 12
+    assert got == {i: 0 for i in range(1024)}

@@ -225,6 +225,13 @@ EXPECTED = {
     "calibration_ece_bins": (1, {"events": 3}),
     # the one NLJ is the one-row (T, V) corpus-totals scalar broadcast
     "doc_lm_cross_entropy": (1, {"documents": 2}),
+    # round-9 additions: the adaptive CC router's label-prop branch
+    # converges (checkpointed leaves, no parquet scans survive); the
+    # v2 pipeline shares e2e's shape — prefix-sum skeleton pinned, one
+    # intentional triangular-carry NLJ (the LM stage's one-row totals
+    # broadcast executes pre-pin and never reaches the final plan)
+    "cc_auto_copurchase": (0, {}),
+    "curation_pipeline_v2": (1, {}),
 }
 
 
@@ -285,6 +292,7 @@ def test_no_unplanned_nested_loop_join(spark, sf_dir, name):
 NO_SINGLE_PARTITION = [
     "pack_sequences_2048",
     "curation_pipeline_e2e",
+    "curation_pipeline_v2",
     # round-5b sweep line: the global running concurrency sum must run
     # on the two-pass prefix scan, not a global window
     "max_concurrent_sessions",

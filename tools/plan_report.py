@@ -161,6 +161,16 @@ QUERIES = [
     "table_fingerprint_checksum",
     "poisson_bootstrap_ci",
     "keyness_g2_en_vs_rest",
+    # Late-r8 additions that landed after the previous regeneration
+    # (ADVICE r8: plan_report and test_plan_guards must track together).
+    "roc_auc_exact",
+    "calibration_ece_bins",
+    "doc_lm_cross_entropy",
+    "kcore_repeat_copurchase",
+    # Round-9 additions: diameter-adaptive CC router, LM-gated
+    # curation pipeline v2.
+    "cc_auto_copurchase",
+    "curation_pipeline_v2",
 ]
 
 
