@@ -112,3 +112,83 @@ def mannwhitney_from_counts(g: DataFrame) -> DataFrame:
         .cast("long")
         .alias("auc_u"),
     )
+
+
+def wasserstein_from_counts(g: DataFrame) -> DataFrame:
+    """Wasserstein-1 (earth mover) distance from a (cents, c_ref,
+    c_cur) count table — the magnitude-aware companion to KS: KS is
+    the LARGEST ECDF gap, W1 the integral of the gap over the value
+    axis (how much probability mass must move, times how far, to turn
+    one distribution into the other), which is the number a money
+    distribution shift is naturally priced in.
+
+    For integer-valued samples the closed form is
+    ``W1 = (1/(n_ref*n_cur)) * sum_i |R_ref(v_i)*n_cur -
+    R_cur(v_i)*n_ref| * (v_{i+1} - v_i)`` over consecutive distinct
+    values (Vallender 1974's 1-D formula on the merged support).
+    Everything before the final division is exact integer arithmetic
+    in DECIMAL(38,0): cumulative ranks come from the two-pass parallel
+    prefix sum, and the NEXT distinct value arrives by a rank
+    equi-join (rank from a second prefix sum over ones), never a
+    global-window ``lead`` — no single-partition exchange anywhere.
+
+    Returns one row: (n_ref, n_cur, w1_num, w1_cents_u) with
+    ``w1_num = sum |cumdiff| * gap`` (BIGINT output: exceeds int64
+    only past ~n_ref*n_cur*range > 9e18 — e.g. two 1e6-row windows
+    over a $10M value range; the internal math is DECIMAL(38,0) to
+    ~1e19x headroom beyond that) and ``w1_cents_u = floor(1e6 *
+    W1-in-cents)``.
+    """
+    from .prefix import ordered_prefix_sum
+
+    n = g.agg(F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur"))
+    # pin=True on the CHAINED prefix sums, unlike ks/mannwhitney's
+    # single-level pin=False: each unpinned prefix references its
+    # input ~4x (bounds + two subtotal sides + window), so three
+    # chained levels plus the rank self-join below duplicate the
+    # logical tree ~4^3x (measured: 137 nested-loop nodes in the
+    # analyzed plan). Each pin materializes one grid-sized artifact
+    # (a row per distinct value) and caps the tree at every level.
+    e = ordered_prefix_sum(g, "cents", "c_ref", out_col="_p_ref", pin=True)
+    e = ordered_prefix_sum(e, "cents", "c_cur", out_col="_p_cur", pin=True)
+    e = e.withColumn("_one", F.lit(1))
+    e = ordered_prefix_sum(e, "cents", "_one", out_col="_rk0", pin=True)
+    cur = e.select(
+        (F.col("_rk0") + 1).alias("_rk"),
+        F.col("cents"),
+        (F.col("_p_ref") + F.col("c_ref")).cast(DEC).alias("_r_ref"),
+        (F.col("_p_cur") + F.col("c_cur")).cast(DEC).alias("_r_cur"),
+    )
+    nxt = cur.select(
+        (F.col("_rk") - 1).alias("_rk"), F.col("cents").alias("_next_cents")
+    )
+    # inner join drops the LAST value row — correct: past the maximum
+    # both ECDFs are 1 and the gap is 0 forever
+    stepped = cur.join(nxt, "_rk")
+    term = (
+        F.abs(
+            F.col("_r_ref") * F.col("n_cur") - F.col("_r_cur") * F.col("n_ref")
+        )
+        * (F.col("_next_cents") - F.col("cents")).cast(DEC)
+    )
+    return (
+        stepped.join(F.broadcast(n))
+        .groupBy("n_ref", "n_cur")
+        .agg(F.sum(term).alias("_w1_dec"))
+        .select(
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            F.col("_w1_dec").cast("long").alias("w1_num"),
+            F.when(
+                (F.col("n_ref") == 0) | (F.col("n_cur") == 0), F.lit(None)
+            )
+            .otherwise(
+                F.expr(
+                    f"(_w1_dec * 1000000) div "
+                    f"(CAST(n_ref AS {DEC}) * n_cur)"
+                )
+            )
+            .cast("long")
+            .alias("w1_cents_u"),
+        )
+    )

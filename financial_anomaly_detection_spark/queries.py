@@ -13699,6 +13699,587 @@ def q_doc_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-9 additions: the rest of the evaluation/statistics surface —
+# earth-mover drift (magnitude-aware KS companion), WOE/IV categorical
+# encoding (the credit-risk staple), split-conformal thresholds
+# (finite-sample coverage guarantee for the anomaly scores), and
+# retrieval-ranking metrics (NDCG/MRR/Recall over the exact quantized
+# cosine ranking with the embeddings' real labels as relevance).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wasserstein_value_drift",
+    # Wasserstein-1 (earth mover) distance between the reference and
+    # current amount windows (same split as ks/mannwhitney): W1 =
+    # integral of the ECDF gap over the value axis (Vallender 1974's
+    # 1-D closed form on the merged integer-cents support) — KS tells
+    # you the worst gap, W1 prices the shift in cents. Exactness:
+    # sum_i |R_ref(v_i)*n_cur - R_cur(v_i)*n_ref| * (v_{i+1} - v_i)
+    # is integer arithmetic end to end (DECIMAL(38,0) internally,
+    # operators/driftstats.py); cumulative ranks AND the next-value
+    # step both come from the two-pass parallel prefix sum (the step
+    # via a rank equi-join, never a global-window lead) — no
+    # single-partition exchange. The oracle uses the plain windows.
+    oracle="""
+        WITH c AS (
+            SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN 0 ELSE 1 END AS cur
+            FROM events
+        ), g AS (
+            SELECT cents,
+                   SUM(CASE WHEN cur = 0 THEN 1 ELSE 0 END) AS c_ref,
+                   SUM(CASE WHEN cur = 1 THEN 1 ELSE 0 END) AS c_cur
+            FROM c GROUP BY cents
+        ), n AS (
+            SELECT SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur FROM g
+        ), e AS (
+            SELECT cents,
+                   SUM(c_ref) OVER (ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING) AS r_ref,
+                   SUM(c_cur) OVER (ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING) AS r_cur,
+                   lead(cents) OVER (ORDER BY cents) AS next_cents
+            FROM g
+        )
+        SELECT CAST(n.n_ref AS BIGINT) AS n_ref,
+               CAST(n.n_cur AS BIGINT) AS n_cur,
+               CAST(SUM(abs(e.r_ref * n.n_cur - e.r_cur * n.n_ref)
+                        * (e.next_cents - e.cents)) AS BIGINT) AS w1_num,
+               CAST(SUM(abs(e.r_ref * n.n_cur - e.r_cur * n.n_ref)
+                        * (e.next_cents - e.cents)) * 1000000
+                    // (n.n_ref * n.n_cur) AS BIGINT) AS w1_cents_u
+        FROM e CROSS JOIN n
+        WHERE e.next_cents IS NOT NULL
+        GROUP BY n.n_ref, n.n_cur
+    """,
+    description="Earth-mover (Wasserstein-1) drift between amount "
+    "windows: integer cross-multiplied ECDF gaps times value steps, "
+    "summed — exact to the final quantized division, fully parallel "
+    "(prefix-sum ranks + rank equi-join steps, no global window). "
+    "The magnitude-aware companion to ks_value_drift: same scan, "
+    "same count-table reduction, a shift's cost in cents.",
+    tags=["anomaly", "drift", "prefix"],
+)
+def q_wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.driftstats import wasserstein_from_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.when(
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("cur"),
+    )
+    g = c.groupBy("cents").agg(
+        F.sum(F.when(F.col("cur") == 0, 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("cur") == 1, 1).otherwise(0)).alias("c_cur"),
+    )
+    # pin once: three chained prefix sums + the rank join consume the
+    # count table many times (same rationale as ks_value_drift)
+    g = g.localCheckpoint(eager=True)
+    return wasserstein_from_counts(g)
+
+
+_WOE_LN_NANO_SQL = (
+    "CAST(floor(" + det_ln_sql("ratio") + " * 1e9 + 5e-1) AS BIGINT)"
+)
+
+
+@register(
+    "woe_iv_event_types",
+    # Weight-of-Evidence / Information Value of event_type against the
+    # high-amount label (the eval fixture's cents >= 20000) — the
+    # credit-risk categorical-encoding staple (Siddiqi 2006). Laplace
+    # smoothing (+1 per cell, +K on the totals, K = category count)
+    # keeps every ratio strictly positive and inside det_ln's domain.
+    # Exactness: ratio_c = ((pos_c+1)*(NEG+K)) / ((neg_c+1)*(POS+K))
+    # is one division of exact int64 products; WOE floors to nano-nats
+    # BEFORE any reuse; each IV term floors share_diff * woe_nano to
+    # an integer so the IV sum is order-free; IV itself is one final
+    # division. int64 domain: the share_diff numerator
+    # (pos_c+1)*(NEG+K) stays < 2^53-exact doubles through ~3e7-row
+    # windows per class; past that carry the products in DECIMAL(38,0)
+    # like driftstats.
+    oracle=f"""
+        WITH e AS (
+            SELECT event_type,
+                   CASE WHEN CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                             AS BIGINT) >= 20000 THEN 1 ELSE 0 END AS label
+            FROM events
+        ), g AS (
+            SELECT event_type,
+                   SUM(label) AS pos,
+                   COUNT(*) - SUM(label) AS neg
+            FROM e GROUP BY 1
+        ), t AS (
+            SELECT SUM(pos) AS pos_tot, SUM(neg) AS neg_tot,
+                   COUNT(*) AS k FROM g
+        ), r AS (
+            SELECT g.event_type, g.pos, g.neg, t.pos_tot, t.neg_tot, t.k,
+                   CAST((g.pos + 1) * (t.neg_tot + t.k) AS DOUBLE)
+                   / CAST((g.neg + 1) * (t.pos_tot + t.k) AS DOUBLE)
+                       AS ratio,
+                   (g.pos + 1) * (t.neg_tot + t.k)
+                   - (g.neg + 1) * (t.pos_tot + t.k) AS share_num
+            FROM g, t
+        ), w AS (
+            SELECT event_type, pos, neg, share_num,
+                   pos_tot, neg_tot, k,
+                   {_WOE_LN_NANO_SQL} AS woe_nano
+            FROM r
+        ), terms AS (
+            SELECT event_type, pos, neg, woe_nano,
+                   CAST(floor(
+                       (CAST(share_num AS DOUBLE)
+                        / CAST((pos_tot + k) * (neg_tot + k) AS DOUBLE))
+                       * CAST(woe_nano AS DOUBLE) + 5e-1) AS BIGINT)
+                       AS iv_term_nano
+            FROM w
+        ), iv AS (
+            SELECT SUM(iv_term_nano) AS iv_nano FROM terms
+        )
+        SELECT terms.event_type,
+               CAST(terms.pos AS BIGINT) AS pos,
+               CAST(terms.neg AS BIGINT) AS neg,
+               CAST(terms.woe_nano AS BIGINT) AS woe_nano,
+               {sround_sql('CAST(terms.woe_nano AS DOUBLE) / 1e9', 6)} AS woe,
+               CAST(terms.iv_term_nano AS BIGINT) AS iv_term_nano,
+               {sround_sql('CAST(iv.iv_nano AS DOUBLE) / 1e9', 6)} AS iv
+        FROM terms, iv
+    """,
+    description="Weight of Evidence per event_type against the "
+    "high-amount label, plus the feature's Information Value: "
+    "Laplace-smoothed ratios through the deterministic ln, WOE in "
+    "exact nano-nats, IV terms floored to integers so the sum is "
+    "order-free — one (type, label) partial agg, everything else on "
+    "the 5-row category grid. The categorical-encoding companion to "
+    "loo_target_encode.",
+    tags=["ml", "evaluation", "encoding", "aggregate"],
+)
+def q_woe_iv_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.when(
+            F.floor(F.col("value").cast("double") * 100 + F.lit(0.5)).cast("long")
+            >= 20000,
+            1,
+        )
+        .otherwise(0)
+        .alias("label"),
+    )
+    g = e.groupBy("event_type").agg(
+        F.sum("label").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("label")).alias("neg"),
+    )
+    t = g.agg(
+        F.sum("pos").alias("pos_tot"),
+        F.sum("neg").alias("neg_tot"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    r = g.crossJoin(F.broadcast(t)).select(
+        "event_type", "pos", "neg", "pos_tot", "neg_tot", "k",
+        (
+            ((F.col("pos") + 1) * (F.col("neg_tot") + F.col("k"))).cast("double")
+            / ((F.col("neg") + 1) * (F.col("pos_tot") + F.col("k"))).cast("double")
+        ).alias("ratio"),
+        (
+            (F.col("pos") + 1) * (F.col("neg_tot") + F.col("k"))
+            - (F.col("neg") + 1) * (F.col("pos_tot") + F.col("k"))
+        ).alias("share_num"),
+    )
+    w = r.withColumn("woe_nano", F.expr(_WOE_LN_NANO_SQL))
+    terms = w.select(
+        "event_type", "pos", "neg", "woe_nano",
+        F.expr(
+            "CAST(floor((CAST(share_num AS DOUBLE)"
+            " / CAST((pos_tot + k) * (neg_tot + k) AS DOUBLE))"
+            " * CAST(woe_nano AS DOUBLE) + 5e-1) AS BIGINT)"
+        ).alias("iv_term_nano"),
+    )
+    iv = terms.agg(F.sum("iv_term_nano").alias("iv_nano"))
+    return terms.crossJoin(F.broadcast(iv)).select(
+        "event_type",
+        F.col("pos").cast("long"),
+        F.col("neg").cast("long"),
+        F.col("woe_nano").cast("long"),
+        sround(F.col("woe_nano").cast("double") / F.lit(1e9), 6).alias("woe"),
+        F.col("iv_term_nano").cast("long"),
+        sround(F.col("iv_nano").cast("double") / F.lit(1e9), 6).alias("iv"),
+    )
+
+
+@register(
+    "conformal_split_threshold",
+    # Split-conformal prediction threshold for the integer risk score
+    # (Papadopoulos et al. 2002; Lei et al. 2018): an md5 half-split
+    # into calibration/test, threshold = the ceil((n_cal+1)*(1-alpha))
+    # -th smallest calibration score (alpha = 0.1), giving the
+    # finite-sample marginal coverage guarantee P(score <= threshold)
+    # >= 0.9 on exchangeable data — the statistically-grounded way to
+    # pick the anomaly-flag cutoff the reference hardcodes as a
+    # percentile (train.py's P97.5). Everything is integer-exact: the
+    # rank r = (9*(n_cal+1) + 9) div 10 (exact ceiling), the threshold
+    # a grid lookup (cumulative on the <=12-row score grid), and the
+    # realized test coverage one int/int division.
+    oracle=f"""
+        WITH e AS (
+            SELECT CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)
+                       AS cents,
+                   event_type,
+                   (epoch_us(ts) // 3600000000) % 24 AS hour,
+                   CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)
+                        || ':conf-v1'), 1, 8)) AS BIGINT) % 100 AS bucket
+            FROM events
+        ), s AS (
+            SELECT least(cents // 5000, 8)
+                   + CASE WHEN event_type = 'error' THEN 2 ELSE 0 END
+                   + CASE WHEN hour < 6 THEN 1 ELSE 0 END AS score,
+                   CASE WHEN bucket < 50 THEN 1 ELSE 0 END AS is_cal
+            FROM e
+        ), g AS (
+            SELECT score,
+                   SUM(is_cal) AS cal_cnt,
+                   COUNT(*) - SUM(is_cal) AS test_cnt
+            FROM s GROUP BY 1
+        ), n AS (
+            SELECT SUM(cal_cnt) AS n_cal, SUM(test_cnt) AS n_test,
+                   (9 * (SUM(cal_cnt) + 1) + 9) // 10 AS q_rank
+            FROM g
+        ), c AS (
+            SELECT score, test_cnt,
+                   SUM(cal_cnt) OVER (ORDER BY score
+                       ROWS UNBOUNDED PRECEDING) AS cum_cal
+            FROM g
+        ), thr AS (
+            SELECT MIN(c.score) AS threshold
+            FROM c, n WHERE c.cum_cal >= n.q_rank
+        ), cov AS (
+            SELECT COALESCE(SUM(c.test_cnt), 0) AS n_test_covered
+            FROM c, thr WHERE c.score <= thr.threshold
+        )
+        SELECT CAST(n.n_cal AS BIGINT) AS n_cal,
+               CAST(n.n_test AS BIGINT) AS n_test,
+               CAST(n.q_rank AS BIGINT) AS q_rank,
+               CAST(thr.threshold AS BIGINT) AS threshold,
+               CAST(cov.n_test_covered AS BIGINT) AS n_test_covered,
+               {sround_sql(
+                   'CAST(cov.n_test_covered AS DOUBLE)'
+                   ' / CAST(n.n_test AS DOUBLE)', 6)} AS coverage
+        FROM n, thr, cov
+    """,
+    description="Split-conformal anomaly threshold with the "
+    "finite-sample coverage guarantee: md5 calibration/test split, "
+    "threshold = exact order statistic ceil((n_cal+1)*0.9) on the "
+    "score grid, realized test coverage as one exact division. One "
+    "fact pass to the (score, split) grid; the sound replacement for "
+    "a hardcoded percentile cutoff.",
+    tags=["ml", "evaluation", "aggregate"],
+)
+def q_conformal_split_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        "event_type",
+        (F.expr("unix_micros(ts) div 3600000000") % 24).alias("hour"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("event_id").cast("string"), F.lit(":conf-v1"))
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % 100
+        ).alias("bucket"),
+    )
+    s = e.select(
+        (
+            F.least(F.expr("cents div 5000"), F.lit(8))
+            + F.when(F.col("event_type") == "error", 2).otherwise(0)
+            + F.when(F.col("hour") < 6, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("score"),
+        F.when(F.col("bucket") < 50, 1).otherwise(0).alias("is_cal"),
+    )
+    g = s.groupBy("score").agg(
+        F.sum("is_cal").alias("cal_cnt"),
+        (F.count(F.lit(1)) - F.sum("is_cal")).alias("test_cnt"),
+    )
+    n = g.agg(
+        F.sum("cal_cnt").alias("n_cal"),
+        F.sum("test_cnt").alias("n_test"),
+        F.expr("(9 * (SUM(cal_cnt) + 1) + 9) div 10").alias("q_rank"),
+    )
+    wc = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "score", "test_cnt", F.sum("cal_cnt").over(wc).alias("cum_cal")
+    )
+    thr = (
+        c.crossJoin(F.broadcast(n))
+        .filter(F.col("cum_cal") >= F.col("q_rank"))
+        .agg(F.min("score").alias("threshold"))
+    )
+    cov = (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("score") <= F.col("threshold"))
+        .agg(F.coalesce(F.sum("test_cnt"), F.lit(0)).alias("n_test_covered"))
+    )
+    return (
+        n.crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(cov))
+        .select(
+            F.col("n_cal").cast("long"),
+            F.col("n_test").cast("long"),
+            F.col("q_rank").cast("long"),
+            F.col("threshold").cast("long"),
+            F.col("n_test_covered").cast("long"),
+            sround(
+                F.col("n_test_covered").cast("double")
+                / F.col("n_test").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+# 1e9 * ln(2) as the identical shortest-round-trip DOUBLE literal in
+# both engines: gain(pos) = 1e9 / log2(pos+1) = (1e9*ln2) / ln(pos+1).
+_NDCG_NUM = "6.93147180559945e8"
+_NDCG_GAIN_SQL = (
+    "CAST(floor(CAST(rel AS DOUBLE) * " + _NDCG_NUM + " / "
+    + det_ln_sql("rnd") + " + 5e-1) AS BIGINT)"
+)
+_NDCG_IDEAL_SQL = (
+    "CAST(floor(" + _NDCG_NUM + " / " + det_ln_sql("posd")
+    + " + 5e-1) AS BIGINT)"
+)
+
+
+@register(
+    "retrieval_eval_metrics",
+    # Retrieval-quality metrics over the exact quantized-cosine
+    # ranking (ann_exact_quantized's bit-deterministic math) with the
+    # embeddings table's REAL labels as graded relevance (rel = 1 iff
+    # neighbor label == query label): NDCG@10 (Järvelin & Kekäläinen
+    # 2002), MRR, Precision@10, Recall@10 per query. Exactness: the
+    # log2 discounts go through the deterministic ln and floor to
+    # exact nano-gains BEFORE the per-query sums (order-free); IDCG
+    # uses the SAME floored gain grid over ideal positions
+    # 1..min(R,10); every final metric is one int/int division.
+    # Completes the eval family: classification (threshold_sweep_pr),
+    # ranking (roc_auc_exact), calibration (ece), retrieval (here).
+    # The exact tier is the constant-cost verification path (10
+    # queries x 500 candidates); the ANN tiers are the scale path.
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                                 AS BIGINT)) AS q
+            FROM embeddings WHERE vec_id < 500
+        ), nrm AS (
+            SELECT vec_id, label, q,
+                   CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
+                       AS norm_u
+            FROM e
+        ), p AS (
+            SELECT a.vec_id AS query_id, a.label AS query_label,
+                   b.vec_id AS neighbor_id,
+                   CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS rel,
+                   CAST(CAST(list_sum(list_transform(
+                           list_zip(a.q, b.q), x -> x[1] * x[2]))
+                        AS BIGINT) AS DOUBLE)
+                   / sqrt(CAST(a.norm_u * b.norm_u AS DOUBLE)) AS cos_exact
+            FROM nrm a JOIN nrm b
+              ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+        ), ranked AS (
+            SELECT query_id, query_label, rel,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_exact DESC, neighbor_id
+                   ) AS BIGINT) AS rn
+            FROM p
+        ), gains AS (
+            SELECT query_id, query_label, rel, rn,
+                   CAST(rn + 1 AS DOUBLE) AS rnd
+            FROM ranked
+        ), perq AS (
+            SELECT query_id, query_label,
+                   SUM(rel) AS n_relevant,
+                   SUM(CASE WHEN rn <= 10 THEN rel ELSE 0 END) AS hits_10,
+                   SUM(CASE WHEN rn <= 10 THEN {_NDCG_GAIN_SQL}
+                            ELSE 0 END) AS dcg_nano,
+                   MIN(CASE WHEN rel = 1 THEN rn END) AS first_rel_rank
+            FROM gains GROUP BY 1, 2
+        ), spine AS (
+            SELECT CAST(pos AS BIGINT) AS pos,
+                   CAST(pos + 1 AS DOUBLE) AS posd
+            FROM range(1, 11) t(pos)
+        ), ideal AS (
+            SELECT perq.query_id,
+                   SUM({_NDCG_IDEAL_SQL}) AS idcg_nano
+            FROM perq JOIN spine
+              ON spine.pos <= least(perq.n_relevant, 10)
+            GROUP BY 1
+        )
+        SELECT perq.query_id,
+               CAST(perq.query_label AS BIGINT) AS query_label,
+               CAST(perq.n_relevant AS BIGINT) AS n_relevant,
+               CAST(perq.hits_10 AS BIGINT) AS hits_10,
+               CAST(perq.dcg_nano AS BIGINT) AS dcg_nano,
+               CAST(COALESCE(ideal.idcg_nano, 0) AS BIGINT) AS idcg_nano,
+               {sround_sql(
+                   'CASE WHEN COALESCE(ideal.idcg_nano, 0) = 0 THEN 0e0 '
+                   'ELSE CAST(perq.dcg_nano AS DOUBLE) '
+                   '/ CAST(ideal.idcg_nano AS DOUBLE) END', 6)} AS ndcg_10,
+               {sround_sql('CAST(perq.hits_10 AS DOUBLE) / 1e1', 6)}
+                   AS precision_10,
+               {sround_sql(
+                   'CASE WHEN perq.n_relevant = 0 THEN 0e0 '
+                   'ELSE CAST(perq.hits_10 AS DOUBLE) '
+                   '/ CAST(perq.n_relevant AS DOUBLE) END', 6)} AS recall_10,
+               {sround_sql(
+                   'CASE WHEN perq.first_rel_rank IS NULL THEN 0e0 '
+                   'ELSE 1e0 / CAST(perq.first_rel_rank AS DOUBLE) END', 6)}
+                   AS mrr
+        FROM perq LEFT JOIN ideal ON perq.query_id = ideal.query_id
+    """,
+    description="NDCG@10 / MRR / Precision@10 / Recall@10 per query "
+    "over the exact quantized-cosine ranking, relevance = shared "
+    "embedding label: log2 discounts through the deterministic ln, "
+    "floored to nano-gains before order-free sums, IDCG on the same "
+    "gain grid, each metric one exact division. The retrieval leg of "
+    "the evaluation family; constant-cost verification tier anchoring "
+    "the ANN tiers' ranking quality, not just their recall.",
+    tags=["ml", "evaluation", "similarity", "ann"],
+)
+def q_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    quant = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+    )
+    norm = F.aggregate(
+        F.transform("q", lambda x: x * x), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    base = emb.select("vec_id", "label", quant.alias("q")).withColumn(
+        "norm_u", norm
+    )
+    a = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("q").alias("_qa"),
+        F.col("norm_u").alias("_na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("_lb"),
+        F.col("q").alias("_qb"),
+        F.col("norm_u").alias("_nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_qa", "_qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    p = (
+        a.join(b, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_exact",
+            dot.cast("double")
+            / F.sqrt((F.col("_na") * F.col("_nb")).cast("double")),
+        )
+        .withColumn(
+            "rel",
+            F.when(F.col("query_label") == F.col("_lb"), 1).otherwise(0),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_exact").desc(), "neighbor_id"
+    )
+    gains = (
+        p.select(
+            "query_id", "query_label", "rel",
+            F.row_number().over(wr).cast("long").alias("rn"),
+        )
+        .withColumn("rnd", (F.col("rn") + 1).cast("double"))
+        # the det_ln CASE ladder is projected BEFORE the aggregate:
+        # inlined inside SUM it blows the 64KB generated-method limit
+        # and drops the whole stage to interpreted mode
+        .withColumn("gain_nano", F.expr(_NDCG_GAIN_SQL))
+    )
+    perq = gains.groupBy("query_id", "query_label").agg(
+        F.sum("rel").alias("n_relevant"),
+        F.sum(F.when(F.col("rn") <= 10, F.col("rel")).otherwise(0)).alias(
+            "hits_10"
+        ),
+        F.sum(
+            F.when(F.col("rn") <= 10, F.col("gain_nano")).otherwise(0)
+        ).alias("dcg_nano"),
+        F.min(F.when(F.col("rel") == 1, F.col("rn"))).alias("first_rel_rank"),
+    )
+    spine = spark.range(1, 11).select(
+        F.col("id").alias("pos"), (F.col("id") + 1).cast("double").alias("posd")
+    ).withColumn("ideal_gain_nano", F.expr(_NDCG_IDEAL_SQL))
+    ideal = (
+        perq.join(
+            F.broadcast(spine),
+            spine["pos"] <= F.least(F.col("n_relevant"), F.lit(10)),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("ideal_gain_nano").alias("idcg_nano"))
+    )
+    return (
+        perq.join(ideal, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("query_label").cast("long"),
+            F.col("n_relevant").cast("long"),
+            F.col("hits_10").cast("long"),
+            F.col("dcg_nano").cast("long"),
+            F.coalesce(F.col("idcg_nano"), F.lit(0)).cast("long").alias(
+                "idcg_nano"
+            ),
+            sround(
+                F.when(
+                    F.coalesce(F.col("idcg_nano"), F.lit(0)) == 0, F.lit(0.0)
+                ).otherwise(
+                    F.col("dcg_nano").cast("double")
+                    / F.col("idcg_nano").cast("double")
+                ),
+                6,
+            ).alias("ndcg_10"),
+            sround(F.col("hits_10").cast("double") / F.lit(10.0), 6).alias(
+                "precision_10"
+            ),
+            sround(
+                F.when(F.col("n_relevant") == 0, F.lit(0.0)).otherwise(
+                    F.col("hits_10").cast("double")
+                    / F.col("n_relevant").cast("double")
+                ),
+                6,
+            ).alias("recall_10"),
+            sround(
+                F.when(F.col("first_rel_rank").isNull(), F.lit(0.0)).otherwise(
+                    F.lit(1.0) / F.col("first_rel_rank").cast("double")
+                ),
+                6,
+            ).alias("mrr"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
 #
@@ -13736,6 +14317,10 @@ def q_doc_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY_R09 = [
     # new in round 9 (never driver-checked) — newest first
     # (section filled as queries land during the round)
+    "wasserstein_value_drift",
+    "woe_iv_event_types",
+    "conformal_split_threshold",
+    "retrieval_eval_metrics",
     "curation_pipeline_v2",
     "cc_auto_copurchase",
     # landed after the r8 window; never driver-executed (VERDICT r8 #1)

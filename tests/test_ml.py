@@ -379,3 +379,163 @@ def test_threshold_sweep_pr_matches_direct_counting(spark, sf_dir):
         and label.sum() > 0
     }
     assert seen == expect, (sorted(seen), sorted(expect))
+
+
+# --- round-9 additions: numpy cross-checks for the new eval/stats ---------
+
+
+def test_wasserstein_drift_matches_numpy_ecdf_integral(spark, sf_dir):
+    import os
+
+    import pandas as pd
+
+    from financial_anomaly_detection_spark.queries import REGISTRY
+
+    row = REGISTRY["wasserstein_value_drift"].fn(spark, sf_dir).collect()[0]
+    ev = pd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value", "ts"]
+    )
+    cents = np.floor(ev["value"].to_numpy(dtype="float64") * 100 + 0.5).astype(
+        "int64"
+    )
+    cut = np.datetime64("2024-01-16T00:00:00")
+    is_ref = ev["ts"].to_numpy().astype("datetime64[ns]") < cut
+    ref, cur = np.sort(cents[is_ref]), np.sort(cents[~is_ref])
+    # independent path: ECDF-gap integral over the merged support
+    grid = np.unique(cents)
+    f_ref = np.searchsorted(ref, grid, side="right") / len(ref)
+    f_cur = np.searchsorted(cur, grid, side="right") / len(cur)
+    w1 = float(np.sum(np.abs(f_ref - f_cur)[:-1] * np.diff(grid)))
+    assert row["n_ref"] == len(ref) and row["n_cur"] == len(cur)
+    # w1_cents_u = floor(1e6 * W1): integer-floor quantization
+    assert abs(row["w1_cents_u"] / 1e6 - w1) < 2e-6, (row["w1_cents_u"], w1)
+
+
+def test_woe_iv_matches_numpy_log(spark, sf_dir):
+    import math
+    import os
+
+    import pandas as pd
+
+    from financial_anomaly_detection_spark.queries import REGISTRY
+
+    rows = REGISTRY["woe_iv_event_types"].fn(spark, sf_dir).collect()
+    ev = pd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value", "event_type"]
+    )
+    cents = np.floor(ev["value"].to_numpy(dtype="float64") * 100 + 0.5).astype(
+        "int64"
+    )
+    label = (cents >= 20000).astype("int64")
+    types = ev["event_type"].to_numpy()
+    cats = sorted(set(types))
+    k = len(cats)
+    pos_tot, neg_tot = int(label.sum()), int(len(label) - label.sum())
+    iv = 0.0
+    by_cat = {}
+    for c in cats:
+        m = types == c
+        pos, neg = int(label[m].sum()), int(m.sum() - label[m].sum())
+        woe = math.log(
+            ((pos + 1) * (neg_tot + k)) / ((neg + 1) * (pos_tot + k))
+        )
+        share = (pos + 1) / (pos_tot + k) - (neg + 1) / (neg_tot + k)
+        iv += share * woe
+        by_cat[c] = (pos, neg, woe)
+    assert len(rows) == k
+    for r in rows:
+        pos, neg, woe = by_cat[r["event_type"]]
+        assert (r["pos"], r["neg"]) == (pos, neg)
+        # det_ln series truncation < 1e-8 + nano flooring
+        assert abs(r["woe"] - woe) < 1e-6, (r["event_type"], r["woe"], woe)
+        assert abs(r["iv"] - iv) < 1e-6, (r["iv"], iv)
+
+
+def test_conformal_threshold_matches_numpy_order_stat(spark, sf_dir):
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    from financial_anomaly_detection_spark.queries import REGISTRY
+
+    row = REGISTRY["conformal_split_threshold"].fn(spark, sf_dir).collect()[0]
+    ev = pd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "value", "event_type", "ts"],
+    )
+    cents = np.floor(ev["value"].to_numpy(dtype="float64") * 100 + 0.5).astype(
+        "int64"
+    )
+    epoch_us = ev["ts"].to_numpy().astype("datetime64[ns]").astype("int64") // 1000
+    hour = (epoch_us // 3_600_000_000) % 24
+    score = (
+        np.minimum(cents // 5000, 8)
+        + (ev["event_type"].to_numpy() == "error").astype("int64") * 2
+        + (hour < 6).astype("int64")
+    )
+    buckets = np.array(
+        [
+            int(hashlib.md5(f"{e}:conf-v1".encode()).hexdigest()[:8], 16) % 100
+            for e in ev["event_id"]
+        ]
+    )
+    cal, test = score[buckets < 50], score[buckets >= 50]
+    n_cal = len(cal)
+    # the split-conformal order statistic: ceil((n_cal+1)*0.9)-th
+    # smallest calibration score (1-indexed)
+    r = -((-9 * (n_cal + 1)) // 10)
+    thr = int(np.sort(cal)[r - 1])
+    assert row["n_cal"] == n_cal and row["n_test"] == len(test)
+    assert row["q_rank"] == r
+    assert row["threshold"] == thr
+    assert row["n_test_covered"] == int((test <= thr).sum())
+    assert abs(row["coverage"] - (test <= thr).mean()) < 1.5e-6
+    # the guarantee itself on this (exchangeable) split
+    assert row["coverage"] >= 0.88
+
+
+def test_retrieval_metrics_match_numpy_ndcg(spark, sf_dir):
+    import math
+    import os
+
+    import pandas as pd
+
+    from financial_anomaly_detection_spark.queries import REGISTRY
+
+    rows = REGISTRY["retrieval_eval_metrics"].fn(spark, sf_dir).collect()
+    emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = emb[emb["vec_id"] < 500].reset_index(drop=True)
+    Q = np.floor(
+        np.stack(emb["embedding"].to_numpy()).astype("float64") * 1000 + 0.5
+    ).astype("int64")
+    norms = (Q * Q).sum(axis=1)
+    labels = emb["label"].to_numpy()
+    ids = emb["vec_id"].to_numpy()
+    assert len(rows) == 10
+    for r in rows:
+        qi = int(np.where(ids == r["query_id"])[0][0])
+        mask = ids != r["query_id"]
+        cos = (Q[mask] @ Q[qi]) / np.sqrt(
+            norms[mask].astype("float64") * norms[qi]
+        )
+        rel = (labels[mask] == labels[qi]).astype("int64")
+        nid = ids[mask]
+        order = np.lexsort((nid, -cos))
+        rel_sorted = rel[order]
+        n_rel = int(rel.sum())
+        hits10 = int(rel_sorted[:10].sum())
+        dcg = sum(
+            rel_sorted[i] / math.log2(i + 2) for i in range(10)
+        )
+        idcg = sum(1.0 / math.log2(i + 2) for i in range(min(n_rel, 10)))
+        ndcg = dcg / idcg if idcg > 0 else 0.0
+        first = np.nonzero(rel_sorted)[0]
+        mrr = 1.0 / (first[0] + 1) if len(first) else 0.0
+        assert r["n_relevant"] == n_rel and r["hits_10"] == hits10
+        assert abs(r["ndcg_10"] - ndcg) < 2e-6, (r["query_id"], r["ndcg_10"], ndcg)
+        assert abs(r["precision_10"] - hits10 / 10) < 1.5e-6
+        assert abs(
+            r["recall_10"] - (hits10 / n_rel if n_rel else 0.0)
+        ) < 1.5e-6
+        assert abs(r["mrr"] - mrr) < 1.5e-6

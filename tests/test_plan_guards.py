@@ -232,6 +232,16 @@ EXPECTED = {
     # broadcast executes pre-pin and never reaches the final plan)
     "cc_auto_copurchase": (0, {}),
     "curation_pipeline_v2": (1, {}),
+    # round-9 eval/stats family. Wasserstein: chained prefix sums are
+    # pinned (see wasserstein_from_counts) so the final plan is the
+    # last prefix level's intentional bounded broadcasts only; the
+    # others' NLJ are one-row scalar broadcasts (totals/threshold/
+    # coverage) plus retrieval's all-pairs verification-tier join and
+    # its 10-row position spine.
+    "wasserstein_value_drift": (3, {}),
+    "woe_iv_event_types": (3, {"events": 2}),
+    "conformal_split_threshold": (5, {"events": 4}),
+    "retrieval_eval_metrics": (3, {"embeddings": 3}),
 }
 
 

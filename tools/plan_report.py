@@ -168,9 +168,13 @@ QUERIES = [
     "doc_lm_cross_entropy",
     "kcore_repeat_copurchase",
     # Round-9 additions: diameter-adaptive CC router, LM-gated
-    # curation pipeline v2.
+    # curation pipeline v2, eval/stats family completion.
     "cc_auto_copurchase",
     "curation_pipeline_v2",
+    "wasserstein_value_drift",
+    "woe_iv_event_types",
+    "conformal_split_threshold",
+    "retrieval_eval_metrics",
 ]
 
 
