@@ -14279,6 +14279,271 @@ def q_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZIPF_XN_SQL = "CAST(floor(" + det_ln_sql("rankd") + " * 1e6 + 5e-1) AS BIGINT)"
+_ZIPF_YN_SQL = "CAST(floor(" + det_ln_sql("freqd") + " * 1e6 + 5e-1) AS BIGINT)"
+
+
+@register(
+    "zipf_slope_fit",
+    # Zipf's-law fit over the corpus vocabulary (Zipf 1949; the
+    # canonical corpus-sanity diagnostic — natural text fits
+    # ln f = a + s*ln r with s ~ -1, while boilerplate/spam/generated
+    # corpora bend away): OLS of ln(frequency) on ln(rank) over the
+    # top-100 ranks (the head is where the law holds and where the
+    # fit is standard practice). Exactness: ranks come from a
+    # TakeOrdered top-100 (freq DESC, word ASC — deterministic ties,
+    # no global-window funnel over the vocabulary), both logs go
+    # through the deterministic ln floored to MICRO-nats (bounded so
+    # every OLS cross-product stays far inside int64: |x|,|y| <=
+    # ~2e7, products <= ~4e14, sums over 100 points <= ~4e16), and
+    # slope/intercept are single divisions of exact integer
+    # determinant forms — never composed from each other.
+    oracle=f"""
+        WITH tok AS (
+            SELECT u.w AS word
+            FROM documents,
+                 unnest(string_split_regex(trim(text), '\\s+')) AS u(w)
+        ), wf AS (
+            SELECT word, COUNT(*) AS f FROM tok GROUP BY 1
+        ), tot AS (
+            SELECT COUNT(*) AS vocab, SUM(f) AS total_tokens FROM wf
+        ), top AS (
+            SELECT word, f,
+                   CAST(row_number() OVER (ORDER BY f DESC, word)
+                        AS BIGINT) AS r
+            FROM wf
+            QUALIFY r <= 100
+        ), pts AS (
+            SELECT CAST(r AS DOUBLE) AS rankd, CAST(f AS DOUBLE) AS freqd
+            FROM top
+        ), nano AS (
+            SELECT {_ZIPF_XN_SQL} AS xn, {_ZIPF_YN_SQL} AS yn FROM pts
+        ), s AS (
+            SELECT COUNT(*) AS n, SUM(xn) AS sx, SUM(yn) AS sy,
+                   SUM(xn * xn) AS sxx, SUM(xn * yn) AS sxy
+            FROM nano
+        )
+        SELECT CAST(s.n AS BIGINT) AS n_points,
+               CAST(tot.vocab AS BIGINT) AS vocab,
+               CAST(tot.total_tokens AS BIGINT) AS total_tokens,
+               {sround_sql(
+                   '(CAST(s.n AS DOUBLE) * CAST(s.sxy AS DOUBLE)'
+                   ' - CAST(s.sx AS DOUBLE) * CAST(s.sy AS DOUBLE))'
+                   ' / (CAST(s.n AS DOUBLE) * CAST(s.sxx AS DOUBLE)'
+                   ' - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE))', 6)}
+                   AS zipf_slope,
+               {sround_sql(
+                   '(CAST(s.sxx AS DOUBLE) * CAST(s.sy AS DOUBLE)'
+                   ' - CAST(s.sx AS DOUBLE) * CAST(s.sxy AS DOUBLE))'
+                   ' / (CAST(s.n AS DOUBLE) * CAST(s.sxx AS DOUBLE)'
+                   ' - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)) / 1e6', 6)}
+                   AS intercept_nats
+        FROM s, tot
+    """,
+    description="Zipf's-law slope over the top-100 word ranks: "
+    "deterministic TakeOrdered head (no vocabulary-sized window), "
+    "micro-nat logs through the deterministic ln, OLS slope and "
+    "intercept as exact-integer determinant divisions. Natural text "
+    "sits near slope -1; the corpus-pathology dial for generated or "
+    "boilerplate-heavy sources.",
+    tags=["text", "quality", "llm-pipeline", "aggregate"],
+)
+def q_zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    wf = tok.groupBy("word").agg(F.count(F.lit(1)).alias("f"))
+    tot = wf.agg(
+        F.count(F.lit(1)).alias("vocab"), F.sum("f").alias("total_tokens")
+    )
+    # TakeOrderedAndProject: per-partition top-100 then a 100-row
+    # merge on the driver side of the exchange — never a full sort
+    top = wf.orderBy(F.col("f").desc(), "word").limit(100)
+    wr = Window.orderBy(F.col("f").desc(), "word")
+    pts = top.select(
+        F.row_number().over(wr).cast("long").alias("r"), "f"
+    ).select(
+        F.col("r").cast("double").alias("rankd"),
+        F.col("f").cast("double").alias("freqd"),
+    )
+    nano = pts.select(
+        F.expr(_ZIPF_XN_SQL).alias("xn"), F.expr(_ZIPF_YN_SQL).alias("yn")
+    )
+    sagg = nano.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xn").alias("sx"),
+        F.sum("yn").alias("sy"),
+        F.sum(F.col("xn") * F.col("xn")).alias("sxx"),
+        F.sum(F.col("xn") * F.col("yn")).alias("sxy"),
+    )
+    # every determinant factor is cast to DOUBLE BEFORE multiplying:
+    # sxx*sy reaches ~1e24 (int64 overflow); per-factor casts are
+    # exact-or-correctly-rounded identically in both engines
+    nd, sxd, syd, sxxd, sxyd = (
+        F.col("n").cast("double"),
+        F.col("sx").cast("double"),
+        F.col("sy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    det = nd * sxxd - sxd * sxd
+    return sagg.crossJoin(F.broadcast(tot)).select(
+        F.col("n").cast("long").alias("n_points"),
+        F.col("vocab").cast("long"),
+        F.col("total_tokens").cast("long"),
+        sround((nd * sxyd - sxd * syd) / det, 6).alias("zipf_slope"),
+        sround((sxxd * syd - sxd * sxyd) / det / F.lit(1e6), 6).alias(
+            "intercept_nats"
+        ),
+    )
+
+
+@register(
+    "source_length_drift",
+    # Per-source KS-style distribution audit of document lengths
+    # against the whole corpus: for every source, the maximum permille
+    # gap between its length ECDF and the global length ECDF — the
+    # mixing-health check a curation pipeline runs before weighting
+    # sources (a source whose length distribution has drifted from
+    # the corpus usually changed extraction or got polluted).
+    # Exactness: per-source cumulative counts via a source-PARTITIONED
+    # window (parallel by construction); the global cumulative via the
+    # two-pass prefix sum (no single-partition funnel); permilles are
+    # integer floor divisions; the max-abs gap is an integer max.
+    oracle="""
+        WITH g AS (
+            SELECT source, n_chars, COUNT(*) AS cnt
+            FROM documents GROUP BY 1, 2
+        ), src AS (
+            SELECT source, n_chars, cnt,
+                   SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars
+                       ROWS UNBOUNDED PRECEDING) AS r_src,
+                   SUM(cnt) OVER (PARTITION BY source) AS n_src
+            FROM g
+        ), gl AS (
+            SELECT n_chars,
+                   SUM(cnt) OVER (ORDER BY n_chars
+                       ROWS UNBOUNDED PRECEDING) AS r_glob,
+                   SUM(cnt) OVER () AS n_glob
+            FROM (SELECT n_chars, SUM(cnt) AS cnt FROM g GROUP BY 1)
+        )
+        SELECT src.source,
+               CAST(MAX(src.n_src) AS BIGINT) AS n_docs,
+               CAST(MAX(abs(src.r_src * 1000 // src.n_src
+                            - gl.r_glob * 1000 // gl.n_glob))
+                    AS BIGINT) AS max_abs_skew_permille
+        FROM src JOIN gl USING (n_chars)
+        GROUP BY 1
+    """,
+    description="Per-source length-distribution drift vs the corpus: "
+    "max permille ECDF gap per source, from one (source, length) "
+    "partial agg — source cumulatives by partitioned window, the "
+    "global cumulative by the two-pass prefix sum. The pre-mixing "
+    "source-health audit next to source_temperature_weights.",
+    tags=["text", "drift", "llm-pipeline", "prefix"],
+)
+def q_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    g = g.localCheckpoint(eager=True)  # consumed by both cumulative paths
+    ws = Window.partitionBy("source").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("source")
+    src = g.select(
+        "source", "n_chars", "cnt",
+        F.sum("cnt").over(ws).alias("r_src"),
+        F.sum("cnt").over(wn).alias("n_src"),
+    )
+    gg = g.groupBy("n_chars").agg(F.sum("cnt").alias("gcnt"))
+    glob = ordered_prefix_sum(gg, "n_chars", "gcnt", out_col="_p_glob")
+    n_glob = gg.agg(F.sum("gcnt").alias("n_glob"))
+    glob = glob.select(
+        "n_chars", (F.col("_p_glob") + F.col("gcnt")).alias("r_glob")
+    ).crossJoin(F.broadcast(n_glob))
+    return (
+        src.join(glob, "n_chars")
+        .groupBy("source")
+        .agg(
+            F.max("n_src").cast("long").alias("n_docs"),
+            F.max(
+                F.abs(
+                    F.expr("r_src * 1000 div n_src")
+                    - F.expr("r_glob * 1000 div n_glob")
+                )
+            )
+            .cast("long")
+            .alias("max_abs_skew_permille"),
+        )
+    )
+
+
+@register(
+    "k_anonymity_audit",
+    # k-anonymity audit (Sweeney 2002) over the quasi-identifier
+    # (event_type, hour-of-day, day-of-week): how many QI groups have
+    # fewer than k=5 members, and how many rows sit in them — the
+    # re-identification exposure a dataset release review asks for
+    # first. All integer: counts, a group-size histogram agg, permille
+    # one floor division. One fact pass to the QI grid (<=840 cells),
+    # everything else grid-sized.
+    oracle="""
+        WITH e AS (
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) % 24 AS hour,
+                   ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow
+            FROM events
+        ), g AS (
+            SELECT event_type, hour, dow, COUNT(*) AS cnt
+            FROM e GROUP BY 1, 2, 3
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS qi_groups,
+               CAST(SUM(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS groups_below_k,
+               CAST(MIN(cnt) AS BIGINT) AS min_group_size,
+               CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS rows_at_risk,
+               CAST(SUM(cnt) AS BIGINT) AS rows_total,
+               CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) * 1000
+                    // SUM(cnt) AS BIGINT) AS risk_permille
+        FROM g GROUP BY 1
+    """,
+    description="k-anonymity exposure audit at k=5 over the "
+    "(event_type, hour, day-of-week) quasi-identifier: groups below "
+    "k, rows at re-identification risk, integer permille — the "
+    "governance gate before any event-level data release. One "
+    "partial-agg pass to the bounded QI grid.",
+    tags=["governance", "aggregate"],
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        (F.expr("unix_micros(ts) div 3600000000") % 24).alias("hour"),
+        ((F.expr("unix_micros(ts) div 86400000000") + 4) % 7).alias("dow"),
+    )
+    g = e.groupBy("event_type", "hour", "dow").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    below = F.when(F.col("cnt") < 5, F.col("cnt")).otherwise(0)
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("qi_groups"),
+        F.sum(F.when(F.col("cnt") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("groups_below_k"),
+        F.min("cnt").cast("long").alias("min_group_size"),
+        F.sum(below).cast("long").alias("rows_at_risk"),
+        F.sum("cnt").cast("long").alias("rows_total"),
+        F.expr(
+            "SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) * 1000 div SUM(cnt)"
+        )
+        .cast("long")
+        .alias("risk_permille"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -14317,6 +14582,9 @@ def q_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY_R09 = [
     # new in round 9 (never driver-checked) — newest first
     # (section filled as queries land during the round)
+    "zipf_slope_fit",
+    "source_length_drift",
+    "k_anonymity_audit",
     "wasserstein_value_drift",
     "woe_iv_event_types",
     "conformal_split_threshold",

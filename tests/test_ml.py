@@ -539,3 +539,100 @@ def test_retrieval_metrics_match_numpy_ndcg(spark, sf_dir):
             r["recall_10"] - (hits10 / n_rel if n_rel else 0.0)
         ) < 1.5e-6
         assert abs(r["mrr"] - mrr) < 1.5e-6
+
+
+def test_zipf_slope_matches_numpy_polyfit(spark, sf_dir):
+    import os
+    from collections import Counter
+
+    import pandas as pd
+
+    from financial_anomaly_detection_spark.queries import REGISTRY
+
+    row = REGISTRY["zipf_slope_fit"].fn(spark, sf_dir).collect()[0]
+    docs = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    cnt = Counter()
+    for t in docs["text"]:
+        cnt.update(t.strip().split())
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    x = np.log(np.arange(1, len(top) + 1, dtype="float64"))
+    y = np.log(np.array([f for _, f in top], dtype="float64"))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert row["n_points"] == len(top)
+    assert row["vocab"] == len(cnt)
+    assert row["total_tokens"] == sum(cnt.values())
+    # micro-nat quantization + det_ln truncation: ~1e-5 slack
+    assert abs(row["zipf_slope"] - slope) < 1e-4, (row["zipf_slope"], slope)
+    assert abs(row["intercept_nats"] - intercept) < 1e-3
+    # the diagnostic reading: the driver's synthetic corpus draws
+    # words near-uniformly, so its head is FLAT (measured ~-0.17,
+    # far from natural text's ~-1) — exactly the generated-text
+    # signature the dial exists to flag
+    assert -0.6 < row["zipf_slope"] < 0.0
+
+
+def test_source_length_drift_matches_numpy_ecdf(spark, sf_dir):
+    import os
+
+    import pandas as pd
+
+    from financial_anomaly_detection_spark.queries import REGISTRY
+
+    rows = {
+        r["source"]: r
+        for r in REGISTRY["source_length_drift"].fn(spark, sf_dir).collect()
+    }
+    docs = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "n_chars"]
+    )
+    grid = np.unique(docs["n_chars"].to_numpy())
+    all_v = np.sort(docs["n_chars"].to_numpy())
+    n_glob = len(all_v)
+    for src, grp in docs.groupby("source"):
+        v = np.sort(grp["n_chars"].to_numpy())
+        n_src = len(v)
+        # the query's floored-permille ECDF gap, only at the source's
+        # own grid points (the join keys)
+        own = np.unique(v)
+        r_src = np.searchsorted(v, own, side="right")
+        r_glob = np.searchsorted(all_v, own, side="right")
+        gap = np.abs(
+            (r_src * 1000) // n_src - (r_glob * 1000) // n_glob
+        ).max()
+        assert rows[src]["n_docs"] == n_src
+        assert rows[src]["max_abs_skew_permille"] == gap, (src, gap)
+
+
+def test_k_anonymity_matches_numpy_recount(spark, sf_dir):
+    import os
+
+    import pandas as pd
+
+    from financial_anomaly_detection_spark.queries import REGISTRY
+
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["k_anonymity_audit"].fn(spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+    us = ev["ts"].to_numpy().astype("datetime64[ns]").astype("int64") // 1000
+    df = pd.DataFrame(
+        {
+            "t": ev["event_type"],
+            "h": (us // 3_600_000_000) % 24,
+            "d": (us // 86_400_000_000 + 4) % 7,
+        }
+    )
+    for t, grp in df.groupby("t"):
+        sizes = grp.groupby(["h", "d"]).size()
+        r = rows[t]
+        assert r["qi_groups"] == len(sizes)
+        assert r["groups_below_k"] == int((sizes < 5).sum())
+        assert r["min_group_size"] == int(sizes.min())
+        assert r["rows_at_risk"] == int(sizes[sizes < 5].sum())
+        assert r["rows_total"] == len(grp)
+        assert r["risk_permille"] == (int(sizes[sizes < 5].sum()) * 1000) // len(grp)

@@ -242,6 +242,12 @@ EXPECTED = {
     "woe_iv_event_types": (3, {"events": 2}),
     "conformal_split_threshold": (5, {"events": 4}),
     "retrieval_eval_metrics": (3, {"embeddings": 3}),
+    # zipf: TakeOrdered head + the one-row corpus-totals broadcast;
+    # source drift: count grid pinned, prefix-sum bounded broadcasts;
+    # k-anonymity: two chained aggs, zero joins
+    "zipf_slope_fit": (1, {"documents": 1}),
+    "source_length_drift": (2, {}),
+    "k_anonymity_audit": (0, {"events": 2}),
 }
 
 
@@ -359,8 +365,11 @@ _GLOBAL_WINDOW_ALLOWLIST = [
     ("queries.py", r'Window\.orderBy\("day"\)\.rangeBetween\(-3, 3\)'),
     # roc_auc_exact's cumulative runs on the score grid — bounded at
     # <=12 rows by the integer score's construction, aggregated
-    # BEFORE the window
+    # BEFORE the window (conformal_split_threshold shares the form)
     ("queries.py", r'Window\.orderBy\("score"\)\.rowsBetween'),
+    # zipf_slope_fit ranks a frame already cut to 100 rows by
+    # TakeOrdered (orderBy+limit) — the bounded-list pattern rrf uses
+    ("queries.py", r'Window\.orderBy\(F\.col\("f"\)\.desc\(\), "word"\)'),
 ]
 
 

@@ -1120,3 +1120,79 @@ def test_stateful_hll_stream_equals_batch_registers(spark, tmp_path):
         j, rho = hll_j_rho(k)
         regs[j] = max(regs[j], rho)
     assert merge_registers(half_a, half_b) == truth["A"]
+
+
+def test_stateful_bottomk_stream_equals_batch_kmv(spark, tmp_path):
+    from financial_anomaly_detection_spark.streaming.bottomk import (
+        KMV_K,
+        kmv_estimate,
+        kmv_hash,
+        merge_states,
+        stateful_bottomk,
+    )
+
+    src = tmp_path / "kmv"
+    src.mkdir()
+    # overlapping keys across 3 micro-batches (replay-safe: min-k is
+    # idempotent), group B stays UNDER k to pin the exact-count rule,
+    # null keys must be dropped (md5(NULL) is NULL in the batch SQL)
+    batches = [
+        [("A", f"u{i}") for i in range(0, 300)] + [("B", f"v{i}") for i in range(10)],
+        [("A", f"u{i}") for i in range(150, 500)] + [("A", None)],
+        [("A", f"u{i}") for i in range(450, 700)] + [("B", f"v{i}") for i in range(5, 20)],
+    ]
+    for i, rows in enumerate(batches):
+        with open(src / f"{i}.json", "w") as f:
+            for g, k in rows:
+                f.write(json.dumps({"grp_in": g, "key_in": k}) + "\n")
+
+    stream = (
+        spark.readStream.schema("grp_in string, key_in string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stateful_bottomk(stream, "grp_in", "key_in")
+        .writeStream.format("memory")
+        .queryName("kmv_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_kmv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql("select * from kmv_state").collect()
+    final: dict[str, list] = {}
+    for r in rows:  # min-k is monotone: merging all emissions == last
+        final[r["grp"]] = merge_states(
+            final.get(r["grp"], []), list(r["hashes"])
+        )
+
+    # batch ground truth: the SAME hash math over the full static data
+    truth: dict[str, set] = {}
+    distinct: dict[str, set] = {}
+    for rows_b in batches:
+        for g, k in rows_b:
+            if k is None:
+                continue
+            truth.setdefault(g, set()).add(kmv_hash(k))
+            distinct.setdefault(g, set()).add(k)
+    for g, hashes in truth.items():
+        expect = sorted(hashes)[:KMV_K]
+        assert final[g] == expect, g  # EXACT state equality
+        est, true_n = kmv_estimate(final[g]), len(distinct[g])
+        if true_n < KMV_K:
+            assert est == true_n  # degradation rule: exact below k
+        else:
+            # k=32 KMV: ~18% rsd — generous 3-sigma band
+            assert abs(est - true_n) <= max(0.6 * true_n, 20), (g, est, true_n)
+
+    # set-algebra mergeability: two half-streams re-truncate to the
+    # full sketch (the property HLL registers cannot offer)
+    half_a, half_b = set(), set()
+    all_a = [k for rows_b in batches for g, k in rows_b if g == "A" and k is not None]
+    for i, k in enumerate(all_a):
+        (half_a if i % 2 == 0 else half_b).add(kmv_hash(k))
+    merged = merge_states(sorted(half_a)[:KMV_K], sorted(half_b)[:KMV_K])
+    assert merged == final["A"]

@@ -175,6 +175,9 @@ QUERIES = [
     "woe_iv_event_types",
     "conformal_split_threshold",
     "retrieval_eval_metrics",
+    "zipf_slope_fit",
+    "source_length_drift",
+    "k_anonymity_audit",
 ]
 
 
