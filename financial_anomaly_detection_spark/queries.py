@@ -14544,6 +14544,525 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "item_cooccurrence_similarity",
+    # Item-item collaborative-filtering primitive (Sarwar et al. 2001;
+    # the "customers also bought" table): per part, the top-3 most
+    # similar parts by co-occurrence cosine c_ab / sqrt(c_a * c_b)
+    # over order baskets, plus lift c_ab*N/(c_a*c_b). Exactness: all
+    # counts integer, cosine one division by the correctly-rounded
+    # sqrt of an exact int64 product (the ann_exact_quantized trick),
+    # lift per-factor double casts. Ranking is a pa-PARTITIONED window
+    # (parallel by construction — never a global sort); the pa < 300
+    # slice bounds the driver-facing output, the plan shape is
+    # slice-free. Scale: basket pair expansion is the array-native
+    # per-order form (no lineitem self-join), pair/item aggs key on
+    # part ids.
+    oracle="""
+        WITH baskets AS (
+            SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+            FROM lineitem GROUP BY 1
+        ), pairs AS (
+            SELECT u1.a AS pa, u2.b AS pb
+            FROM baskets,
+                 unnest(ps) AS u1(a), unnest(ps) AS u2(b)
+            WHERE u1.a < u2.b
+        ), co AS (
+            SELECT pa, pb, COUNT(*) AS c_ab FROM pairs GROUP BY 1, 2
+        ), items AS (
+            SELECT a AS part, COUNT(*) AS c
+            FROM (SELECT DISTINCT l_orderkey, l_partkey AS a FROM lineitem)
+            GROUP BY 1
+        ), n AS (
+            SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem
+        ), sym AS (
+            SELECT pa AS item, pb AS other, c_ab FROM co
+            UNION ALL
+            SELECT pb, pa, c_ab FROM co
+        ), scored AS (
+            SELECT sym.item, sym.other, sym.c_ab,
+                   ia.c AS c_item, ib.c AS c_other,
+                   CAST(sym.c_ab AS DOUBLE)
+                   / sqrt(CAST(ia.c * ib.c AS DOUBLE)) AS cos_raw,
+                   CAST(sym.c_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+                   / (CAST(ia.c AS DOUBLE) * CAST(ib.c AS DOUBLE)) AS lift_raw
+            FROM sym
+            JOIN items ia ON ia.part = sym.item
+            JOIN items ib ON ib.part = sym.other, n
+        )
+        SELECT CAST(item AS BIGINT) AS item,
+               CAST(other AS BIGINT) AS other,
+               CAST(c_ab AS BIGINT) AS c_ab,
+               floor(cos_raw * 1e6 + 0.5) / 1e6 AS cosine,
+               floor(lift_raw * 1e6 + 0.5) / 1e6 AS lift,
+               CAST(row_number() OVER (
+                   PARTITION BY item ORDER BY cos_raw DESC, other
+               ) AS BIGINT) AS rn
+        FROM scored
+        WHERE item < 300
+        QUALIFY rn <= 3
+    """,
+    description="Item-item co-occurrence similarity (the 'also bought' "
+    "recsys table): top-3 neighbors per part by exact-count cosine "
+    "over order baskets, with lift — array-native basket pair "
+    "expansion, part-keyed aggs, a partitioned ranking window, one "
+    "correctly-rounded sqrt division per pair.",
+    tags=["similarity", "analytics", "join"],
+)
+def q_item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ps"), i + 2, F.greatest(F.size("ps") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    co = (
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    items = (
+        li.select("l_orderkey", F.col("l_partkey").alias("part"))
+        .distinct()
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    sym = co.select(
+        F.col("pa").alias("item"), F.col("pb").alias("other"), "c_ab"
+    ).unionAll(
+        co.select(
+            F.col("pb").alias("item"), F.col("pa").alias("other"), "c_ab"
+        )
+    )
+    ia = items.select(F.col("part").alias("item"), F.col("c").alias("c_item"))
+    ib = items.select(F.col("part").alias("other"), F.col("c").alias("c_other"))
+    scored = (
+        sym.join(ia, "item")
+        .join(ib, "other")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "cos_raw",
+            F.col("c_ab").cast("double")
+            / F.sqrt((F.col("c_item") * F.col("c_other")).cast("double")),
+        )
+        .withColumn(
+            "lift_raw",
+            F.col("c_ab").cast("double") * F.col("n_orders").cast("double")
+            / (F.col("c_item").cast("double") * F.col("c_other").cast("double")),
+        )
+    )
+    wr = Window.partitionBy("item").orderBy(F.col("cos_raw").desc(), "other")
+    return (
+        scored.filter(F.col("item") < 300)
+        .withColumn("rn", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("item").cast("long"),
+            F.col("other").cast("long"),
+            F.col("c_ab").cast("long"),
+            sround(F.col("cos_raw"), 6).alias("cosine"),
+            sround(F.col("lift_raw"), 6).alias("lift"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "decision_stump_split",
+    # A distributed decision-stump learner (CART's single split,
+    # Breiman 1984) for the high-amount label over the integer risk
+    # score: for every candidate threshold t, the weighted Gini
+    # impurity numerator pos_L*neg_L/n_L + pos_R*neg_R/n_R, argmin
+    # with deterministic ties-to-smallest-threshold. Exactness: the
+    # (score, label) grid is <=24 cells; cumulatives run on the grid;
+    # each impurity is two divisions of exact int64 products summed
+    # once (identical expression both engines); the argmin is a
+    # min-scalar join + equality filter, no ordering anywhere. The
+    # information-gain denominator (parent impurity) is exact too.
+    oracle=f"""
+        WITH e AS (
+            SELECT CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)
+                       AS cents,
+                   event_type,
+                   (epoch_us(ts) // 3600000000) % 24 AS hour
+            FROM events
+        ), s AS (
+            SELECT CASE WHEN cents >= 20000 THEN 1 ELSE 0 END AS label,
+                   least(cents // 5000, 8)
+                   + CASE WHEN event_type = 'error' THEN 2 ELSE 0 END
+                   + CASE WHEN hour < 6 THEN 1 ELSE 0 END AS score
+            FROM e
+        ), g AS (
+            SELECT score, COUNT(*) AS cnt, SUM(label) AS pos
+            FROM s GROUP BY 1
+        ), t AS (
+            SELECT SUM(cnt) AS n, SUM(pos) AS pos_tot FROM g
+        ), c AS (
+            SELECT score,
+                   SUM(cnt) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS n_l,
+                   SUM(pos) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS pos_l
+            FROM g
+        ), cand AS (
+            SELECT c.score AS threshold,
+                   c.n_l, c.pos_l,
+                   t.n - c.n_l AS n_r, t.pos_tot - c.pos_l AS pos_r,
+                   CAST(c.pos_l * (c.n_l - c.pos_l) AS DOUBLE)
+                       / CAST(c.n_l AS DOUBLE)
+                   + CAST((t.pos_tot - c.pos_l)
+                          * ((t.n - c.n_l) - (t.pos_tot - c.pos_l)) AS DOUBLE)
+                       / CAST(t.n - c.n_l AS DOUBLE) AS imp
+            FROM c, t
+            WHERE c.n_l > 0 AND t.n - c.n_l > 0
+        ), best AS (
+            SELECT MIN(imp) AS min_imp FROM cand
+        )
+        SELECT CAST(MIN(cand.threshold) AS BIGINT) AS threshold,
+               CAST(MIN(t.n) AS BIGINT) AS n,
+               CAST(MIN(cand.n_l) AS BIGINT) AS n_l,
+               CAST(MIN(cand.pos_l) AS BIGINT) AS pos_l,
+               {sround_sql('MIN(cand.imp)', 6)} AS split_impurity,
+               {sround_sql(
+                   'MIN(CAST(t.pos_tot * (t.n - t.pos_tot) AS DOUBLE)'
+                   ' / CAST(t.n AS DOUBLE))', 6)} AS parent_impurity
+        FROM cand, t, best
+        WHERE cand.imp = best.min_imp
+          AND cand.threshold = (
+              SELECT MIN(threshold) FROM cand, best WHERE imp = min_imp
+          )
+    """,
+    description="Distributed decision stump: the exact best single "
+    "split of the integer risk score against the high-amount label by "
+    "weighted Gini impurity — grid cumulatives, two exact divisions "
+    "per candidate, scalar-min argmin with deterministic ties. One "
+    "fact pass; the base learner a distributed boosting loop would "
+    "call per round.",
+    tags=["ml", "aggregate"],
+)
+def q_decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        "event_type",
+        (F.expr("unix_micros(ts) div 3600000000") % 24).alias("hour"),
+    )
+    s = e.select(
+        F.when(F.col("cents") >= 20000, 1).otherwise(0).alias("label"),
+        (
+            F.least(F.expr("cents div 5000"), F.lit(8))
+            + F.when(F.col("event_type") == "error", 2).otherwise(0)
+            + F.when(F.col("hour") < 6, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("score"),
+    )
+    g = s.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("label").alias("pos")
+    )
+    t = g.agg(F.sum("cnt").alias("n"), F.sum("pos").alias("pos_tot"))
+    wb = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        F.col("score").alias("threshold"),
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("n_l"),
+        F.coalesce(F.sum("pos").over(wb), F.lit(0)).alias("pos_l"),
+    )
+    cand = (
+        c.crossJoin(F.broadcast(t))
+        .filter((F.col("n_l") > 0) & (F.col("n") - F.col("n_l") > 0))
+        .withColumn(
+            "imp",
+            (F.col("pos_l") * (F.col("n_l") - F.col("pos_l"))).cast("double")
+            / F.col("n_l").cast("double")
+            + (
+                (F.col("pos_tot") - F.col("pos_l"))
+                * (
+                    (F.col("n") - F.col("n_l"))
+                    - (F.col("pos_tot") - F.col("pos_l"))
+                )
+            ).cast("double")
+            / (F.col("n") - F.col("n_l")).cast("double"),
+        )
+    )
+    best = cand.agg(F.min("imp").alias("min_imp"))
+    hit = cand.crossJoin(F.broadcast(best)).filter(
+        F.col("imp") == F.col("min_imp")
+    )
+    first = hit.agg(F.min("threshold").alias("best_t"))
+    return (
+        hit.crossJoin(F.broadcast(first))
+        .filter(F.col("threshold") == F.col("best_t"))
+        .select(
+            F.col("threshold").cast("long"),
+            F.col("n").cast("long"),
+            F.col("n_l").cast("long"),
+            F.col("pos_l").cast("long"),
+            sround(F.col("imp"), 6).alias("split_impurity"),
+            sround(
+                (F.col("pos_tot") * (F.col("n") - F.col("pos_tot"))).cast(
+                    "double"
+                )
+                / F.col("n").cast("double"),
+                6,
+            ).alias("parent_impurity"),
+        )
+    )
+
+
+@register(
+    "group_kfold_balance",
+    # Group-k-fold assignment + balance audit: folds keyed on the md5
+    # of user_id (GROUP k-fold — every event of a user lands in one
+    # fold, the leakage-safe CV split for user-correlated data), then
+    # the audit a pipeline runs before trusting the folds: per-fold
+    # row/user counts, purchase share, and the fold's row share in
+    # integer permille. All exact integers.
+    oracle="""
+        WITH e AS (
+            SELECT event_type,
+                   user_id,
+                   CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)
+                        || ':fold-v1'), 1, 8)) AS BIGINT) % 5 AS fold
+            FROM events
+        ), t AS (
+            SELECT COUNT(*) AS n_total FROM e
+        )
+        SELECT CAST(fold AS BIGINT) AS fold,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    * 1000 // COUNT(*) AS BIGINT) AS purchase_permille,
+               CAST(COUNT(*) * 1000 // MAX(t.n_total) AS BIGINT)
+                   AS rows_permille
+        FROM e, t
+        GROUP BY 1
+    """,
+    description="Leakage-safe group-k-fold assignment (md5 of user_id "
+    "-> 5 folds; a user's events never straddle folds) with the "
+    "balance audit: per-fold rows, users, purchase share and row "
+    "share in exact permille — the CV-split health check next to "
+    "deterministic_split.",
+    tags=["ml", "sampling", "split", "aggregate"],
+)
+def q_group_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":fold-v1"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 5
+    )
+    e = ev.select("event_type", "user_id", fold.alias("fold"))
+    t = e.agg(F.count(F.lit(1)).alias("n_total"))
+    is_p = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    return (
+        e.crossJoin(F.broadcast(t))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(is_p).cast("long").alias("n_purchases"),
+            F.expr(
+                "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+                " * 1000 div COUNT(*)"
+            )
+            .cast("long")
+            .alias("purchase_permille"),
+            F.expr("COUNT(*) * 1000 div MAX(n_total)")
+            .cast("long")
+            .alias("rows_permille"),
+        )
+        .select(
+            F.col("fold").cast("long"),
+            "n_rows", "n_users", "n_purchases",
+            "purchase_permille", "rows_permille",
+        )
+    )
+
+
+@register(
+    "ransac_trend_daily",
+    # Deterministic RANSAC line fit (Fischler & Bolles 1981) of the
+    # daily revenue trend — the breakdown-point-50% companion to
+    # theilsen_daily_trend (median-of-slopes) and ols_trend_daily
+    # (breakdown 0): 8 anchor days chosen by smallest md5 (no RNG),
+    # all 28 anchor pairs as candidate lines, inliers counted by the
+    # exact integer residual test 10*|(y-y1)*dx - (x-x1)*dy| <=
+    # mean_daily_cents*dx (residual within a tenth of the mean daily
+    # total), best candidate by (inliers desc, x1, x2), then an exact
+    # OLS refit on the winner's inlier set. Everything is integer
+    # until the two final determinant divisions (per-factor double
+    # casts — same overflow discipline as zipf_slope_fit). All work
+    # past the one fact pass runs on the day grain (bounded by the
+    # calendar) x 28 candidates.
+    oracle=f"""
+        WITH d AS (
+            SELECT epoch_us(ts) // 86400000000 AS day,
+                   SUM(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                            AS BIGINT)) AS cents
+            FROM events GROUP BY 1
+        ), base AS (
+            SELECT day - (SELECT MIN(day) FROM d) AS x, cents AS y FROM d
+        ), m AS (
+            SELECT COUNT(*) AS n_days, SUM(y) // COUNT(*) AS mean_c
+            FROM base
+        ), anch AS (
+            SELECT x, y FROM base
+            ORDER BY md5(CAST(x AS VARCHAR) || ':ransac-v1'), x
+            LIMIT 8
+        ), cand AS (
+            SELECT a.x AS x1, a.y AS y1, b.x AS x2,
+                   b.x - a.x AS dx, b.y - a.y AS dy
+            FROM anch a JOIN anch b ON a.x < b.x
+        ), fit AS (
+            SELECT c.x1, c.y1, c.x2, c.dx, c.dy,
+                   SUM(CASE WHEN 10 * abs((p.y - c.y1) * c.dx
+                                          - (p.x - c.x1) * c.dy)
+                                 <= m.mean_c * c.dx
+                            THEN 1 ELSE 0 END) AS inliers
+            FROM cand c, base p, m
+            GROUP BY 1, 2, 3, 4, 5
+        ), best AS (
+            SELECT * FROM fit ORDER BY inliers DESC, x1, x2 LIMIT 1
+        ), inl AS (
+            SELECT p.x, p.y
+            FROM base p, best b, m
+            WHERE 10 * abs((p.y - b.y1) * b.dx - (p.x - b.x1) * b.dy)
+                  <= m.mean_c * b.dx
+        ), s AS (
+            SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx, SUM(x * y) AS sxy
+            FROM inl
+        )
+        SELECT CAST(m.n_days AS BIGINT) AS n_days,
+               CAST(best.x1 AS BIGINT) AS best_x1,
+               CAST(best.x2 AS BIGINT) AS best_x2,
+               CAST(best.inliers AS BIGINT) AS n_inliers,
+               {sround_sql(
+                   '(CAST(s.n AS DOUBLE) * CAST(s.sxy AS DOUBLE)'
+                   ' - CAST(s.sx AS DOUBLE) * CAST(s.sy AS DOUBLE))'
+                   ' / (CAST(s.n AS DOUBLE) * CAST(s.sxx AS DOUBLE)'
+                   ' - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE))', 6)}
+                   AS slope_cents_per_day,
+               {sround_sql(
+                   '(CAST(s.sxx AS DOUBLE) * CAST(s.sy AS DOUBLE)'
+                   ' - CAST(s.sx AS DOUBLE) * CAST(s.sxy AS DOUBLE))'
+                   ' / (CAST(s.n AS DOUBLE) * CAST(s.sxx AS DOUBLE)'
+                   ' - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE))', 6)}
+                   AS intercept_cents
+        FROM s, best, m
+    """,
+    description="Deterministic RANSAC daily-trend fit: md5-chosen "
+    "anchor days (no RNG), 28 candidate lines, exact integer inlier "
+    "tests against a tenth-of-mean tolerance, deterministic best-"
+    "candidate ties, exact OLS refit on the inlier set — the robust "
+    "regression tier between Theil-Sen and plain OLS, all day-grain "
+    "past one fact pass.",
+    tags=["anomaly", "trend", "aggregate"],
+)
+def q_ransac_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.expr("unix_micros(ts) div 86400000000").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("value").cast("double") * 100 + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("cents")
+    )
+    d0 = d.agg(F.min("day").alias("day0"))
+    base = d.crossJoin(F.broadcast(d0)).select(
+        (F.col("day") - F.col("day0")).alias("x"), F.col("cents").alias("y")
+    )
+    base = base.localCheckpoint(eager=True)  # day grain, many consumers
+    m = base.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("SUM(y) div COUNT(*)").alias("mean_c"),
+    )
+    anch = base.orderBy(
+        F.md5(F.concat(F.col("x").cast("string"), F.lit(":ransac-v1"))), "x"
+    ).limit(8)
+    a = anch.select(F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = anch.select(F.col("x").alias("x2"), F.col("y").alias("y2"))
+    cand = a.join(b, F.col("x1") < F.col("x2")).select(
+        "x1", "y1", "x2",
+        (F.col("x2") - F.col("x1")).alias("dx"),
+        (F.col("y2") - F.col("y1")).alias("dy"),
+    )
+    resid_ok = (
+        10
+        * F.abs(
+            (F.col("y") - F.col("y1")) * F.col("dx")
+            - (F.col("x") - F.col("x1")) * F.col("dy")
+        )
+        <= F.col("mean_c") * F.col("dx")
+    )
+    fit = (
+        F.broadcast(cand)
+        .crossJoin(base)
+        .crossJoin(F.broadcast(m))
+        .groupBy("x1", "y1", "x2", "dx", "dy")
+        .agg(F.sum(F.when(resid_ok, 1).otherwise(0)).alias("inliers"))
+    )
+    best = fit.orderBy(F.col("inliers").desc(), "x1", "x2").limit(1)
+    inl = (
+        base.crossJoin(F.broadcast(best))
+        .crossJoin(F.broadcast(m))
+        .filter(resid_ok)
+        .select("x", "y")
+    )
+    sagg = inl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd, sxd, syd, sxxd, sxyd = (
+        F.col("n").cast("double"),
+        F.col("sx").cast("double"),
+        F.col("sy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    det = nd * sxxd - sxd * sxd
+    return (
+        sagg.crossJoin(F.broadcast(best))
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("n_days").cast("long"),
+            F.col("x1").cast("long").alias("best_x1"),
+            F.col("x2").cast("long").alias("best_x2"),
+            F.col("inliers").cast("long").alias("n_inliers"),
+            sround((nd * sxyd - sxd * syd) / det, 6).alias(
+                "slope_cents_per_day"
+            ),
+            sround((sxxd * syd - sxd * sxyd) / det, 6).alias(
+                "intercept_cents"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -14582,6 +15101,10 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY_R09 = [
     # new in round 9 (never driver-checked) — newest first
     # (section filled as queries land during the round)
+    "item_cooccurrence_similarity",
+    "decision_stump_split",
+    "group_kfold_balance",
+    "ransac_trend_daily",
     "zipf_slope_fit",
     "source_length_drift",
     "k_anonymity_audit",

@@ -248,6 +248,14 @@ EXPECTED = {
     "zipf_slope_fit": (1, {"documents": 1}),
     "source_length_drift": (2, {}),
     "k_anonymity_audit": (0, {"events": 2}),
+    # cooccurrence/kfold: one-row totals broadcasts; stump: grid-
+    # scalar argmin broadcasts; ransac: candidates x day-grain base is
+    # THE algorithm (28-row candidate broadcast against the pinned day
+    # table, twice) + one-row best/mean/sums scalars
+    "item_cooccurrence_similarity": (1, {"lineitem": 2}),
+    "decision_stump_split": (4, {"events": 3}),
+    "group_kfold_balance": (1, {"events": 2}),
+    "ransac_trend_daily": (10, {}),
 }
 
 

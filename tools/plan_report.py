@@ -178,6 +178,10 @@ QUERIES = [
     "zipf_slope_fit",
     "source_length_drift",
     "k_anonymity_audit",
+    "item_cooccurrence_similarity",
+    "decision_stump_split",
+    "group_kfold_balance",
+    "ransac_trend_daily",
 ]
 
 
