@@ -15063,6 +15063,375 @@ def q_ransac_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "attribution_models",
+    # Multi-touch marketing attribution over the event stream: every
+    # purchase credits the user's clicks in the preceding 7 days under
+    # THREE standard models at once — first-touch, last-touch, and
+    # linear — grouped by the touch's campaign (props k mod 4, the
+    # payload's campaign surrogate). Exactness: touch ordering is
+    # (ts, event_id) — fully deterministic under tied timestamps;
+    # linear credit is integer micro-credits 1e6 div n with the
+    # REMAINDER assigned to the last touch, so per-purchase credit
+    # sums to exactly 1,000,000 and the global invariant
+    # sum(linear) == 1e6 * attributed_purchases holds bit-exactly
+    # (pinned in tests). Scale: one user-keyed equi-join between the
+    # purchase and click frames with the window predicate riding the
+    # hash join as a filter; per-purchase stats by purchase-keyed
+    # window (high-cardinality partitions).
+    oracle="""
+        WITH clk AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) % 4
+                       AS campaign
+            FROM events WHERE event_type = 'click'
+        ), pur AS (
+            SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+            FROM events WHERE event_type = 'purchase'
+        ), touch AS (
+            SELECT pur.p_id, clk.campaign, clk.us, clk.event_id,
+                   COUNT(*) OVER (PARTITION BY pur.p_id) AS n_touch,
+                   row_number() OVER (PARTITION BY pur.p_id
+                                      ORDER BY clk.us, clk.event_id) AS rn
+            FROM pur JOIN clk USING (user_id)
+            WHERE clk.us < pur.p_us
+              AND clk.us >= pur.p_us - 604800000000
+        )
+        SELECT CAST(campaign AS BIGINT) AS campaign,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS first_touch,
+               CAST(SUM(CASE WHEN rn = n_touch THEN 1 ELSE 0 END) AS BIGINT)
+                   AS last_touch,
+               CAST(SUM(1000000 // n_touch
+                        + CASE WHEN rn = n_touch THEN 1000000 % n_touch
+                               ELSE 0 END) AS BIGINT) AS linear_micro,
+               CAST(COUNT(*) AS BIGINT) AS n_touches
+        FROM touch GROUP BY 1
+    """,
+    description="Three attribution models in one pass (first-touch / "
+    "last-touch / exact-integer linear micro-credits with remainder-"
+    "to-last, so credit is conserved bit-exactly): purchases joined to "
+    "the user's prior-7-day clicks, per-purchase windows, campaign "
+    "rollup — the marketing-analytics staple on the anomaly engine's "
+    "event stream.",
+    tags=["analytics", "attribution", "join", "window"],
+)
+def q_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("us"),
+        (F.get_json_object("props", "$.k").cast("long") % 4).alias("campaign"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    touch = pur.join(clk, "user_id").filter(
+        (F.col("us") < F.col("p_us"))
+        & (F.col("us") >= F.col("p_us") - F.lit(604800000000))
+    )
+    wp = Window.partitionBy("p_id")
+    wo = Window.partitionBy("p_id").orderBy("us", "event_id")
+    t = touch.select(
+        "p_id", "campaign",
+        F.count(F.lit(1)).over(wp).alias("n_touch"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    return t.groupBy("campaign").agg(
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("first_touch"),
+        F.sum(F.when(F.col("rn") == F.col("n_touch"), 1).otherwise(0))
+        .cast("long")
+        .alias("last_touch"),
+        F.sum(
+            F.expr("1000000 div n_touch")
+            + F.when(
+                F.col("rn") == F.col("n_touch"),
+                F.expr("1000000 % n_touch"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("linear_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+    ).select(
+        F.col("campaign").cast("long"),
+        "first_touch", "last_touch", "linear_micro", "n_touches",
+    )
+
+
+@register(
+    "ab_test_proportions",
+    # Two-proportion A/B test readout: users md5-split into arms, the
+    # metric is user-level conversion (>= 1 purchase), output = exact
+    # counts, rates, absolute difference, and the pooled two-sample
+    # z-statistic. Determinism: rates and the z are doubles computed
+    # from exact integers through ONE fixed expression tree (the only
+    # non-rational step is sqrt, correctly rounded identically in both
+    # engines — the ann_exact_quantized precedent). The experimentation
+    # readout every scoring platform bolts on first.
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)
+                        || ':ab-v1'), 1, 8)) AS BIGINT) % 2 AS arm,
+                   MAX(CASE WHEN event_type = 'purchase'
+                            AND CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                                     AS BIGINT) >= 20000
+                            THEN 1 ELSE 0 END) AS converted
+            FROM events GROUP BY 1, 2
+        ), s AS (
+            SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+                   SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+                   SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS c_a,
+                   SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS c_b
+            FROM u
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(c_a AS BIGINT) AS conv_a, CAST(c_b AS BIGINT) AS conv_b,
+               {sround_sql('CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)', 6)}
+                   AS rate_a,
+               {sround_sql('CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)', 6)}
+                   AS rate_b,
+               CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b
+                    THEN NULL ELSE {sround_sql(
+                   '(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)'
+                   ' - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))'
+                   ' / sqrt(CAST(c_a + c_b AS DOUBLE)'
+                   ' / CAST(n_a + n_b AS DOUBLE)'
+                   ' * (1e0 - CAST(c_a + c_b AS DOUBLE)'
+                   ' / CAST(n_a + n_b AS DOUBLE))'
+                   ' * (1e0 / CAST(n_a AS DOUBLE)'
+                   ' + 1e0 / CAST(n_b AS DOUBLE)))', 6)} END AS z_stat
+        FROM s
+    """,
+    description="A/B experiment readout: md5 user split, user-level "
+    "conversion, exact counts and the pooled two-proportion z — one "
+    "user-keyed agg then scalar math, deterministic to the last bit "
+    "(sqrt is the only non-rational step, correctly rounded in both "
+    "engines).",
+    tags=["analytics", "evaluation", "aggregate"],
+)
+def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab-v1"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 2
+    )
+    hv = (
+        F.col("event_type") == "purchase"
+    ) & (
+        F.floor(F.col("value").cast("double") * 100 + F.lit(0.5)).cast("long")
+        >= 20000
+    )
+    u = ev.groupBy("user_id", arm.alias("arm")).agg(
+        F.max(F.when(hv, 1).otherwise(0)).alias("converted")
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)).alias(
+            "c_a"
+        ),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)).alias(
+            "c_b"
+        ),
+    )
+    ra = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    rb = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (ra - rb) / F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return s.select(
+        F.col("n_a").cast("long"),
+        F.col("n_b").cast("long"),
+        F.col("c_a").cast("long").alias("conv_a"),
+        F.col("c_b").cast("long").alias("conv_b"),
+        sround(ra, 6).alias("rate_a"),
+        sround(rb, 6).alias("rate_b"),
+        F.when(
+            (F.col("c_a") + F.col("c_b") == 0)
+            | (F.col("c_a") + F.col("c_b") == F.col("n_a") + F.col("n_b")),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(sround(z, 6))
+        .alias("z_stat"),
+    )
+
+
+@register(
+    "anomaly_monitoring_e2e",
+    # The financial-side capstone composition, mirroring the curation
+    # spine on the LLM side: score every event (the deterministic risk
+    # fixture) -> pick the flag threshold by SPLIT-CONFORMAL
+    # calibration (exact ceil((n+1)*0.9) order statistic on the md5
+    # calibration half) -> flag the test half STRICTLY ABOVE the
+    # threshold -> roll flag rates up by day -> carry the CUSUM-style
+    # cumulative deviation of daily flags from the overall test rate
+    # (in exact integer permille-days, via the two-pass prefix sum
+    # over the day grain). One declarative plan: evaluation,
+    # governance, and drift monitoring composed, hash-exact end to
+    # end.
+    oracle=f"""
+        WITH e AS (
+            SELECT CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)
+                       AS cents,
+                   event_type,
+                   (epoch_us(ts) // 3600000000) % 24 AS hour,
+                   epoch_us(ts) // 86400000000 AS day,
+                   CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)
+                        || ':conf-v1'), 1, 8)) AS BIGINT) % 100 AS bucket
+            FROM events
+        ), s AS (
+            SELECT day,
+                   least(cents // 5000, 8)
+                   + CASE WHEN event_type = 'error' THEN 2 ELSE 0 END
+                   + CASE WHEN hour < 6 THEN 1 ELSE 0 END AS score,
+                   CASE WHEN bucket < 50 THEN 1 ELSE 0 END AS is_cal
+            FROM e
+        ), g AS (
+            SELECT score, SUM(is_cal) AS cal_cnt FROM s GROUP BY 1
+        ), n AS (
+            SELECT SUM(cal_cnt) AS n_cal,
+                   (9 * (SUM(cal_cnt) + 1) + 9) // 10 AS q_rank
+            FROM g
+        ), c AS (
+            SELECT score,
+                   SUM(cal_cnt) OVER (ORDER BY score
+                       ROWS UNBOUNDED PRECEDING) AS cum_cal
+            FROM g
+        ), thr AS (
+            SELECT MIN(c.score) AS threshold FROM c, n
+            WHERE c.cum_cal >= n.q_rank
+        ), daily AS (
+            SELECT s.day - (SELECT MIN(day) FROM s) AS day_idx,
+                   COUNT(*) AS n_test,
+                   SUM(CASE WHEN s.score > thr.threshold THEN 1 ELSE 0 END)
+                       AS n_flagged
+            FROM s, thr WHERE s.is_cal = 0
+            GROUP BY 1
+        ), tot AS (
+            SELECT SUM(n_test) AS nt, SUM(n_flagged) AS nf FROM daily
+        ), dev AS (
+            SELECT day_idx, n_test, n_flagged,
+                   n_flagged * 1000 * (SELECT nt FROM tot)
+                   - n_test * 1000 * (SELECT nf FROM tot) AS dev_num
+            FROM daily
+        )
+        SELECT CAST(day_idx AS BIGINT) AS day_idx,
+               CAST(n_test AS BIGINT) AS n_test,
+               CAST(n_flagged AS BIGINT) AS n_flagged,
+               CAST(n_flagged * 1000 // n_test AS BIGINT) AS flag_permille,
+               CAST(SUM(dev_num) OVER (ORDER BY day_idx
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum_dev_num
+        FROM dev
+    """,
+    description="Anomaly-monitoring pipeline as ONE plan: conformal "
+    "threshold from the calibration half (exact order statistic) -> "
+    "flags on the test half -> daily flag rates -> integer CUSUM "
+    "deviation from the overall rate via the day-grain prefix sum. "
+    "The financial capstone composition beside curation_pipeline_v2: "
+    "evaluation + governance + drift monitoring, hash-exact.",
+    tags=["anomaly", "evaluation", "drift", "composition", "prefix"],
+)
+def q_anomaly_monitoring_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        "event_type",
+        (F.expr("unix_micros(ts) div 3600000000") % 24).alias("hour"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("event_id").cast("string"), F.lit(":conf-v1"))
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % 100
+        ).alias("bucket"),
+    )
+    s = e.select(
+        "day",
+        (
+            F.least(F.expr("cents div 5000"), F.lit(8))
+            + F.when(F.col("event_type") == "error", 2).otherwise(0)
+            + F.when(F.col("hour") < 6, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("score"),
+        F.when(F.col("bucket") < 50, 1).otherwise(0).alias("is_cal"),
+    )
+    # pin: the score frame feeds the calibration grid AND the daily
+    # test rollup — without the pin both paths replay the fact scan
+    s = s.localCheckpoint(eager=True)
+    g = s.groupBy("score").agg(F.sum("is_cal").alias("cal_cnt"))
+    n = g.agg(
+        F.expr("(9 * (SUM(cal_cnt) + 1) + 9) div 10").alias("q_rank")
+    )
+    wc = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select("score", F.sum("cal_cnt").over(wc).alias("cum_cal"))
+    thr = (
+        c.crossJoin(F.broadcast(n))
+        .filter(F.col("cum_cal") >= F.col("q_rank"))
+        .agg(F.min("score").alias("threshold"))
+    )
+    d0 = s.agg(F.min("day").alias("day0"))
+    daily = (
+        s.filter(F.col("is_cal") == 0)
+        .crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(d0))
+        .groupBy((F.col("day") - F.col("day0")).alias("day_idx"))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.col("score") > F.col("threshold"), 1).otherwise(0)
+            ).alias("n_flagged"),
+        )
+    )
+    tot = daily.agg(F.sum("n_test").alias("nt"), F.sum("n_flagged").alias("nf"))
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "day_idx", "n_test", "n_flagged",
+        (
+            F.col("n_flagged") * 1000 * F.col("nt")
+            - F.col("n_test") * 1000 * F.col("nf")
+        ).alias("dev_num"),
+    )
+    dev = ordered_prefix_sum(dev, "day_idx", "dev_num", out_col="_cusum0")
+    return dev.select(
+        F.col("day_idx").cast("long"),
+        F.col("n_test").cast("long"),
+        F.col("n_flagged").cast("long"),
+        F.expr("n_flagged * 1000 div n_test").cast("long").alias(
+            "flag_permille"
+        ),
+        (F.col("_cusum0") + F.col("dev_num")).cast("long").alias(
+            "cusum_dev_num"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -15101,6 +15470,9 @@ def q_ransac_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY_R09 = [
     # new in round 9 (never driver-checked) — newest first
     # (section filled as queries land during the round)
+    "attribution_models",
+    "ab_test_proportions",
+    "anomaly_monitoring_e2e",
     "item_cooccurrence_similarity",
     "decision_stump_split",
     "group_kfold_balance",

@@ -806,3 +806,154 @@ def test_group_kfold_balance_matches_recount(spark, sf_dir):
         assert r["n_purchases"] == n_p
         assert r["purchase_permille"] == n_p * 1000 // n_rows
         assert r["rows_permille"] == n_rows * 1000 // n_total
+
+
+def test_attribution_models_match_python_replay(spark, sf_dir):
+    import json as _json
+    import os
+
+    import pandas as pd
+
+    from financial_anomaly_detection_spark.queries import REGISTRY
+
+    rows = {
+        r["campaign"]: r
+        for r in REGISTRY["attribution_models"].fn(spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts", "props"],
+    )
+    us = ev["ts"].to_numpy().astype("datetime64[ns]").astype("int64") // 1000
+    ev = ev.assign(us=us)
+    clicks = ev[ev["event_type"] == "click"]
+    purchases = ev[ev["event_type"] == "purchase"]
+    camp = {
+        int(r.event_id): int(_json.loads(r.props)["k"]) % 4
+        for r in clicks.itertuples()
+    }
+    first = {}
+    last = {}
+    linear = {}
+    n_touch_total = 0
+    attributed = 0
+    clicks_by_user = {u: g for u, g in clicks.groupby("user_id")}
+    for p in purchases.itertuples():
+        g = clicks_by_user.get(p.user_id)
+        if g is None:
+            continue
+        w = g[(g["us"] < p.us) & (g["us"] >= p.us - 604_800_000_000)]
+        if not len(w):
+            continue
+        attributed += 1
+        w = w.sort_values(["us", "event_id"])
+        ids = list(w["event_id"])
+        n = len(ids)
+        n_touch_total += n
+        first[camp[ids[0]]] = first.get(camp[ids[0]], 0) + 1
+        last[camp[ids[-1]]] = last.get(camp[ids[-1]], 0) + 1
+        for i, eid in enumerate(ids):
+            c = 1_000_000 // n + (1_000_000 % n if i == n - 1 else 0)
+            linear[camp[eid]] = linear.get(camp[eid], 0) + c
+    assert set(rows) == set(linear)
+    for c in rows:
+        assert rows[c]["first_touch"] == first.get(c, 0)
+        assert rows[c]["last_touch"] == last.get(c, 0)
+        assert rows[c]["linear_micro"] == linear.get(c, 0)
+    # the conservation invariant: linear credit sums EXACTLY to 1e6
+    # per attributed purchase, and so do the touch-point models
+    assert sum(r["linear_micro"] for r in rows.values()) == 1_000_000 * attributed
+    assert sum(r["first_touch"] for r in rows.values()) == attributed
+    assert sum(r["last_touch"] for r in rows.values()) == attributed
+    assert sum(r["n_touches"] for r in rows.values()) == n_touch_total
+
+
+def test_ab_test_matches_numpy_ztest(spark, sf_dir):
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    from financial_anomaly_detection_spark.queries import REGISTRY
+
+    row = REGISTRY["ab_test_proportions"].fn(spark, sf_dir).collect()[0]
+    ev = pd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "value"],
+    )
+    cents = np.floor(ev["value"].to_numpy(dtype="float64") * 100 + 0.5).astype(
+        "int64"
+    )
+    hv = (ev["event_type"].to_numpy() == "purchase") & (cents >= 20000)
+    conv = pd.DataFrame({"u": ev["user_id"], "hv": hv}).groupby("u")["hv"].max()
+    arms = {
+        u: int(hashlib.md5(f"{u}:ab-v1".encode()).hexdigest()[:8], 16) % 2
+        for u in conv.index
+    }
+    n_a = sum(1 for u in conv.index if arms[u] == 0)
+    n_b = len(conv) - n_a
+    c_a = int(sum(conv[u] for u in conv.index if arms[u] == 0))
+    c_b = int(conv.sum()) - c_a
+    assert (row["n_a"], row["n_b"], row["conv_a"], row["conv_b"]) == (
+        n_a, n_b, c_a, c_b,
+    )
+    p = (c_a + c_b) / (n_a + n_b)
+    z = (c_a / n_a - c_b / n_b) / np.sqrt(p * (1 - p) * (1 / n_a + 1 / n_b))
+    assert abs(row["rate_a"] - c_a / n_a) < 1.5e-6
+    assert abs(row["rate_b"] - c_b / n_b) < 1.5e-6
+    assert abs(row["z_stat"] - z) < 1.5e-6
+
+
+def test_anomaly_monitoring_e2e_matches_python_replay(spark, sf_dir):
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    from financial_anomaly_detection_spark.queries import REGISTRY
+
+    rows = sorted(
+        REGISTRY["anomaly_monitoring_e2e"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["day_idx"],
+    )
+    ev = pd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "value", "event_type", "ts"],
+    )
+    us = ev["ts"].to_numpy().astype("datetime64[ns]").astype("int64") // 1000
+    cents = np.floor(ev["value"].to_numpy(dtype="float64") * 100 + 0.5).astype(
+        "int64"
+    )
+    hour = (us // 3_600_000_000) % 24
+    day = us // 86_400_000_000
+    score = (
+        np.minimum(cents // 5000, 8)
+        + (ev["event_type"].to_numpy() == "error").astype("int64") * 2
+        + (hour < 6).astype("int64")
+    )
+    bucket = np.array(
+        [
+            int(hashlib.md5(f"{e}:conf-v1".encode()).hexdigest()[:8], 16) % 100
+            for e in ev["event_id"]
+        ]
+    )
+    cal = score[bucket < 50]
+    r = -((-9 * (len(cal) + 1)) // 10)
+    thr = int(np.sort(cal)[r - 1])
+    tm = bucket >= 50
+    df = pd.DataFrame(
+        {"d": (day[tm] - day.min()), "f": (score[tm] > thr).astype("int64")}
+    )
+    daily = df.groupby("d").agg(n=("f", "size"), fl=("f", "sum"))
+    nt, nf = int(daily["n"].sum()), int(daily["fl"].sum())
+    cusum = 0
+    assert len(rows) == len(daily)
+    for r_ in rows:
+        d = r_["day_idx"]
+        n, fl = int(daily.loc[d, "n"]), int(daily.loc[d, "fl"])
+        cusum += fl * 1000 * nt - n * 1000 * nf
+        assert (r_["n_test"], r_["n_flagged"]) == (n, fl)
+        assert r_["flag_permille"] == fl * 1000 // n
+        assert r_["cusum_dev_num"] == cusum, (d, r_["cusum_dev_num"], cusum)
+    # the conformal flag rate on the test half is ~10% by construction
+    assert 0 <= nf * 1000 // nt <= 150

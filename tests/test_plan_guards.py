@@ -256,6 +256,12 @@ EXPECTED = {
     "decision_stump_split": (4, {"events": 3}),
     "group_kfold_balance": (1, {"events": 2}),
     "ransac_trend_daily": (10, {}),
+    # attribution: one user-keyed equi-join, window predicate rides it;
+    # ab test: one user agg + scalar math; monitoring e2e: score frame
+    # pinned, the NLJ is the prefix scan's triangular carry
+    "attribution_models": (0, {"events": 5}),
+    "ab_test_proportions": (0, {"events": 3}),
+    "anomaly_monitoring_e2e": (1, {}),
 }
 
 

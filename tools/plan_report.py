@@ -182,6 +182,9 @@ QUERIES = [
     "decision_stump_split",
     "group_kfold_balance",
     "ransac_trend_daily",
+    "attribution_models",
+    "ab_test_proportions",
+    "anomaly_monitoring_e2e",
 ]
 
 
