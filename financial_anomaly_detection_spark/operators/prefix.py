@@ -76,7 +76,12 @@ def ordered_prefix_sum(
     upstream subtree (at 100 TB: re-tokenizing the corpus) for each
     consumer. The skeleton is a few tens of bytes per row regardless
     of document size. Pass ``pin=False`` to keep the operator fully
-    lazy when the input is already cheap or cached.
+    lazy when the input is already cheap or cached — but only ONE
+    unpinned level per pinned input: each unpinned call references its
+    input several times, so CHAINED unpinned calls multiply the
+    logical plan ~4^levels (measured: 137 nested-loop nodes at three
+    levels in the round-9 Wasserstein draft; SCALING.md §round-9).
+    Chain with ``pin=True`` — each pin is one grid-sized artifact.
     """
     bounds = df.agg(
         F.min(order_col).cast("double").alias("_lo"),

@@ -15445,9 +15445,12 @@ def q_anomaly_monitoring_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Round-9 window (stalest-evidence-first rotation, same policy as
 # r4-r8), 50 slots:
-#   1. queries NEW in r9 — prepended as they land; each one pushes the
-#      last r5-cohort fill past the window edge (those keep their
-#      banked r5 greens and lead the r10 rotation);
+#   1. queries NEW in r9 — prepended as they landed; each one pushed
+#      the last r5-cohort fill past the window edge (those keep their
+#      banked r5 greens and lead the r10 rotation). Final r9 count: 16
+#      new oracle-backed queries, so 16 of the 30 r5 fills listed in
+#      item 4 sit past slot 50 — the final window is 16 new + 6
+#      late-r8 + 14 r4-stale + the first 14 r5 fills;
 #   2. the 6 oracle-backed queries that landed after the r8 window
 #      filled and have NEVER had a driver execution (VERDICT r8
 #      missing #1 / task 2): roc_auc_exact, calibration_ece_bins,

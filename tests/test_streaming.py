@@ -1196,3 +1196,79 @@ def test_stateful_bottomk_stream_equals_batch_kmv(spark, tmp_path):
         (half_a if i % 2 == 0 else half_b).add(kmv_hash(k))
     merged = merge_states(sorted(half_a)[:KMV_K], sorted(half_b)[:KMV_K])
     assert merged == final["A"]
+
+
+def test_stateful_conformal_stream_equals_batch_order_stat(spark, tmp_path):
+    from financial_anomaly_detection_spark.streaming.conformal import (
+        conformal_from_counts,
+        merge_counts,
+        stateful_conformal_threshold,
+    )
+
+    src = tmp_path / "conf"
+    src.mkdir()
+    # integer scores 0..11 (the risk-score domain); 12 buckets over
+    # [0, 12) make bucket == score, so stream must equal the batch
+    # order statistic EXACTLY. Nulls must be dropped. Group B stays
+    # tiny so rank > n -> +inf threshold (not enough evidence yet).
+    rng_scores = [(i * 7 + 3) % 12 for i in range(400)]
+    batches = [
+        [("A", s) for s in rng_scores[:150]] + [("B", 5)],
+        [("A", s) for s in rng_scores[150:300]] + [("A", None)],
+        [("A", s) for s in rng_scores[300:]] + [("B", 7)],
+    ]
+    for i, rows in enumerate(batches):
+        with open(src / f"{i}.json", "w") as f:
+            for g, s in rows:
+                f.write(json.dumps({"grp_in": g, "score_in": s}) + "\n")
+
+    stream = (
+        spark.readStream.schema("grp_in string, score_in double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stateful_conformal_threshold(
+            stream, "grp_in", "score_in", lo=0.0, hi=12.0, n_buckets=12
+        )
+        .writeStream.format("memory")
+        .queryName("conf_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_conf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql("select * from conf_state").collect()
+    # last emission per group carries the full-stream state
+    final = {}
+    for r in rows:
+        if final.get(r["grp"]) is None or r["n_cal"] >= final[r["grp"]]["n_cal"]:
+            final[r["grp"]] = r
+
+    # batch ground truth: exact order statistic on the raw scores
+    all_a = sorted(s for rows_b in batches for g, s in rows_b
+                   if g == "A" and s is not None)
+    n = len(all_a)
+    rank = -((-9 * (n + 1)) // 10)
+    thr = all_a[rank - 1]
+    a = final["A"]
+    assert a["n_cal"] == n and a["q_rank"] == rank
+    assert a["threshold_bucket"] == thr  # bucket == integer score
+    assert a["threshold_upper"] == thr + 1.0
+    # coverage guarantee on the calibration set itself (conservative)
+    covered = sum(1 for s in all_a if s <= a["threshold_upper"])
+    assert covered / n >= 0.9
+    # group B: n=2 -> rank 3 > n -> +inf (no evidence yet)
+    b = final["B"]
+    assert b["n_cal"] == 2 and b["threshold_upper"] == float("inf")
+
+    # mergeability: two half-histograms add to the full state, and the
+    # threshold read from the merged state equals the streamed one
+    h1, h2 = [0] * 13, [0] * 13
+    for i, s in enumerate(all_a):
+        (h1 if i % 2 == 0 else h2)[int(s)] += 1
+    merged = merge_counts(h1, h2)
+    n2, r2, tb2, up2 = conformal_from_counts(merged, 0.0, 12.0, 0.1)
+    assert (n2, r2, tb2, up2) == (n, rank, a["threshold_bucket"], a["threshold_upper"])
