@@ -25,6 +25,19 @@ theoretical):
   evaluation order fixes the bits — validated empirically over
   hundreds of values in tests/test_mathfn.py.
 
+Codegen-size traps (measured on the round-9 Kaplan-Meier query; both
+drop the stage to interpreted mode — results stay correct, ~10x
+slower): (1) never wrap a ladder in an OUTER ``CASE WHEN`` — Spark
+inlines the whole branch without the method-splitting a top-level
+expression gets and the generated method exceeds the JVM's 64KB
+limit; guard the ladder's INPUT (e.g. ratio -> 1e0 on degenerate
+rows) and CASE the scalar OUTPUT instead. (2) the ladder's ``var``
+must be a plain column on a materialization boundary when it is
+itself a computed expression — projection collapse substitutes the
+expression into every ladder reference (~165 for ln, ~160 for exp)
+and explodes the method the same way; ``localCheckpoint`` after
+computing the input column.
+
 Method (ln): range-reduce r = m * 2^k with a CASE ladder of exact
 power-of-two comparisons (k = floor(log2 r), m in [1, 2)); then
 ln m = 2 * atanh((m-1)/(m+1)) by the odd Taylor series. For m in

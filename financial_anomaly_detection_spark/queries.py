@@ -15432,6 +15432,176 @@ def q_anomaly_monitoring_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The ladder must stay BARE: Spark's whole-stage codegen inlines an
+# entire CASE branch without the method-splitting a top-level
+# expression gets, so CASE(det_ln(...)) exceeds the JVM's 64KB method
+# limit and drops the stage to interpreted mode (measured; the bare
+# ladder compiles fine). Guard the INPUT instead (ratio -> 1.0 on
+# degenerate rows, ln(1)=0) and apply the sentinel to the OUTPUT.
+_KM_SAFE_RATIO_SQL = (
+    "CASE WHEN n_risk > d THEN CAST(n_risk - d AS DOUBLE)"
+    " / CAST(n_risk AS DOUBLE) ELSE 1e0 END"
+)
+_KM_RAW_NANO_SQL = (
+    "CAST(floor(" + det_ln_sql("km_ratio") + " * 1e9 + 5e-1) AS BIGINT)"
+)
+_KM_TERM_SQL = (
+    "CASE WHEN n_risk > d THEN raw_nano"
+    " ELSE CAST(-99000000000 AS BIGINT) END"
+)
+_KM_SURV_SQL = "CAST(floor(" + det_exp_sql("km_x") + " * 1e6 + 5e-1) AS BIGINT)"
+
+
+@register(
+    "kaplan_meier_conversion",
+    # Kaplan-Meier survival estimator (Kaplan & Meier 1958) for
+    # time-to-first-purchase with REAL right-censoring: every user
+    # enters at their first event day and is observed until the
+    # global end of data, so later-joining users censor earlier — the
+    # exact shape production churn/conversion curves have. S(t) =
+    # prod_{t_i <= t} (1 - d_i/n_i) is computed in logs through BOTH
+    # deterministic transcendentals: each factor's ln floors to
+    # nano-nats, the cumulative runs on the day grid via the two-pass
+    # prefix sum (pinned chain — the Wasserstein lesson), and the
+    # product comes back through det_exp, floored to micro units.
+    # Censorings tied to an event day stay at risk at that day (the
+    # standard KM convention — encoded identically in both engines by
+    # building n_risk from the >= t tail). A day where everyone at
+    # risk converts takes the -99 nano-nat sentinel (survival
+    # underflows to 0 identically both sides).
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id,
+                   epoch_us(ts) // 86400000000 AS day,
+                   event_type
+            FROM events
+        ), horizon AS (
+            SELECT MAX(day) AS max_day FROM e
+        ), u AS (
+            SELECT user_id,
+                   MIN(day) AS entry_day,
+                   MIN(CASE WHEN event_type = 'purchase' THEN day END)
+                       AS p_day
+            FROM e GROUP BY 1
+        ), t AS (
+            SELECT user_id,
+                   CASE WHEN p_day IS NULL THEN horizon.max_day - entry_day
+                        ELSE p_day - entry_day END AS tte,
+                   CASE WHEN p_day IS NULL THEN 0 ELSE 1 END AS is_event
+            FROM u, horizon
+        ), g AS (
+            SELECT tte, SUM(is_event) AS d,
+                   COUNT(*) - SUM(is_event) AS c
+            FROM t GROUP BY 1
+        ), r AS (
+            SELECT tte, d, c,
+                   SUM(d + c) OVER (ORDER BY tte
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS leaving_by_t,
+                   SUM(d + c) OVER () AS n_total
+            FROM g
+        ), k AS (
+            SELECT tte, d, c,
+                   n_total - leaving_by_t + d + c AS n_risk
+            FROM r
+        ), terms AS (
+            SELECT tte, d, c, n_risk, {_KM_SAFE_RATIO_SQL} AS km_ratio
+            FROM k
+        ), raw AS (
+            SELECT tte, d, c, n_risk, {_KM_RAW_NANO_SQL} AS raw_nano
+            FROM terms
+        ), nano AS (
+            SELECT tte, d, c, n_risk, {_KM_TERM_SQL} AS term_nano
+            FROM raw
+        ), cum AS (
+            SELECT tte, d, c, n_risk,
+                   SUM(term_nano) OVER (ORDER BY tte
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_nano
+            FROM nano
+        ), fin AS (
+            SELECT tte, d, c, n_risk,
+                   greatest(CAST(cum_nano AS DOUBLE) / 1e9, -4e1) AS km_x
+            FROM cum
+        )
+        SELECT CAST(tte AS BIGINT) AS tte_days,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(d AS BIGINT) AS n_events,
+               CAST(c AS BIGINT) AS n_censored,
+               {sround_sql(f"CAST({_KM_SURV_SQL} AS DOUBLE) / 1e6", 6)}
+                   AS survival
+        FROM fin WHERE d > 0
+    """,
+    description="Kaplan-Meier time-to-first-purchase curve with real "
+    "right-censoring (entry at first activity, observation ends at "
+    "the data horizon): at-risk tails from grid prefix sums, each "
+    "survival factor's ln floored to nano-nats, the product recovered "
+    "through the deterministic exp — the survival-analysis estimator, "
+    "hash-exact, one fact pass then day-grain math.",
+    tags=["analytics", "survival", "aggregate", "prefix"],
+)
+def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        "event_type",
+    )
+    horizon = e.agg(F.max("day").alias("max_day"))
+    u = e.groupBy("user_id").agg(
+        F.min("day").alias("entry_day"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("day"))
+        ).alias("p_day"),
+    )
+    t = u.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("p_day").isNull(), F.col("max_day") - F.col("entry_day")
+        )
+        .otherwise(F.col("p_day") - F.col("entry_day"))
+        .alias("tte"),
+        F.when(F.col("p_day").isNull(), 0).otherwise(1).alias("is_event"),
+    )
+    g = t.groupBy("tte").agg(
+        F.sum("is_event").alias("d"),
+        (F.count(F.lit(1)) - F.sum("is_event")).alias("c"),
+    )
+    g = g.withColumn("_leave", F.col("d") + F.col("c"))
+    g = g.localCheckpoint(eager=True)  # grid; consumed by both prefixes
+    n_total = g.agg(F.sum("_leave").alias("n_total"))
+    r = ordered_prefix_sum(g, "tte", "_leave", out_col="_before", pin=True)
+    k = r.crossJoin(F.broadcast(n_total)).select(
+        "tte", "d", "c",
+        (F.col("n_total") - F.col("_before")).alias("n_risk"),
+    )
+    terms = k.withColumn("km_ratio", F.expr(_KM_SAFE_RATIO_SQL))
+    nano = terms.withColumn("raw_nano", F.expr(_KM_RAW_NANO_SQL)).withColumn(
+        "term_nano", F.expr(_KM_TERM_SQL)
+    )
+    cum = ordered_prefix_sum(nano, "tte", "term_nano", out_col="_cum0", pin=True)
+    # km_x must be a MATERIALIZED leaf attribute before the det_exp
+    # ladder reads it: projection collapse otherwise substitutes the
+    # greatest(...)/1e9 expression into every ladder reference and
+    # codegen exceeds 64KB (same failure class as the CASE(det_ln)
+    # above — both measured on this query)
+    fin = cum.withColumn(
+        "km_x",
+        F.greatest(
+            (F.col("_cum0") + F.col("term_nano")).cast("double") / F.lit(1e9),
+            F.lit(-40.0),
+        ),
+    ).localCheckpoint(eager=True)
+    return fin.filter(F.col("d") > 0).select(
+        F.col("tte").cast("long").alias("tte_days"),
+        F.col("n_risk").cast("long"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("c").cast("long").alias("n_censored"),
+        sround(
+            F.expr(_KM_SURV_SQL).cast("double") / F.lit(1e6), 6
+        ).alias("survival"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -15473,6 +15643,7 @@ def q_anomaly_monitoring_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY_R09 = [
     # new in round 9 (never driver-checked) — newest first
     # (section filled as queries land during the round)
+    "kaplan_meier_conversion",
     "attribution_models",
     "ab_test_proportions",
     "anomaly_monitoring_e2e",

@@ -957,3 +957,61 @@ def test_anomaly_monitoring_e2e_matches_python_replay(spark, sf_dir):
         assert r_["cusum_dev_num"] == cusum, (d, r_["cusum_dev_num"], cusum)
     # the conformal flag rate on the test half is ~10% by construction
     assert 0 <= nf * 1000 // nt <= 150
+
+
+def test_kaplan_meier_matches_numpy_product_limit(spark, sf_dir):
+    import os
+
+    import pandas as pd
+
+    from financial_anomaly_detection_spark.queries import REGISTRY
+
+    rows = sorted(
+        REGISTRY["kaplan_meier_conversion"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["tte_days"],
+    )
+    ev = pd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"],
+    )
+    day = (
+        ev["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
+        // 1000
+        // 86_400_000_000
+    )
+    ev = ev.assign(day=day)
+    max_day = int(day.max())
+    tte, event = [], []
+    for u, g in ev.groupby("user_id"):
+        entry = int(g["day"].min())
+        p = g.loc[g["event_type"] == "purchase", "day"]
+        if len(p):
+            tte.append(int(p.min()) - entry)
+            event.append(1)
+        else:
+            tte.append(max_day - entry)
+            event.append(0)
+    tte, event = np.array(tte), np.array(event)
+    # textbook product-limit over event times (censored-at-t at risk)
+    surv = 1.0
+    expect = {}
+    for t in sorted(np.unique(tte)):
+        n_risk = int((tte >= t).sum())
+        d = int(event[tte == t].sum())
+        c = int((tte == t).sum()) - d
+        if n_risk > d:
+            surv *= 1 - d / n_risk
+        else:
+            surv = 0.0
+        if d > 0:
+            expect[int(t)] = (n_risk, d, c, surv)
+    assert len(rows) == len(expect)
+    for r in rows:
+        n_risk, d, c, sv = expect[r["tte_days"]]
+        assert (r["n_risk"], r["n_events"], r["n_censored"]) == (n_risk, d, c)
+        # nano-nat term flooring + micro survival quantization
+        assert abs(r["survival"] - sv) < 3e-6, (r["tte_days"], r["survival"], sv)
+    # survival is monotone non-increasing and inside [0, 1]
+    vals = [r["survival"] for r in rows]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))

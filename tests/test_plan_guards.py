@@ -262,6 +262,9 @@ EXPECTED = {
     "attribution_models": (0, {"events": 5}),
     "ab_test_proportions": (0, {"events": 3}),
     "anomaly_monitoring_e2e": (1, {}),
+    # KM: every stage up to km_x is pinned (codegen-size discipline,
+    # mathfn docstring) — the final plan is a lone ladder projection
+    "kaplan_meier_conversion": (0, {}),
 }
 
 

@@ -185,6 +185,7 @@ QUERIES = [
     "attribution_models",
     "ab_test_proportions",
     "anomaly_monitoring_e2e",
+    "kaplan_meier_conversion",
 ]
 
 
