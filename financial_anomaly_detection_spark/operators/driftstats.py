@@ -162,14 +162,18 @@ def wasserstein_from_counts(g: DataFrame) -> DataFrame:
     nxt = cur.select(
         (F.col("_rk") - 1).alias("_rk"), F.col("cents").alias("_next_cents")
     )
-    # inner join drops the LAST value row — correct: past the maximum
-    # both ECDFs are 1 and the gap is 0 forever
-    stepped = cur.join(nxt, "_rk")
+    # LEFT join: the LAST value row has no successor — its gap is 0
+    # (past the maximum both ECDFs are 1 forever), and keeping the row
+    # means a single-value grid still yields its one (w1=0) output row
+    stepped = cur.join(nxt, "_rk", "left")
     term = (
         F.abs(
             F.col("_r_ref") * F.col("n_cur") - F.col("_r_cur") * F.col("n_ref")
         )
-        * (F.col("_next_cents") - F.col("cents")).cast(DEC)
+        * F.coalesce(
+            (F.col("_next_cents") - F.col("cents")).cast(DEC),
+            F.lit(0).cast(DEC),
+        )
     )
     return (
         stepped.join(F.broadcast(n))

@@ -13746,12 +13746,12 @@ def q_doc_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(n.n_ref AS BIGINT) AS n_ref,
                CAST(n.n_cur AS BIGINT) AS n_cur,
                CAST(SUM(abs(e.r_ref * n.n_cur - e.r_cur * n.n_ref)
-                        * (e.next_cents - e.cents)) AS BIGINT) AS w1_num,
+                        * COALESCE(e.next_cents - e.cents, 0))
+                    AS BIGINT) AS w1_num,
                CAST(SUM(abs(e.r_ref * n.n_cur - e.r_cur * n.n_ref)
-                        * (e.next_cents - e.cents)) * 1000000
+                        * COALESCE(e.next_cents - e.cents, 0)) * 1000000
                     // (n.n_ref * n.n_cur) AS BIGINT) AS w1_cents_u
         FROM e CROSS JOIN n
-        WHERE e.next_cents IS NOT NULL
         GROUP BY n.n_ref, n.n_cur
     """,
     description="Earth-mover (Wasserstein-1) drift between amount "
@@ -15617,10 +15617,10 @@ def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r4-r8), 50 slots:
 #   1. queries NEW in r9 — prepended as they landed; each one pushed
 #      the last r5-cohort fill past the window edge (those keep their
-#      banked r5 greens and lead the r10 rotation). Final r9 count: 16
-#      new oracle-backed queries, so 16 of the 30 r5 fills listed in
-#      item 4 sit past slot 50 — the final window is 16 new + 6
-#      late-r8 + 14 r4-stale + the first 14 r5 fills;
+#      banked r5 greens and lead the r10 rotation). Final r9 count: 17
+#      new oracle-backed queries, so 17 of the 30 r5 fills listed in
+#      item 4 sit past slot 50 — the final window is 17 new + 6
+#      late-r8 + 14 r4-stale + the first 13 r5 fills;
 #   2. the 6 oracle-backed queries that landed after the r8 window
 #      filled and have NEVER had a driver execution (VERDICT r8
 #      missing #1 / task 2): roc_auc_exact, calibration_ece_bins,

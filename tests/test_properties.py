@@ -358,3 +358,83 @@ def test_corr_quantized_matches_numpy(pairs):
     want = float(np.corrcoef(xs.astype(float), ys.astype(float))[0, 1])
     assert abs(got / 1e6 - want) < 2e-6
     assert -1_000_000 <= got <= 1_000_000
+
+
+# --- round-9 primitives: pure-python property checks (no Spark) -----------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(0, 11), min_size=1, max_size=400),
+    st.integers(2, 16),
+)
+def test_streaming_conformal_coverage_and_merge(scores, n_buckets):
+    """The split-conformal guarantee survives bucketing: for ANY score
+    multiset and ANY bucket width, at least ceil(0.9*(n+1)) - 1 ... in
+    fact >= 90% of calibration scores sit at or below threshold_upper
+    (rounding a threshold UP never loses coverage), and splitting the
+    stream in two and merging histograms reproduces the threshold."""
+    from financial_anomaly_detection_spark.streaming.conformal import (
+        bucket_of,
+        conformal_from_counts,
+        merge_counts,
+    )
+
+    lo, hi = 0.0, 12.0
+    counts = [0] * (n_buckets + 1)
+    for s in scores:
+        counts[bucket_of(float(s), lo, hi, n_buckets)] += 1
+    n, rank, tb, upper = conformal_from_counts(counts, lo, hi, 0.1)
+    assert n == len(scores)
+    if rank <= n:
+        covered = sum(1 for s in scores if s <= upper)
+        assert covered >= rank  # the order statistic itself is covered
+        assert covered / n >= 0.9 - 1e-12
+    else:
+        assert upper == float("inf")
+    # merge = elementwise addition reproduces the identical threshold
+    h1, h2 = [0] * (n_buckets + 1), [0] * (n_buckets + 1)
+    for i, s in enumerate(scores):
+        (h1 if i % 2 else h2)[bucket_of(float(s), lo, hi, n_buckets)] += 1
+    assert conformal_from_counts(
+        merge_counts(h1, h2), lo, hi, 0.1
+    ) == (n, rank, tb, upper)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=60),
+    st.lists(st.integers(0, 50), min_size=1, max_size=60),
+)
+def test_wasserstein_counts_match_bruteforce_transport(spark, ref, cur):
+    """wasserstein_from_counts' closed form equals the brute-force 1-D
+    optimal transport cost between the SORTED empirical quantile
+    functions (the other classical W1 identity) on random integer
+    samples — engine-independent, formula-level."""
+    import numpy as np
+
+    from financial_anomaly_detection_spark.operators.driftstats import (
+        wasserstein_from_counts,
+    )
+    from collections import Counter
+
+    cr, cc = Counter(ref), Counter(cur)
+    grid = sorted(set(ref) | set(cur))
+    rows = [(int(v), int(cr.get(v, 0)), int(cc.get(v, 0))) for v in grid]
+    g = spark.createDataFrame(rows, "cents long, c_ref long, c_cur long")
+    out = wasserstein_from_counts(g).collect()[0]
+    # brute force: W1 = integral_0^1 |F_ref^-1(q) - F_cur^-1(q)| dq,
+    # computed on the common refinement of both quantile grids
+    a, b = np.sort(np.array(ref, dtype=float)), np.sort(np.array(cur, dtype=float))
+    qs = np.unique(
+        np.concatenate([np.arange(len(a) + 1) / len(a),
+                        np.arange(len(b) + 1) / len(b)])
+    )
+    w1 = 0.0
+    for q0, q1 in zip(qs[:-1], qs[1:]):
+        mid = (q0 + q1) / 2
+        va = a[min(int(mid * len(a)), len(a) - 1)]
+        vb = b[min(int(mid * len(b)), len(b) - 1)]
+        w1 += abs(va - vb) * (q1 - q0)
+    got = out["w1_num"] / (out["n_ref"] * out["n_cur"])
+    assert abs(got - w1) < 1e-9, (got, w1)
