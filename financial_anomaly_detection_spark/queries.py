@@ -15602,6 +15602,88 @@ def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pareto_revenue_deciles",
+    # Revenue-concentration ("whale") curve: users ranked by purchase
+    # revenue, bucketed into deciles by rank, each decile's share of
+    # total revenue in exact permille — the 80/20 concentration
+    # readout every payments/risk team keeps on a wall. Exactness and
+    # scale: per-user revenue is one user-keyed agg; ranking runs on
+    # the distinct-REVENUE grid (counts per value) through the
+    # two-pass prefix sum ordered descending — never a window over
+    # the user table; a revenue-tie group lands wholly in the decile
+    # of its first rank (deterministic, documented). All integer
+    # cents; one floor division per output column.
+    oracle="""
+        WITH ur AS (
+            SELECT user_id,
+                   SUM(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                            AS BIGINT)) AS rev
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        ), g AS (
+            SELECT rev, COUNT(*) AS c FROM ur GROUP BY 1
+        ), n AS (
+            SELECT SUM(c) AS n_users, SUM(rev * c) AS total_rev FROM g
+        ), e AS (
+            SELECT rev, c,
+                   SUM(c) OVER (ORDER BY rev DESC
+                       ROWS UNBOUNDED PRECEDING) - c AS rank_before
+            FROM g
+        )
+        SELECT CAST(e.rank_before * 10 // n.n_users AS BIGINT) AS decile,
+               CAST(SUM(e.c) AS BIGINT) AS n_users,
+               CAST(SUM(e.rev * e.c) AS BIGINT) AS revenue_cents,
+               CAST(SUM(e.rev * e.c) * 1000 // MAX(n.total_rev) AS BIGINT)
+                   AS revenue_permille
+        FROM e, n
+        GROUP BY 1
+    """,
+    description="Revenue Pareto deciles (the whale curve): users "
+    "ranked by exact purchase cents on the distinct-revenue grid via "
+    "the two-pass prefix sum (no user-table window), decile revenue "
+    "shares in integer permille — ties deterministically follow "
+    "their group's first rank.",
+    tags=["analytics", "aggregate", "prefix"],
+)
+def q_pareto_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.floor(F.col("value").cast("double") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("rev")
+        )
+    )
+    g = ur.groupBy("rev").agg(F.count(F.lit(1)).alias("c"))
+    g = g.withColumn("negrev", -F.col("rev"))
+    g = g.localCheckpoint(eager=True)  # grid; prefix + totals consumers
+    n = g.agg(
+        F.sum("c").alias("n_users"),
+        F.sum(F.col("rev") * F.col("c")).alias("total_rev"),
+    )
+    e = ordered_prefix_sum(g, "negrev", "c", out_col="rank_before", pin=False)
+    return (
+        e.crossJoin(F.broadcast(n))
+        .groupBy(
+            F.expr("rank_before * 10 div n_users").cast("long").alias("decile")
+        )
+        .agg(
+            F.sum("c").cast("long").alias("n_users"),
+            F.sum(F.col("rev") * F.col("c")).cast("long").alias(
+                "revenue_cents"
+            ),
+            F.expr("SUM(rev * c) * 1000 div MAX(total_rev)")
+            .cast("long")
+            .alias("revenue_permille"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check ordering
 # ---------------------------------------------------------------------------
@@ -15617,10 +15699,10 @@ def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r4-r8), 50 slots:
 #   1. queries NEW in r9 — prepended as they landed; each one pushed
 #      the last r5-cohort fill past the window edge (those keep their
-#      banked r5 greens and lead the r10 rotation). Final r9 count: 17
-#      new oracle-backed queries, so 17 of the 30 r5 fills listed in
-#      item 4 sit past slot 50 — the final window is 17 new + 6
-#      late-r8 + 14 r4-stale + the first 13 r5 fills;
+#      banked r5 greens and lead the r10 rotation). Final r9 count: 18
+#      new oracle-backed queries, so 18 of the 30 r5 fills listed in
+#      item 4 sit past slot 50 — the final window is 18 new + 6
+#      late-r8 + 14 r4-stale + the first 12 r5 fills;
 #   2. the 6 oracle-backed queries that landed after the r8 window
 #      filled and have NEVER had a driver execution (VERDICT r8
 #      missing #1 / task 2): roc_auc_exact, calibration_ece_bins,
@@ -15643,6 +15725,7 @@ def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY_R09 = [
     # new in round 9 (never driver-checked) — newest first
     # (section filled as queries land during the round)
+    "pareto_revenue_deciles",
     "kaplan_meier_conversion",
     "attribution_models",
     "ab_test_proportions",

@@ -1015,3 +1015,48 @@ def test_kaplan_meier_matches_numpy_product_limit(spark, sf_dir):
     vals = [r["survival"] for r in rows]
     assert all(0.0 <= v <= 1.0 for v in vals)
     assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))
+
+
+def test_pareto_deciles_match_numpy_ranking(spark, sf_dir):
+    import os
+
+    import pandas as pd
+
+    from financial_anomaly_detection_spark.queries import REGISTRY
+
+    rows = {
+        r["decile"]: r
+        for r in REGISTRY["pareto_revenue_deciles"].fn(spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "value"],
+    )
+    pur = ev[ev["event_type"] == "purchase"]
+    cents = np.floor(pur["value"].to_numpy(dtype="float64") * 100 + 0.5).astype(
+        "int64"
+    )
+    rev = pd.DataFrame({"u": pur["user_id"], "c": cents}).groupby("u")["c"].sum()
+    n = len(rev)
+    total = int(rev.sum())
+    # replicate the tie rule: a revenue-tie group follows its FIRST
+    # rank's decile
+    by_val = rev.value_counts().sort_index(ascending=False)
+    before = 0
+    expect = {}
+    for v, c in by_val.items():
+        d = before * 10 // n
+        nu, rc = expect.get(d, (0, 0))
+        expect[d] = (nu + int(c), rc + int(v) * int(c))
+        before += int(c)
+    assert set(rows) == set(expect)
+    for d, (nu, rc) in expect.items():
+        assert rows[d]["n_users"] == nu
+        assert rows[d]["revenue_cents"] == rc
+        assert rows[d]["revenue_permille"] == rc * 1000 // total
+    assert sum(r["n_users"] for r in rows.values()) == n
+    assert sum(r["revenue_cents"] for r in rows.values()) == total
+    # concentration sanity: the top decile out-earns the bottom decile
+    top = min(rows)
+    bot = max(rows)
+    assert rows[top]["revenue_permille"] >= rows[bot]["revenue_permille"]

@@ -265,6 +265,9 @@ EXPECTED = {
     # KM: every stage up to km_x is pinned (codegen-size discipline,
     # mathfn docstring) — the final plan is a lone ladder projection
     "kaplan_meier_conversion": (0, {}),
+    # pareto: grid pinned; the NLJ are the one unpinned prefix level's
+    # bounded broadcasts + the one-row totals join
+    "pareto_revenue_deciles": (5, {}),
 }
 
 

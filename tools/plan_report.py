@@ -186,6 +186,7 @@ QUERIES = [
     "ab_test_proportions",
     "anomaly_monitoring_e2e",
     "kaplan_meier_conversion",
+    "pareto_revenue_deciles",
 ]
 
 
