@@ -48,6 +48,12 @@ def kmv_estimate(hashes: list[int], k: int = KMV_K) -> int:
     """Distinct-count estimate from a bottom-k state (ASC-sorted)."""
     if len(hashes) < k:
         return len(hashes)
+    if hashes[k - 1] == 0:
+        # Degenerate k-th order statistic of 0 (only reachable at k=1
+        # with the all-zero md5 prefix): the division is undefined and
+        # the sketch carries no spacing information — fall back to the
+        # exact count of what we hold (ADVICE r9).
+        return len(hashes)
     return (k - 1) * 4294967296 // hashes[k - 1]
 
 

@@ -27,6 +27,7 @@ NULL scores are dropped (the batch SQL's NULL-comparison drop).
 
 from __future__ import annotations
 
+from fractions import Fraction
 from typing import Iterator
 
 import numpy as np
@@ -48,7 +49,9 @@ def bucket_of(score: float, lo: float, hi: float, n_buckets: int) -> int:
         return n_buckets
     if score < lo:
         return 0
-    return int((score - lo) * n_buckets / (hi - lo))
+    # Clamp: (score-lo)*n/(hi-lo) can round UP to n in float for scores
+    # just below hi; the vectorized path np.clip's to n-1, match it.
+    return min(int((score - lo) * n_buckets / (hi - lo)), n_buckets - 1)
 
 
 def conformal_from_counts(
@@ -60,17 +63,22 @@ def conformal_from_counts(
     evidence yet): bucket = overflow, upper = +inf."""
     n_buckets = len(counts) - 1
     n = int(sum(counts))
-    # ceil((n+1)*(1-alpha)) with alpha = a/b rational, exact in ints:
-    # for alpha=0.1, rank = ceil(9*(n+1)/10)
-    num = int(round((1 - alpha) * 10))
-    rank = -((-num * (n + 1)) // 10)
+    # ceil((n+1)*(1-alpha)) exact for ARBITRARY alpha: snap alpha to
+    # the nearest small rational (it always is one — 0.1, 0.05, 0.15…)
+    # and take the integer ceiling of (n+1)*(num/den). The previous
+    # hardcoded /10 grid silently mis-ranked alpha=0.15 and sent
+    # alpha=0.05 to rank n+1 (ADVICE r9).
+    frac = Fraction(1, 1) - Fraction(alpha).limit_denominator(1_000_000)
+    rank = -((-frac.numerator * (n + 1)) // frac.denominator)
     cum = 0
     for b, c in enumerate(counts):
         cum += int(c)
         if cum >= rank and n > 0:
-            upper = hi if b >= n_buckets else lo + (b + 1) * (hi - lo) / n_buckets
-            if b >= n_buckets:
-                upper = float("inf")
+            upper = (
+                float("inf")
+                if b >= n_buckets
+                else lo + (b + 1) * (hi - lo) / n_buckets
+            )
             return n, rank, b, upper
     return n, rank, n_buckets, float("inf")
 

@@ -401,6 +401,84 @@ def test_streaming_conformal_coverage_and_merge(scores, n_buckets):
     ) == (n, rank, tb, upper)
 
 
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(0, 11), min_size=1, max_size=300),
+    st.sampled_from([0.05, 0.1, 0.15, 0.2, 0.25, 0.01]),
+)
+def test_conformal_rank_exact_for_arbitrary_alpha(scores, alpha):
+    """ADVICE r9: the rank must be ceil((n+1)*(1-alpha)) EXACTLY for any
+    alpha, not just multiples of 0.1 — alpha=0.15 silently under-covered
+    and alpha=0.05 produced rank n+1 at n=100 under the old /10 grid."""
+    import math
+
+    from financial_anomaly_detection_spark.streaming.conformal import (
+        bucket_of,
+        conformal_from_counts,
+    )
+
+    lo, hi, n_buckets = 0.0, 12.0, 12
+    counts = [0] * (n_buckets + 1)
+    for s in scores:
+        counts[bucket_of(float(s), lo, hi, n_buckets)] += 1
+    n, rank, tb, upper = conformal_from_counts(counts, lo, hi, alpha)
+    assert rank == math.ceil((n + 1) * (1 - alpha) - 1e-9)
+    if rank <= n:
+        covered = sum(1 for s in scores if s <= upper)
+        assert covered >= rank
+        assert covered / n >= (1 - alpha) - 1e-12
+    else:
+        assert upper == float("inf")
+
+
+def test_conformal_rank_regression_values():
+    """The two concrete mis-rankings named in ADVICE r9, pinned."""
+    from financial_anomaly_detection_spark.streaming.conformal import (
+        conformal_from_counts,
+    )
+
+    # n=100 in one cell; alpha=0.15 -> rank ceil(101*0.85)=86 (was 81)
+    counts = [100] + [0] * 12
+    assert conformal_from_counts(counts, 0.0, 12.0, 0.15)[1] == 86
+    # alpha=0.05 -> rank ceil(101*0.95)=96 (was n+1=101 -> +inf forever)
+    n, rank, tb, upper = conformal_from_counts(counts, 0.0, 12.0, 0.05)
+    assert rank == 96 and upper != float("inf")
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.floats(0.0, 12.0, allow_nan=False), st.integers(2, 64))
+def test_bucket_of_matches_vectorized_clip(score, n_buckets):
+    """ADVICE r9: the scalar bucket_of must agree with the np.clip'd
+    vectorized path in stateful_conformal_threshold at the top edge."""
+    import numpy as np
+
+    from financial_anomaly_detection_spark.streaming.conformal import bucket_of
+
+    lo, hi = 0.0, 12.0
+    s = np.array([score])
+    vec = int(
+        np.where(
+            s >= hi,
+            n_buckets,
+            np.clip(
+                ((s - lo) * n_buckets / (hi - lo)).astype("int64"),
+                0,
+                n_buckets - 1,
+            ),
+        )[0]
+    )
+    assert bucket_of(score, lo, hi, n_buckets) == vec
+
+
+def test_kmv_estimate_zero_hash_guard():
+    """ADVICE r9: a bottom-k state whose k-th smallest hash is 0 must
+    not raise ZeroDivisionError inside the streaming update."""
+    from financial_anomaly_detection_spark.streaming.bottomk import kmv_estimate
+
+    assert kmv_estimate([0], k=1) == 1
+    assert kmv_estimate([0, 5], k=1) == 2
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     st.lists(st.integers(0, 50), min_size=1, max_size=60),
