@@ -562,6 +562,15 @@ def main() -> None:
         p = prior.get(name)
         if p is None or t <= OUTLIER_FLOOR_SEC or t <= OUTLIER_RATIO * p * host_run:
             continue
+        # Py-canary bracket ADJACENT to the rerun (r9 falsification
+        # gap): the sweep-endpoint canaries can both read clean while
+        # the python-worker pool was churned/cold exactly when this
+        # query ran mid-sweep (observed r9: image features 34 s in the
+        # sweep, 1.9 s warm — all worker spawn). The pre-probe also
+        # re-warms the pool, so the rerun measures steady-state code
+        # cost: rerun fast + clean probes => host/pool artifact;
+        # rerun still slow + clean probes => real code regression.
+        py_pre = _canary_py_times(spark, n=1)[0]
         t0 = time.perf_counter()
         rerun_error = None
         try:
@@ -572,8 +581,15 @@ def main() -> None:
             # rerun must not ship a clean-looking entry
             t2 = t
             rerun_error = f"{type(e).__name__}: {e}"[:200]
+        py_post = _canary_py_times(spark, n=1)[0]
         timings[name] = min(t, t2)
-        reruns[name] = {"prior": p, "first": t, "rerun": t2}
+        reruns[name] = {
+            "prior": p,
+            "first": t,
+            "rerun": t2,
+            "py_pre": py_pre,
+            "py_post": py_post,
+        }
         if rerun_error is not None:
             reruns[name]["rerun_error"] = rerun_error
             errors.setdefault(name, f"rerun: {rerun_error}")

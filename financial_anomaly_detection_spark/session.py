@@ -89,6 +89,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Warm-fork worker daemon (pydaemon.py): preloads numpy/pandas/
+    # pyarrow pre-fork so spawned workers inherit warm imports via COW.
+    # On this host class a fresh worker's import storm is the dominant
+    # cost of a cold Python-kernel stage (measured: 32-task mapInPandas
+    # with 135 s summed task wall vs 2.7 s JVM CPU — all worker spawn).
+    # Guarded: only set when the module resolves from the driver, and
+    # the package root travels in the executor env so the JVM-launched
+    # daemon can import it regardless of cwd.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    builder = builder.config(
+        "spark.python.daemon.module", "financial_anomaly_detection_spark.pydaemon"
+    ).config("spark.executorEnv.PYTHONPATH", pkg_root)
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     # Static-conf overrides (e.g. tools that need the UI REST API for

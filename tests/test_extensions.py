@@ -927,3 +927,35 @@ def test_ivfpq_injected_quantizers_validate_shapes(spark):
     )
     assert set(out.columns) == {"query_id", "neighbor_id", "_q", "_adc"}
     assert out.count() == 30  # 6 queries x 5 non-self candidates
+
+
+def test_warm_fork_daemon_active(spark):
+    """pydaemon.py activation pin: workers must be forked by the
+    warm-fork daemon (spark.python.daemon.module), and inherit its
+    preloaded pandas — i.e. pandas is in sys.modules BEFORE the kernel
+    body imports anything. Checked from inside a worker by reading the
+    parent (daemon) process cmdline."""
+    import pandas as pd
+
+    def probe(batches):
+        import os
+
+        try:
+            with open(f"/proc/{os.getppid()}/cmdline", "rb") as f:
+                parent_cmd = f.read().replace(b"\0", b" ").decode()
+        except OSError:  # non-linux fallback: don't fail the suite
+            parent_cmd = "unreadable"
+        for pdf in batches:
+            yield pd.DataFrame({"parent": [parent_cmd], "n": [len(pdf)]})
+
+    rows = (
+        spark.range(8, numPartitions=2)
+        .mapInPandas(probe, "parent string, n long")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        if r["parent"] != "unreadable":
+            assert "financial_anomaly_detection_spark.pydaemon" in r["parent"], r[
+                "parent"
+            ]
