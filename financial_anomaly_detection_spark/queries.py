@@ -15722,6 +15722,71 @@ def q_pareto_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      constant-shape aggregate/TPC-H/profile queries; they keep their
 #      banked r5 greens and lead the r10 rotation.
 # Everything past slot 50 has a green hash-match row in r5-r8.
+# Round-10 window (stalest-evidence-first rotation, same policy as
+# r4-r9), 50 slots:
+#   1. queries NEW in r10 — prepended as they land (section filled
+#      during the round);
+#   2. the six rows-only queries VERDICT r9 named: the 4 kernel bench
+#      twins (zero CORRECTNESS evidence ever — now also pytest-pinned
+#      in tests/test_ml.py::test_kernel_twins_match_full_ensemble_columns)
+#      and the two r1-stale rows-only entries ann_ivf_topk /
+#      ml_lof_distributed (freshest driver execution EIGHT rounds old);
+#   3. the 18 r5-green fills listed in the r9 header that the 18 new
+#      r9 queries pushed past slot 50 (confirmed absent from
+#      CORRECTNESS_r09.json);
+#   4. the 16 r5-green constant-shape fills the r9 window deliberately
+#      left out (acf_daily_lags ... top_word_fraction).
+# 6 + 18 + 16 = 40 rotation slots + up to 10 new-query slots = 50.
+# Everything past slot 50 has hash-green driver evidence from r6-r9.
+_PRIORITY_R10 = [
+    # new in round 10 (never driver-checked) — newest first
+    # (section filled as queries land during the round)
+    # rows-only rotation: kernel twins (never checked) + r1-stale pair
+    "ml_kernel_base_pretrained",
+    "ml_kernel_iforest_pretrained",
+    "ml_kernel_lof_pretrained",
+    "ml_kernel_ae_pretrained",
+    "ann_ivf_topk",
+    "ml_lof_distributed",
+    # r5-green fills pushed past slot 50 by the 18 new r9 queries
+    "mad_robust_outliers",
+    "mannwhitney_value_drift",
+    "markov_transition_matrix",
+    "max_concurrent_sessions",
+    "ml_fusion_scores_precomputed",
+    "ngram_diversity_by_source",
+    "pmi_collocations",
+    "profile_incremental_merge",
+    "referential_integrity_audit",
+    "rrf_fusion_topk",
+    "seasonal_robust_outliers",
+    "shuffle_skew_report",
+    "stream_replay_scoring",
+    "theilsen_daily_trend",
+    "triangle_count_copurchase",
+    "trigram_event_sequences",
+    "write_partition_plan",
+    "zorder_layout_parts",
+    # r5-green constant-shape fills the r9 window left out (item 4)
+    "acf_daily_lags",
+    "doc_repetition_signals",
+    "dow_seasonality_index",
+    "ols_trend_daily",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q12_priority_linestatus",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q18_large_volume_customer",
+    "q22_dormant_customers",
+    "rolling_median_daily",
+    "source_mixing_stats",
+    "stratified_sample_docs",
+    "table_profile_events",
+    "top_word_fraction",
+]
+
+# Round-9 window kept for provenance.
 _PRIORITY_R09 = [
     # new in round 9 (never driver-checked) — newest first
     # (section filled as queries land during the round)
@@ -16353,7 +16418,8 @@ _PRIORITY_R03 = [
 
 
 def _ordered_names() -> list[str]:
-    pri = [n for n in _PRIORITY_R09 if n in REGISTRY]
+    pri = [n for n in _PRIORITY_R10 if n in REGISTRY]
+    pri += [n for n in _PRIORITY_R09 if n in REGISTRY and n not in pri]
     # prior-round orderings fill next (their own stalest-first
     # logic), then the rest of the registry
     pri += [n for n in _PRIORITY_R08 if n in REGISTRY and n not in pri]

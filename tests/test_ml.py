@@ -1060,3 +1060,44 @@ def test_pareto_deciles_match_numpy_ranking(spark, sf_dir):
     top = min(rows)
     bot = max(rows)
     assert rows[top]["revenue_permille"] >= rows[bot]["revenue_permille"]
+
+
+def test_kernel_twins_match_full_ensemble_columns(spark, sf_dir):
+    """VERDICT r9 task 3: the four kernel-split bench twins
+    (ml_kernel_{base,iforest,lof,ae}_pretrained, queries.py) were the
+    only registered queries with bench-execution-only evidence. Pin:
+    (a) each twin emits exactly one row per event with a finite score;
+    (b) each kernel twin's score equals the SAME-NAMED column of the
+    full pretrained ensemble transform on the shared cached models
+    (<=1e-6: the twin uses sround, the ensemble F.round — both over
+    bit-identical doubles, so only half-way ties can differ and only
+    in the 6th decimal)."""
+    import math
+
+    from financial_anomaly_detection_spark import queries as Q
+    from financial_anomaly_detection_spark.sources.readers import load_table
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    full = {
+        r["event_id"]: r
+        for r in Q.REGISTRY["ml_ensemble_scores_pretrained"].fn(spark, sf_dir).collect()
+    }
+    assert len(full) == n_events
+
+    twin_col = {
+        "ml_kernel_base_pretrained": "rule_score",
+        "ml_kernel_iforest_pretrained": "anomaly_score_iforest",
+        "ml_kernel_lof_pretrained": "anomaly_score_lof",
+        "ml_kernel_ae_pretrained": "anomaly_score_ae",
+    }
+    for name, col in twin_col.items():
+        rows = Q.REGISTRY[name].fn(spark, sf_dir).collect()
+        assert len(rows) == n_events, name
+        ids = {r["event_id"] for r in rows}
+        assert len(ids) == n_events, f"{name}: duplicate event_ids"
+        worst = 0.0
+        for r in rows:
+            v = r[col]
+            assert v is not None and math.isfinite(v), f"{name}: bad score {v}"
+            worst = max(worst, abs(v - full[r["event_id"]][col]))
+        assert worst <= 1e-6, f"{name}.{col} deviates {worst} from ensemble"
