@@ -5271,15 +5271,10 @@ _MINHASH_SIG_SQL = r"""
 )
 
 
-@register(
-    "minhash_band_pairs_md5",
-    # Extends minhash_exact_md5's hash parity to the LSH BANDING step
-    # (the candidate-generation structure the production tier uses):
-    # 16 signatures -> 4 bands of 4 -> docs sharing any band key become
-    # a candidate pair. Banding is the at-scale trick — the join is
-    # band-key-local (one shuffle on the band key), never all-pairs.
-    oracle=_MINHASH_SIG_SQL
-    + r"""
+# Shared by minhash_band_pairs_md5 AND stream_neardup_replay: the
+# banding construction over the md5 signature family — 4 bands of 4,
+# pairs sharing >=1 full band, counted per pair.
+_MINHASH_BAND_SQL = _MINHASH_SIG_SQL + r"""
         , bands AS (
             SELECT doc_id, band_idx,
                    CASE band_idx
@@ -5301,7 +5296,17 @@ _MINHASH_SIG_SQL = r"""
                     AND a.band_key = b.band_key
                     AND a.doc_id < b.doc_id
         GROUP BY 1, 2
-    """,
+    """
+
+
+@register(
+    "minhash_band_pairs_md5",
+    # Extends minhash_exact_md5's hash parity to the LSH BANDING step
+    # (the candidate-generation structure the production tier uses):
+    # 16 signatures -> 4 bands of 4 -> docs sharing any band key become
+    # a candidate pair. Banding is the at-scale trick — the join is
+    # band-key-local (one shuffle on the band key), never all-pairs.
+    oracle=_MINHASH_BAND_SQL,
     description="MinHash LSH banding with hash-level oracle parity "
     "(§2.10): 4 bands of 4 md5-family signatures; candidate pairs share "
     "at least one full band (Leskovec/Rajaraman/Ullman banding "
@@ -5335,6 +5340,42 @@ def q_minhash_band_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+@register(
+    "stream_neardup_replay",
+    # SAME oracle as minhash_band_pairs_md5 — by design: the streaming
+    # band index replayed over the static corpus must reproduce the
+    # batch banding construction bit-exactly, which simultaneously
+    # proves the PYTHON sig kernel (streaming/neardup.py minhash_sigs,
+    # pure hashlib) computes the identical md5 signature family as the
+    # Spark column expression AND DuckDB SQL.
+    oracle=_MINHASH_BAND_SQL,
+    description="Streaming near-dup band index, batch-replay form "
+    "(VERDICT r9 task 5): the SAME bucket-replay kernel the stateful "
+    "streaming operator uses (streaming/neardup.py replay_bucket — "
+    "per band-bucket capped doc_id state, collisions emitted as docs "
+    "arrive) applied per band group via applyInPandas, aggregated to "
+    "(id_a, id_b, n_shared_bands). Stream==batch parity is pinned in "
+    "tests/test_streaming_v2.py with a real applyInPandasWithState "
+    "run; bounded per-bucket state (cap + overflow counter) is the "
+    "KMV/MG discipline. One shuffle on the band key; pair work is "
+    "bucket-local and cap-bounded, never all-pairs.",
+    tags=["dedup", "minhash", "streaming", "oracle-surrogate"],
+)
+def q_stream_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.neardup import batch_band_collisions
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    # cap far above any non-degenerate bucket at test SFs so the
+    # replay equals the uncapped banding oracle; the cap exists for
+    # the adversarial hot-bucket case, tested separately.
+    pairs = batch_band_collisions(docs, "doc_id", "text", cap=8192)
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_bands")
     )
 
 
@@ -15741,6 +15782,7 @@ def q_pareto_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY_R10 = [
     # new in round 10 (never driver-checked) — newest first
     # (section filled as queries land during the round)
+    "stream_neardup_replay",
     # rows-only rotation: kernel twins (never checked) + r1-stale pair
     "ml_kernel_base_pretrained",
     "ml_kernel_iforest_pretrained",

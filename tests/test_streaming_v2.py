@@ -144,3 +144,157 @@ def test_python_datasource_synthetic_transactions(spark):
     valid, invalid = split_valid_invalid(df)
     assert invalid.count() == 0
     assert valid.count() == 1000
+
+
+# --- streaming MinHash near-dup band index (streaming/neardup.py) --------
+
+# Deliberately collide-heavy corpus: near-identical docs share all/most
+# bands, distinct docs share none. Replayed doc 1 in batch 3 pins the
+# redelivery rule.
+_NEARDUP_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+    (4, "completely different text about spark engines here"),
+    (5, "another unrelated document with its own words entirely"),
+    (6, "the quick brown fox jumps over the lazy dog today"),  # near dup
+    (7, "short text"),  # <3 tokens -> fallback shingle
+    (8, "short text"),  # exact dup of 7 via fallback
+]
+_NEARDUP_BATCHES = [
+    [1, 2, 3],
+    [4, 5, 6, 7],
+    [1, 8],  # 1 is a redelivery: must emit nothing new
+]
+
+
+_ND_RUN = [0]
+
+
+def _run_neardup_stream(spark, tmp_path, cap):
+    from financial_anomaly_detection_spark.streaming.neardup import (
+        stateful_band_collisions,
+    )
+
+    src = tmp_path / "nd_src"
+    src.mkdir(parents=True)
+    docs = dict(_NEARDUP_DOCS)
+    for i, ids in enumerate(_NEARDUP_BATCHES):
+        p = src / f"b{i}.json"
+        with open(p, "w") as f:
+            for d in ids:
+                f.write(json.dumps({"doc_id": d, "text": docs[d]}) + "\n")
+        # the file source orders micro-batches by MODIFICATION TIME,
+        # not name — burst-written files share an mtime and arrive in
+        # arbitrary order (observed: b1 before b0). Space them out so
+        # the batch order is the list order.
+        import os
+
+        os.utime(p, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    _ND_RUN[0] += 1
+    sink = f"neardup_pairs_{_ND_RUN[0]}_cap{cap}"  # unique per run:
+    # memory tables outlive the query in the shared test session
+    q = (
+        stateful_band_collisions(stream, cap=cap)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "nd_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"select * from {sink}").collect()
+
+
+def test_streaming_neardup_matches_batch_banding(spark, tmp_path):
+    """Stream == batch parity, the KMV pattern: the union of streamed
+    band-collision emissions over the full corpus equals the batch
+    banding construction (same md5 signature family the DuckDB oracle
+    hash-verifies via stream_neardup_replay), and redelivered docs
+    emit nothing."""
+    from financial_anomaly_detection_spark.streaming.neardup import (
+        band_keys,
+        minhash_sigs,
+    )
+
+    rows = _run_neardup_stream(spark, tmp_path, cap=256)
+    streamed = {(r["id_a"], r["id_b"], r["band_idx"]) for r in rows}
+    # each (pair, band) collision at most once despite doc 1 replay
+    assert len(rows) == len(streamed)
+
+    # ground truth: brute-force banding over the static corpus
+    bands: dict[tuple[int, str], list[int]] = {}
+    for doc_id, text in _NEARDUP_DOCS:
+        for b, k in enumerate(band_keys(minhash_sigs(text))):
+            bands.setdefault((b, k), []).append(doc_id)
+    expect = set()
+    for (b, _k), members in bands.items():
+        for i, a in enumerate(members):
+            for c in members[i + 1 :]:
+                expect.add((min(a, c), max(a, c), b))
+    assert streamed == expect
+    # the fixture is collide-heavy by construction: exact dups share
+    # all 4 bands, near dups at least one
+    n_bands_shared: dict[tuple[int, int], int] = {}
+    for a, c, b in streamed:
+        n_bands_shared[(a, c)] = n_bands_shared.get((a, c), 0) + 1
+    assert n_bands_shared[(1, 2)] == 4
+    assert n_bands_shared[(7, 8)] == 4
+    assert (1, 3) in n_bands_shared or (1, 6) in n_bands_shared
+
+
+def test_streaming_neardup_cap_bounds_state(spark, tmp_path):
+    """cap=1: every bucket stores at most ONE doc_id no matter how many
+    collide. The streamed emissions must equal a driver-side replay of
+    the SAME pure kernel (replay_bucket) over the same micro-batch
+    order — end-to-end state plumbing vs the kernel, under capping and
+    a redelivery."""
+    from financial_anomaly_detection_spark.streaming.neardup import (
+        band_keys,
+        minhash_sigs,
+        replay_bucket,
+    )
+
+    rows = _run_neardup_stream(spark, tmp_path, cap=1)
+    streamed = sorted((r["id_a"], r["id_b"], r["band_idx"]) for r in rows)
+
+    docs = dict(_NEARDUP_DOCS)
+    keys = {d: band_keys(minhash_sigs(t)) for d, t in docs.items()}
+    state: dict[tuple[int, str], list[int]] = {}
+    expect = []
+    for ids in _NEARDUP_BATCHES:
+        per_bucket: dict[tuple[int, str], list[int]] = {}
+        for d in sorted(ids):
+            for b, k in enumerate(keys[d]):
+                per_bucket.setdefault((b, k), []).append(d)
+        for bk, arriving in per_bucket.items():
+            pairs, new_stored, _ = replay_bucket(state.get(bk, []), arriving, cap=1)
+            state[bk] = new_stored
+            expect.extend((a, c, bk[0]) for a, c in pairs)
+    assert streamed == sorted(expect)
+    # and the cap really binds: strictly fewer emissions than uncapped
+    uncapped = _run_neardup_stream(spark, tmp_path / "u", cap=256)
+    assert len(rows) < len(uncapped)
+    assert any(p[:2] == (1, 2) for p in streamed)
+
+
+def test_neardup_replay_bucket_pure_kernel():
+    """replay_bucket unit pins: ordering, dedup, cap, overflow count."""
+    from financial_anomaly_detection_spark.streaming.neardup import replay_bucket
+
+    pairs, stored, over = replay_bucket([], [3, 1, 2], cap=10)
+    assert stored == [3, 1, 2] and over == 0
+    assert pairs == [(1, 3), (2, 3), (1, 2)]
+    # redelivery: no emission, no state change
+    pairs2, stored2, over2 = replay_bucket(stored, [2], cap=10)
+    assert pairs2 == [] and stored2 == stored and over2 == 0
+    # cap binds: new doc emits vs all stored but is not kept
+    pairs3, stored3, over3 = replay_bucket([1, 2, 3], [9], cap=3)
+    assert pairs3 == [(1, 9), (2, 9), (3, 9)]
+    assert stored3 == [1, 2, 3] and over3 == 1
