@@ -528,3 +528,139 @@ def longest_duplicate_spans(
         )
         .filter(F.col("max_span_tokens") >= min_span)
     )
+
+
+def cross_set_shared_spans(
+    df: DataFrame,
+    bench_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_span: int = 12,
+    max_gram_df: int = 50,
+    winnow_w: int = 4,
+) -> DataFrame:
+    """Exact-substring decontamination (Lee et al. 2022 §4.1, the
+    suffix-array "exact substring" check re-expressed relationally):
+    the longest shared token span between each TRAINING document and
+    each BENCHMARK document (``bench_pred`` selects the benchmark
+    side), for pairs whose span reaches ``min_span`` tokens.
+
+    Same alignment core as :func:`longest_duplicate_spans` (positional
+    n-gram md5 join -> diagonal gaps-and-islands run length), with two
+    cross-set twists:
+
+    * the join is train-side x bench-side only — never train x train —
+      so the candidate space is |train| x |bench|-bounded, and at
+      100 TB the benchmark side is tiny (a broadcastable gram set);
+    * a WINNOWING prefilter (Schleimer, Wilkerson & Aiken 2003) gates
+      the positional join: per document, the window-min of the 32-bit
+      gram hashes over ``winnow_w`` consecutive positions; only
+      (train, bench) pairs sharing a fingerprint VALUE proceed. The
+      guarantee makes this LOSSLESS here: a shared span of s tokens
+      contains s-n+1 >= winnow_w consecutive shared gram hashes as
+      soon as s >= n + winnow_w - 1, and aligned windows with
+      identical hash multisets select the identical minimum — so with
+      min_span >= n + winnow_w - 1 every reported pair survives the
+      prefilter, and a DuckDB oracle can skip it entirely. The
+      fingerprint join touches ~1/winnow_w of the gram keys, which is
+      the at-scale point.
+
+    Grams in more than ``max_gram_df`` documents (across both sets)
+    are dropped before alignment, exactly as in
+    :func:`longest_duplicate_spans` — boilerplate has no alignment
+    value and fans out quadratically.
+
+    Returns (train_doc, bench_doc, max_span_tokens, n_shared_grams).
+    """
+    if min_span < n + winnow_w - 1:
+        raise ValueError(
+            f"min_span={min_span} < n + winnow_w - 1 = {n + winnow_w - 1}: "
+            "the winnowing prefilter would no longer be lossless"
+        )
+    toks = tokens_col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.struct(
+            i.alias("pos"), F.md5(F.concat_ws(" ", F.slice(toks, i, n))).alias("key")
+        ),
+    )
+    e = (
+        spread_narrow(df)
+        .filter(F.size(toks) >= n)
+        .select(
+            F.col(id_col).alias("_id"),
+            bench_pred.alias("_is_bench"),
+            F.explode(grams).alias("g"),
+        )
+        .select(
+            "_id",
+            "_is_bench",
+            F.col("g.pos").alias("pos"),
+            F.col("g.key").alias("key"),
+        )
+    )
+    hot = (
+        e.groupBy("key")
+        .agg(F.countDistinct("_id").alias("_df"))
+        .filter(F.col("_df") > max_gram_df)
+        .select("key")
+    )
+    e = e.join(F.broadcast(hot), "key", "left_anti")
+
+    # winnowing fingerprints: window-min of the 32-bit hash over
+    # winnow_w consecutive positions, per doc — a bounded per-doc
+    # window (partitioned by _id), then distinct values
+    h32 = F.conv(F.substring("key", 1, 8), 16, 10).cast("long")
+    wfp = (
+        Window.partitionBy("_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, winnow_w - 1)
+    )
+    fps = (
+        e.select("_id", "_is_bench", "pos", h32.alias("_h"))
+        .withColumn("_fp", F.min("_h").over(wfp))
+        .select("_id", "_is_bench", "_fp")
+        .distinct()
+    )
+    cand = (
+        fps.filter(~F.col("_is_bench"))
+        .select(F.col("_id").alias("train_doc"), "_fp")
+        .join(
+            fps.filter(F.col("_is_bench")).select(
+                F.col("_id").alias("bench_doc"), "_fp"
+            ),
+            "_fp",
+        )
+        .select("train_doc", "bench_doc")
+        .distinct()
+    )
+
+    et = e.filter(~F.col("_is_bench")).select(
+        F.col("_id").alias("train_doc"), F.col("pos").alias("pa"), "key"
+    )
+    eb = e.filter(F.col("_is_bench")).select(
+        F.col("_id").alias("bench_doc"), F.col("pos").alias("pb"), "key"
+    )
+    # restrict both gram sides to docs with >=1 candidate partner
+    et = et.join(cand.select("train_doc").distinct(), "train_doc", "left_semi")
+    eb = eb.join(cand.select("bench_doc").distinct(), "bench_doc", "left_semi")
+    pairs = (
+        et.join(eb, "key")
+        .join(cand, ["train_doc", "bench_doc"], "left_semi")
+        .select("train_doc", "bench_doc", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    wd = Window.partitionBy("train_doc", "bench_doc", "diag").orderBy("pa")
+    runs = (
+        pairs.withColumn("_grp", F.col("pa") - F.row_number().over(wd))
+        .groupBy("train_doc", "bench_doc", "diag", "_grp")
+        .agg(F.count(F.lit(1)).alias("_run"))
+    )
+    return (
+        runs.groupBy("train_doc", "bench_doc")
+        .agg(
+            (F.max("_run") + F.lit(n - 1)).cast("long").alias("max_span_tokens"),
+            F.sum("_run").cast("long").alias("n_shared_grams"),
+        )
+        .filter(F.col("max_span_tokens") >= min_span)
+    )

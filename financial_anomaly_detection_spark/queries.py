@@ -9899,6 +9899,84 @@ def q_longest_dup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontam_shared_span",
+    # Exact-substring decontamination (Lee et al. 2022 §4.1, public):
+    # the span-level upgrade of benchmark_contamination — per
+    # (training doc, benchmark doc) pair, the LONGEST shared token
+    # span, not just "how many grams collide". Benchmark split is the
+    # same deterministic pseudo-benchmark (doc_id % 50 == 0). The
+    # Spark side gates the positional join with a winnowing prefilter
+    # (Schleimer 2003) that is LOSSLESS for min_span >= n+w-1 = 11
+    # (every reported span >= 12 guarantees a shared window-min
+    # fingerprint), so this oracle can skip the prefilter and still
+    # be exact — the same bounded-naive-oracle pattern as
+    # longest_dup_span_pairs.
+    oracle=r"""
+        WITH w AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents
+        ), e0 AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   md5(array_to_string(t[i:i+7], ' ')) AS key
+            FROM w, unnest(range(1, len(t) - 6)) AS r(i)
+            WHERE len(t) >= 8
+        ), hot AS (
+            SELECT key FROM e0
+            GROUP BY key HAVING COUNT(DISTINCT doc_id) > 50
+        ), e AS (
+            SELECT * FROM e0 WHERE key NOT IN (SELECT key FROM hot)
+        ), pairs AS (
+            SELECT x.doc_id AS train_doc, y.doc_id AS bench_doc,
+                   x.pos AS pa, x.pos - y.pos AS diag
+            FROM e x JOIN e y USING (key)
+            WHERE x.doc_id % 50 <> 0 AND y.doc_id % 50 = 0
+        ), isl AS (
+            SELECT train_doc, bench_doc, diag,
+                   pa - ROW_NUMBER() OVER (PARTITION BY train_doc,
+                                           bench_doc, diag
+                                           ORDER BY pa) AS grp
+            FROM pairs
+        ), runs AS (
+            SELECT train_doc, bench_doc, diag, grp, COUNT(*) AS run
+            FROM isl GROUP BY 1, 2, 3, 4
+        )
+        SELECT CAST(train_doc AS BIGINT) AS train_doc,
+               CAST(bench_doc AS BIGINT) AS bench_doc,
+               CAST(MAX(run) + 7 AS BIGINT) AS max_span_tokens,
+               CAST(SUM(run) AS BIGINT) AS n_shared_grams
+        FROM runs GROUP BY 1, 2
+        HAVING MAX(run) + 7 >= 12
+    """,
+    description="Suffix-style exact-substring decontamination (Lee et "
+    "al. 2022): longest shared token span per (training doc, benchmark "
+    "doc) pair >= 12 tokens, via cross-set positional 8-gram alignment "
+    "gated by a provably-lossless winnowing prefilter "
+    "(operators/dedup.py cross_set_shared_spans). At 100 TB the "
+    "benchmark gram/fingerprint side is tiny and broadcastable; the "
+    "fingerprint join touches ~1/4 of the gram keys.",
+    tags=["dedup", "text", "llm-pipeline", "decontamination"],
+)
+def q_decontam_shared_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import cross_set_shared_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = cross_set_shared_spans(
+        docs,
+        bench_pred=(F.col("doc_id") % 50 == 0),
+        n=8,
+        min_span=12,
+        max_gram_df=50,
+        winnow_w=4,
+    )
+    return out.select(
+        F.col("train_doc").cast("long"),
+        F.col("bench_doc").cast("long"),
+        "max_span_tokens",
+        "n_shared_grams",
+    )
+
+
+@register(
     "pmi_collocations",
     # Collocation extraction by pointwise mutual information (Church &
     # Hanks 1990): bigrams whose observed frequency most exceeds the
@@ -15782,6 +15860,7 @@ def q_pareto_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY_R10 = [
     # new in round 10 (never driver-checked) — newest first
     # (section filled as queries land during the round)
+    "decontam_shared_span",
     "stream_neardup_replay",
     # rows-only rotation: kernel twins (never checked) + r1-stale pair
     "ml_kernel_base_pretrained",

@@ -959,3 +959,43 @@ def test_warm_fork_daemon_active(spark):
             assert "financial_anomaly_detection_spark.pydaemon" in r["parent"], r[
                 "parent"
             ]
+
+
+def test_cross_set_shared_spans_winnow_prefilter_lossless(spark):
+    """decontam_shared_span's winnowing prefilter must be LOSSLESS for
+    spans >= n + w - 1: a constructed (train, bench) pair sharing an
+    exactly-12-token span (the query's min_span) must be reported with
+    the exact span length, while a pair sharing only an 11-token span
+    must not appear. Also pins the guard that rejects an unsound
+    min_span."""
+    import pytest as _pytest
+
+    from financial_anomaly_detection_spark.operators.dedup import (
+        cross_set_shared_spans,
+    )
+    from pyspark.sql import functions as F
+
+    span12 = " ".join(f"s{i}" for i in range(12))
+    span11 = " ".join(f"t{i}" for i in range(11))
+    rows = [
+        # bench docs (id % 50 == 0)
+        (0, f"bench left filler {span12} bench right filler words"),
+        (50, f"other bench start {span11} other bench end words"),
+        # train docs
+        (1, f"train preamble {span12} train epilogue tokens here"),
+        (2, f"train other doc {span11} more words after that"),
+        (3, "completely unrelated training document with plenty of words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cross_set_shared_spans(
+        df, bench_pred=(F.col("doc_id") % 50 == 0), n=8, min_span=12, winnow_w=4
+    ).collect()
+    got = {(r["train_doc"], r["bench_doc"]): r["max_span_tokens"] for r in out}
+    assert got.get((1, 0)) == 12
+    assert (2, 50) not in got  # 11-token span < min_span
+    assert all(t != 3 for t, _ in got)
+
+    with _pytest.raises(ValueError, match="lossless"):
+        cross_set_shared_spans(
+            df, bench_pred=(F.col("doc_id") % 50 == 0), n=8, min_span=10, winnow_w=4
+        )
