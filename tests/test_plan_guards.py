@@ -268,6 +268,20 @@ EXPECTED = {
     # pareto: grid pinned; the NLJ are the one unpinned prefix level's
     # bounded broadcasts + the one-row totals join
     "pareto_revenue_deciles": (5, {}),
+    # round-10 additions: kernel twins share the pretrained-ensemble
+    # MLlib prefix (events-only scans); neardup replay is one
+    # band-key shuffle over a 2-col documents scan; decontam is the
+    # cross-set gram/fingerprint pipeline — joins are equi (BHJ/SMJ),
+    # zero NLJ
+    # the kernel-twin NLJ are the MLlib feature prefix's width_bucket
+    # joins against broadcast ONE-ROW (_lo,_hi) bound aggregates
+    # (ml/features.py) — bounded scalar broadcasts, never data-scale
+    "ml_kernel_base_pretrained": (2, {"events": 6}),
+    "ml_kernel_iforest_pretrained": (3, {"events": 6}),
+    "ml_kernel_lof_pretrained": (3, {"events": 6}),
+    "ml_kernel_ae_pretrained": (3, {"events": 6}),
+    "stream_neardup_replay": (0, {"documents": 2}),
+    "decontam_shared_span": (0, {"documents": 2}),
 }
 
 

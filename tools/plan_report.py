@@ -187,6 +187,14 @@ QUERIES = [
     "anomaly_monitoring_e2e",
     "kaplan_meier_conversion",
     "pareto_revenue_deciles",
+    # Round-10 additions: kernel-split bench twins (VERDICT r9 task 8),
+    # streaming near-dup batch replay, exact-substring decontamination.
+    "ml_kernel_base_pretrained",
+    "ml_kernel_iforest_pretrained",
+    "ml_kernel_lof_pretrained",
+    "ml_kernel_ae_pretrained",
+    "stream_neardup_replay",
+    "decontam_shared_span",
 ]
 
 
