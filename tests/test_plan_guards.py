@@ -390,20 +390,20 @@ def test_scans_stay_column_pruned(spark, sf_dir, name):
 _GLOBAL_WINDOW_ALLOWLIST = [
     # rrf_fusion_topk ranks lists already cut to top-100 by
     # TakeOrdered — the bounded-list RRF contract (see its docstring)
-    ("queries.py", r'F\.col\("qcos"\)\.desc\(\), "doc_id"'),
-    ("queries.py", r'Window\.orderBy\("dist", "doc_id"\)'),
+    ("queries/ml_eval.py", r'F\.col\("qcos"\)\.desc\(\), "doc_id"'),
+    ("queries/ml_eval.py", r'Window\.orderBy\("dist", "doc_id"\)'),
     # seasonal_decompose_daily's centered moving average runs on the
     # DAY-grain frame — bounded by the calendar (a century is ~36k
     # rows), aggregated BEFORE the window; the benign tiny-spine
     # pattern its docstring documents
-    ("queries.py", r'Window\.orderBy\("day"\)\.rangeBetween\(-3, 3\)'),
+    ("queries/ml_eval.py", r'Window\.orderBy\("day"\)\.rangeBetween\(-3, 3\)'),
     # roc_auc_exact's cumulative runs on the score grid — bounded at
     # <=12 rows by the integer score's construction, aggregated
     # BEFORE the window (conformal_split_threshold shares the form)
-    ("queries.py", r'Window\.orderBy\("score"\)\.rowsBetween'),
+    ("queries/ml_eval.py", r'Window\.orderBy\("score"\)\.rowsBetween'),
     # zipf_slope_fit ranks a frame already cut to 100 rows by
     # TakeOrdered (orderBy+limit) — the bounded-list pattern rrf uses
-    ("queries.py", r'Window\.orderBy\(F\.col\("f"\)\.desc\(\), "word"\)'),
+    ("queries/text_curation.py", r'Window\.orderBy\(F\.col\("f"\)\.desc\(\), "word"\)'),
 ]
 
 
