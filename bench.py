@@ -152,6 +152,16 @@ CANARY_SPIKE_FLOOR_SEC = 0.3
 # round; queries under FLOOR seconds are exempt (sub-second noise).
 OUTLIER_RATIO = 2.0
 OUTLIER_FLOOR_SEC = 0.75
+# Absolute rerun trigger (round 10): an inflated committed prior can
+# MASK a persisting regression from the relative guard (r10: image
+# features shipped 18.9 s untested because its r9 prior was the
+# 34.3 s cliff), and brand-new queries have no prior at all. Any
+# query whose sweep time exceeds this many seconds is re-run
+# unconditionally and ships min(first, rerun) with the py-canary
+# bracket — bounded cost (the registry's genuinely-slow tail is
+# ~6 queries) for accounting that can't be laundered by its own
+# history.
+OUTLIER_ABS_SEC = 8.0
 
 # Broad-slowdown guard (late r6): a run whose per-query geomean vs the
 # committed prior exceeds this is degraded-by-definition even when the
@@ -560,7 +570,12 @@ def main() -> None:
     outliers: list[str] = []
     for name, t in sorted(timings.items()):
         p = prior.get(name)
-        if p is None or t <= OUTLIER_FLOOR_SEC or t <= OUTLIER_RATIO * p * host_run:
+        rel_trigger = (
+            p is not None
+            and t > OUTLIER_FLOOR_SEC
+            and t > OUTLIER_RATIO * p * host_run
+        )
+        if not rel_trigger and t <= OUTLIER_ABS_SEC:
             continue
         # Py-canary bracket ADJACENT to the rerun (r9 falsification
         # gap): the sweep-endpoint canaries can both read clean while
@@ -593,8 +608,12 @@ def main() -> None:
         if rerun_error is not None:
             reruns[name]["rerun_error"] = rerun_error
             errors.setdefault(name, f"rerun: {rerun_error}")
-        # a sub-floor final time is noise however small the prior was
-        if timings[name] > max(OUTLIER_RATIO * p * host_run, OUTLIER_FLOOR_SEC):
+        # a sub-floor final time is noise however small the prior was;
+        # outlier TAGGING stays prior-relative (an abs-triggered rerun
+        # of a genuinely-slow no-prior query is accounting, not drift)
+        if p is not None and timings[name] > max(
+            OUTLIER_RATIO * p * host_run, OUTLIER_FLOOR_SEC
+        ):
             outliers.append(name)
     best["total"] = round(sum(timings.values()), 3)
 

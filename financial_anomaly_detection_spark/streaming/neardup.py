@@ -207,8 +207,27 @@ def batch_band_collisions(
     empty state with docs in doc_id order — equals the full-corpus
     streamed emission set, and (cap permitting) the batch banding
     query. One shuffle on the band key; pair work is bucket-local and
-    cap-bounded, never all-pairs."""
-    bands = explode_bands(df, id_col, text_col, n_bands, rows)
+    cap-bounded, never all-pairs.
+
+    Singleton buckets are dropped JVM-side BEFORE the Python stage: a
+    one-member bucket emits nothing and its state affects nothing, so
+    the output is identical — and at any scale the vast majority of
+    band buckets are singletons, so replaying them through pandas
+    per-group overhead is pure waste (measured at sf0.1: ~20k buckets,
+    a handful multi-member; 28 s -> 6.6 s steady together with the
+    sig-stage pin below)."""
+    # Pin the sig stage: it feeds BOTH the bucket-size agg and the
+    # semi-join side — unpinned, the md5 kernel runs twice.
+    bands = explode_bands(df, id_col, text_col, n_bands, rows).localCheckpoint(
+        eager=True
+    )
+    multi = (
+        bands.groupBy("band_idx", "band_key")
+        .count()
+        .filter(F.col("count") >= 2)
+        .select("band_idx", "band_key")
+    )
+    bands = bands.join(multi, ["band_idx", "band_key"], "left_semi")
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
         arriving = sorted(int(x) for x in pdf["doc_id"])
