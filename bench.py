@@ -133,7 +133,28 @@ CANARY = "events_scan_filter_project"
 SWEEP_EXCLUDE = {"ml_ensemble_scores"}
 # Queries whose fn caches expensive driver-side state on first call:
 # invoke once UN-measured so the measured invocation times the plan.
-PREFIT_WARMUP = ["ml_ensemble_scores_pretrained"]
+# Queries whose FIRST session execution pays a one-time cost that is
+# not the steady-state plan the 2x guard should judge: the ensemble
+# twin (model fit, cached per session), the multimodal family (cold
+# python codec path — observed 15.5 s first vs 1.1 s steady for the
+# image query even with the warm daemon), and the ANN fit-carriers
+# (PQ codebooks / IVF centroids / SemDeDup fit pools, all cached per
+# (session, sf)). Each runs once BEFORE the measured sweep; the
+# sweep then times steady state, matching how the r9-and-earlier
+# registration order amortized these fits across family neighbors.
+PREFIT_WARMUP = [
+    "ml_ensemble_scores_pretrained",
+    "multimodal_image_features",
+    "multimodal_jpeg_features",
+    "multimodal_audio_features",
+    "multimodal_g711_features",
+    "multimodal_video_features",
+    "multimodal_mjpeg_features",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ivfpq_exact_quantized",
+    "semdedup_embeddings",
+]
 # Degradation = the host got SLOWER while the sweep ran, or a
 # contention spike hit one canary run. A min-max spread over all six
 # runs conflated warm-up (end batch FASTER than start — JIT + page

@@ -298,3 +298,78 @@ def test_neardup_replay_bucket_pure_kernel():
     pairs3, stored3, over3 = replay_bucket([1, 2, 3], [9], cap=3)
     assert pairs3 == [(1, 9), (2, 9), (3, 9)]
     assert stored3 == [1, 2, 3] and over3 == 1
+
+
+def test_streaming_neardup_state_survives_restart(spark, tmp_path):
+    """Two availableNow runs over ONE checkpoint: the band-bucket state
+    written by run 1 must be what run 2 resumes from — the redelivered
+    doc 1 emits nothing (it is stored state, not a fresh doc) and the
+    new doc 8 pairs with 7 across all 4 fallback-shingle bands."""
+    import os
+    import time as _time
+
+    from financial_anomaly_detection_spark.streaming.neardup import (
+        stateful_band_collisions,
+    )
+
+    src = tmp_path / "nd_restart"
+    src.mkdir()
+    docs = dict(_NEARDUP_DOCS)
+    ckpt = str(tmp_path / "nd_restart_ck")
+
+    def write_batch(i, ids):
+        p = src / f"b{i}.json"
+        with open(p, "w") as f:
+            for d in ids:
+                f.write(json.dumps({"doc_id": d, "text": docs[d]}) + "\n")
+        os.utime(p, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    out = str(tmp_path / "nd_restart_out")
+
+    def run_once(run_id):
+        # foreachBatch sink: the memory sink does not support
+        # checkpoint RECOVERY ("This query does not support recovering
+        # from checkpoint location") — same sink shape as the RocksDB
+        # restart test
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.withColumn("run_id", F.lit(run_id)).write.mode(
+                "append"
+            ).parquet(out)
+
+        q = (
+            stateful_band_collisions(stream, cap=256)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r["id_a"], r["id_b"], r["band_idx"])
+            for r in spark.read.parquet(out)
+            .filter(F.col("run_id") == run_id)
+            .collect()
+        }
+
+    write_batch(0, [1, 2, 3])
+    write_batch(1, [4, 5, 6, 7])
+    first = run_once(1)
+    assert (1, 2, 0) in first  # exact dups collided in run 1
+
+    # restart: new files, SAME checkpoint — a fresh query object must
+    # resume from the stored band-bucket state
+    _time.sleep(1.1)
+    write_batch(2, [1, 8])
+    second = run_once(2)
+    # doc 1 is a redelivery against surviving state: nothing re-emitted
+    assert not any(1 in (a, b) for a, b, _ in second), second
+    # doc 8 == doc 7 (fallback shingle): pairs in all 4 bands, which is
+    # only possible if run 1's state for 7 survived the restart
+    assert {(7, 8, b) for b in range(4)} == second
