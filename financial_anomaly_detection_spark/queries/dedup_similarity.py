@@ -1753,6 +1753,84 @@ def q_decontam_shared_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_decontam_replay",
+    # Batch replay of the STREAMING decontamination gate
+    # (streaming/decontam.py): per training doc, how many of its
+    # winnowed fingerprints (window-min of 32-bit md5 8-gram hashes
+    # over w=4 positions, Schleimer 2003) collide with the benchmark
+    # suite's fingerprint union. The oracle reproduces the identical
+    # winnow math in DuckDB list functions, so a hash match pins the
+    # pure-hashlib kernel == DuckDB md5 — the same tri-engine
+    # discipline as stream_neardup_replay. The gate's recall contract:
+    # every pair decontam_shared_span reports (span >= 12 >= n+w-1)
+    # has n_hits >= 1 here (pinned in tests).
+    oracle=r"""
+        WITH w AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 11 THEN
+                       list_transform(
+                           range(1, len(t) - 6),
+                           i -> ('0x' || substr(md5(
+                                    array_to_string(t[i:i+7], ' ')
+                                ), 1, 8))::BIGINT)
+                   ELSE [] END AS hs
+            FROM w
+        ), fp AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(hs) >= 4 THEN
+                       list_transform(range(1, len(hs) - 2),
+                                      i -> list_min(hs[i:i+3]))
+                   ELSE [] END) AS fps
+            FROM h
+        ), bench AS (
+            SELECT DISTINCT u.fp FROM fp, unnest(fps) AS u(fp)
+            WHERE doc_id % 50 = 0
+        ), tr AS (
+            SELECT doc_id, fps FROM fp WHERE doc_id % 50 <> 0
+        ), hits AS (
+            SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM tr, unnest(fps) AS u(fp)
+            JOIN bench ON u.fp = bench.fp
+            GROUP BY tr.doc_id
+        )
+        SELECT CAST(tr.doc_id AS BIGINT) AS doc_id,
+               CAST(len(tr.fps) AS BIGINT) AS n_fps,
+               COALESCE(h2.n_hits, 0) AS n_hits,
+               CAST(CASE WHEN COALESCE(h2.n_hits, 0) > 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        FROM tr LEFT JOIN hits h2 ON tr.doc_id = h2.doc_id
+    """,
+    description="Streaming decontamination gate, batch-replay form: "
+    "the stateless broadcast winnow-fingerprint check every arriving "
+    "training doc gets against the FIXED benchmark suite "
+    "(streaming/decontam.py — the inverse of the near-dup index's "
+    "growing state). Candidate gate, not a span measure: recall is "
+    "guaranteed for spans >= n+w-1 by the winnowing bound; flagged "
+    "docs route to decontam_shared_span's exact alignment. Zero "
+    "shuffle, zero state — embarrassingly parallel map work.",
+    tags=["dedup", "decontamination", "streaming", "llm-pipeline",
+          "oracle-surrogate"],
+)
+def q_stream_decontam_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.decontam import benchmark_fingerprint_set, flag_contaminated
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    bench_fps = benchmark_fingerprint_set(docs.filter(F.col("doc_id") % 50 == 0))
+    out = flag_contaminated(docs.filter(F.col("doc_id") % 50 != 0), bench_fps)
+    return out.select(
+        "doc_id",
+        "n_fps",
+        "n_hits",
+        F.col("contaminated").cast("long").alias("contaminated"),
+    )
+
+
 
 @register(
     "semdedup_embeddings",

@@ -65,6 +65,7 @@ from .common import *  # noqa: F401,F403
 _PRIORITY_R10 = [
     # new in round 10 (never driver-checked) — newest first
     # (section filled as queries land during the round)
+    "stream_decontam_replay",
     "decontam_shared_span",
     "stream_neardup_replay",
     # rows-only rotation: kernel twins (never checked) + r1-stale pair
