@@ -164,6 +164,16 @@ def main() -> None:
     results: dict[str, dict[int, float]] = {}
     for name in DRILL:
         results[name] = {}
+        # Warmup at x1 BEFORE the measured loop: the first session
+        # execution of a python-kernel plan pays codegen + Arrow +
+        # worker-path cold cost (and any per-session model fit) that
+        # is not the scaling behavior being drilled — observed r10:
+        # an unwarmed x1 anchor of 76 s vs 12.3 s at x3 produced a
+        # meaningless NEGATIVE slope.
+        try:
+            force(REGISTRY[name].fn(spark, dirs[SCALES[0]]))
+        except Exception:
+            pass
         for k in SCALES:
             t0 = time.time()
             try:
