@@ -43,7 +43,10 @@ from pyspark.sql import DataFrame, functions as F
 N_GRAM = 8
 WINNOW_W = 4
 
-_WS = re.compile(r"\s+")
+# ASCII \s + space-only trim: mirror Java-regex/RE2 semantics exactly
+# (see streaming/neardup.py — Python's unicode \s and str.strip()
+# would desynchronize the three engines on exotic whitespace)
+_WS = re.compile(r"\s+", re.ASCII)
 
 _OUT_SCHEMA = "doc_id long, n_fps long, n_hits long, contaminated boolean"
 
@@ -53,7 +56,7 @@ def winnow_fingerprints(text: str, n: int = N_GRAM, w: int = WINNOW_W) -> set[in
     32-bit md5 gram hashes over full windows of ``w`` positions.
     Documents with fewer than n + w - 1 tokens have no full window and
     return an empty set (they cannot contain a flaggable span)."""
-    toks = _WS.split(text.strip())
+    toks = _WS.split(text.strip(" "))
     if len(toks) < n + w - 1:
         return set()
     hashes = [

@@ -55,7 +55,18 @@ N_BANDS = 4
 ROWS_PER_BAND = 4
 DEFAULT_CAP = 256
 
-_WS = re.compile(r"\s+")
+# ASCII \s to mirror Java-regex (Spark split) and RE2 (DuckDB
+# string_split_regex) semantics — Python's default \s also matches
+# unicode whitespace (NBSP, U+2028…), which the other two engines do
+# not, and tri-engine hash parity is the whole point of this kernel.
+_WS = re.compile(r"\s+", re.ASCII)
+
+
+def _trim(text: str) -> str:
+    """Spark/DuckDB ``trim``: leading/trailing ASCII SPACES only —
+    Python's str.strip() also removes tabs/newlines/unicode
+    whitespace, which would desynchronize the fallback shingle."""
+    return text.strip(" ")
 
 _BAND_SCHEMA = "doc_id long, band_idx int, band_key string"
 _STATE_SCHEMA = "ids array<long>, n_overflow long"
@@ -66,13 +77,13 @@ def minhash_sigs(text: str, n_sigs: int = N_SIGS, n: int = 3) -> list[int]:
     """The md5-family MinHash signature vector — same values as the
     Spark column expression in queries._md5_minhash_sigs and the
     DuckDB _MINHASH_SIG_SQL (verified by the oracle hash gate)."""
-    toks = _WS.split(text.strip())
+    toks = _WS.split(_trim(text))
     if len(toks) >= n:
         shingles = list(
             dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
         )
     else:
-        shingles = [text.strip()]
+        shingles = [_trim(text)]
     sigs = [1 << 62] * n_sigs
     suffixes = [f":{i}".encode() for i in range(n_sigs)]
     for sh in shingles:

@@ -516,3 +516,86 @@ def test_wasserstein_counts_match_bruteforce_transport(spark, ref, cur):
         w1 += abs(va - vb) * (q1 - q0)
     got = out["w1_num"] / (out["n_ref"] * out["n_cur"])
     assert abs(got - w1) < 1e-9, (got, w1)
+
+
+_TEXT_ALPHABET = "ab cd\t\n\r  ef"  # words + the ASCII whitespace zoo
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(alphabet=_TEXT_ALPHABET, min_size=0, max_size=80), min_size=1, max_size=6))
+def test_python_minhash_kernel_matches_duckdb_on_arbitrary_whitespace(texts):
+    """Tri-engine hash parity beyond the fixture: the pure-hashlib sig
+    kernel (streaming/neardup.py) must equal DuckDB's md5 signature
+    family on texts with tabs/newlines/runs of spaces — including the
+    trim-vs-strip and \\s-semantics traps (Spark trim strips SPACES
+    only; Java/RE2 \\s is ASCII). Spark == DuckDB is already pinned by
+    the minhash_band_pairs_md5 oracle, so python == DuckDB closes the
+    triangle."""
+    import duckdb
+
+    from financial_anomaly_detection_spark.streaming.neardup import minhash_sigs
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", list(enumerate(texts))
+    )
+    mins = ", ".join(
+        f"MIN(('0x' || substr(md5(_sh || ':{i}'), 1, 8))::BIGINT) AS sig_{i}"
+        for i in range(16)
+    )
+    sql = rf"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   string_split_regex(trim(text), '\s+') AS toks
+            FROM t
+        ), sh AS (
+            SELECT doc_id AS _id, unnest(list_distinct(
+                CASE WHEN length(toks) >= 3 THEN
+                    list_transform(generate_series(1, length(toks) - 2),
+                                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                ELSE [trim(text)] END)) AS _sh
+            FROM base
+        )
+        SELECT _id, {mins} FROM sh GROUP BY _id ORDER BY _id
+    """
+    duck = {r[0]: list(r[1:]) for r in con.execute(sql).fetchall()}
+    for doc_id, text in enumerate(texts):
+        assert minhash_sigs(text) == duck[doc_id], (doc_id, repr(text))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=_TEXT_ALPHABET, min_size=0, max_size=200))
+def test_python_winnow_kernel_matches_duckdb_on_arbitrary_whitespace(text):
+    """Same triangle for the decontam gate's winnow fingerprints
+    (streaming/decontam.py) vs the stream_decontam_replay oracle's
+    list-function construction."""
+    import duckdb
+
+    from financial_anomaly_detection_spark.streaming.decontam import (
+        winnow_fingerprints,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (text VARCHAR)")
+    con.execute("INSERT INTO t VALUES (?)", [text])
+    sql = r"""
+        WITH w AS (
+            SELECT string_split_regex(trim(text), '\s+') AS t FROM t
+        ), h AS (
+            SELECT CASE WHEN len(t) >= 11 THEN
+                       list_transform(range(1, len(t) - 6),
+                           i -> ('0x' || substr(md5(
+                                    array_to_string(t[i:i+7], ' ')
+                                ), 1, 8))::BIGINT)
+                   ELSE [] END AS hs
+            FROM w
+        )
+        SELECT list_distinct(CASE WHEN len(hs) >= 4 THEN
+                   list_transform(range(1, len(hs) - 2),
+                                  i -> list_min(hs[i:i+3]))
+               ELSE [] END) AS fps
+        FROM h
+    """
+    duck_fps = set(con.execute(sql).fetchone()[0])
+    assert winnow_fingerprints(text) == duck_fps, repr(text)
