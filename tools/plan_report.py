@@ -195,6 +195,7 @@ QUERIES = [
     "ml_kernel_ae_pretrained",
     "stream_neardup_replay",
     "decontam_shared_span",
+    "stream_decontam_replay",
 ]
 
 
