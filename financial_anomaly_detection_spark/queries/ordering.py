@@ -60,8 +60,11 @@ from .common import *  # noqa: F401,F403
 #      CORRECTNESS_r09.json);
 #   4. the 16 r5-green constant-shape fills the r9 window deliberately
 #      left out (acf_daily_lags ... top_word_fraction).
-# 6 + 18 + 16 = 40 rotation slots + up to 10 new-query slots = 50.
-# Everything past slot 50 has hash-green driver evidence from r6-r9.
+# Final r10 composition: 3 new (stream_decontam_replay,
+# decontam_shared_span, stream_neardup_replay) + 6 rows-only rotation
+# + 18 + 16 stale fills = 43, topped up by the 7 freshest r9 greens
+# (pareto .. decision_stump) = 50. Everything past slot 50 has
+# hash-green driver evidence from r6-r9.
 _PRIORITY_R10 = [
     # new in round 10 (never driver-checked) — newest first
     # (section filled as queries land during the round)

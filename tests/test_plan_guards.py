@@ -280,7 +280,9 @@ EXPECTED = {
     "ml_kernel_iforest_pretrained": (3, {"events": 6}),
     "ml_kernel_lof_pretrained": (3, {"events": 6}),
     "ml_kernel_ae_pretrained": (3, {"events": 6}),
-    "stream_neardup_replay": (0, {"documents": 2}),
+    # neardup replay pins the sig stage (localCheckpoint) so the final
+    # plan reads the checkpointed intermediate, not parquet
+    "stream_neardup_replay": (0, {}),
     "decontam_shared_span": (0, {"documents": 2}),
     # the gate is one stateless Arrow stage over a 2-col scan — the
     # benchmark set rides inside the closure, so there is no join at all
