@@ -600,6 +600,15 @@ def cross_set_shared_spans(
             F.col("g.key").alias("key"),
         )
     )
+    # Materialize the exploded gram frame ONCE: four consumers read it
+    # (hot-gram DF agg, the winnow-fingerprint window, and both
+    # alignment sides), and without a checkpoint Catalyst re-runs the
+    # tokenize+explode+md5 scan for each — measured as the dominant
+    # cost of this operator at sf0.1 (~9 shuffles, 14 s in-sweep).
+    # The store-vs-recompute trade holds at scale too: the explode is
+    # the CPU-heavy stage, the checkpoint is linear in corpus grams,
+    # and every later stage reads a strict subset of it.
+    e = e.localCheckpoint(eager=True)
     hot = (
         e.groupBy("key")
         .agg(F.countDistinct("_id").alias("_df"))
@@ -623,18 +632,28 @@ def cross_set_shared_spans(
         .select("_id", "_is_bench", "_fp")
         .distinct()
     )
+    # two consumers (train side, bench side of the candidate join):
+    # materialize so the per-doc window shuffle runs once, not twice
+    fps = fps.localCheckpoint(eager=True)
+    # The benchmark side is structurally tiny (a FIXED eval set in
+    # production; ~2% of docs in the test split) — broadcast its
+    # fingerprints AND its grams so neither the candidate join nor the
+    # alignment join shuffles the corpus-sized train side on a key.
     cand = (
         fps.filter(~F.col("_is_bench"))
         .select(F.col("_id").alias("train_doc"), "_fp")
         .join(
-            fps.filter(F.col("_is_bench")).select(
-                F.col("_id").alias("bench_doc"), "_fp"
+            F.broadcast(
+                fps.filter(F.col("_is_bench")).select(
+                    F.col("_id").alias("bench_doc"), "_fp"
+                )
             ),
             "_fp",
         )
         .select("train_doc", "bench_doc")
         .distinct()
     )
+    cand = cand.localCheckpoint(eager=True)  # 3 consumers, pair-bounded size
 
     et = e.filter(~F.col("_is_bench")).select(
         F.col("_id").alias("train_doc"), F.col("pos").alias("pa"), "key"
@@ -643,11 +662,15 @@ def cross_set_shared_spans(
         F.col("_id").alias("bench_doc"), F.col("pos").alias("pb"), "key"
     )
     # restrict both gram sides to docs with >=1 candidate partner
-    et = et.join(cand.select("train_doc").distinct(), "train_doc", "left_semi")
-    eb = eb.join(cand.select("bench_doc").distinct(), "bench_doc", "left_semi")
+    et = et.join(
+        F.broadcast(cand.select("train_doc").distinct()), "train_doc", "left_semi"
+    )
+    eb = eb.join(
+        F.broadcast(cand.select("bench_doc").distinct()), "bench_doc", "left_semi"
+    )
     pairs = (
-        et.join(eb, "key")
-        .join(cand, ["train_doc", "bench_doc"], "left_semi")
+        et.join(F.broadcast(eb), "key")
+        .join(F.broadcast(cand), ["train_doc", "bench_doc"], "left_semi")
         .select("train_doc", "bench_doc", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
     )
     wd = Window.partitionBy("train_doc", "bench_doc", "diag").orderBy("pa")

@@ -283,7 +283,13 @@ EXPECTED = {
     # neardup replay pins the sig stage (localCheckpoint) so the final
     # plan reads the checkpointed intermediate, not parquet
     "stream_neardup_replay": (0, {}),
-    "decontam_shared_span": (0, {"documents": 2}),
+    # round-11: decontam pins the exploded gram frame (localCheckpoint,
+    # one explode shared by hot-gram agg / fingerprint window / both
+    # alignment sides — the r10 plan recomputed it 4x) so the final
+    # plan reads checkpointed intermediates, not parquet; the explode's
+    # own 2-col pruned documents scan is exercised when the checkpoint
+    # job runs inside the operator
+    "decontam_shared_span": (0, {}),
     # the gate is one stateless Arrow stage over a 2-col scan — the
     # benchmark set rides inside the closure, so there is no join at all
     "stream_decontam_replay": (0, {"documents": 2}),
