@@ -354,6 +354,24 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def release_pins(spark) -> None:
+    """Drop every persistent RDD (the eager ``localCheckpoint`` pins
+    queries create for multi-consumer intermediates). Within one query
+    the pin is load-bearing; BETWEEN sweep entries it is garbage whose
+    cleanup is otherwise left to the async ContextCleaner — measured
+    r10/r11: pins accumulate monotonically across a sweep (3 -> 14 over
+    15 queries) and their GC-driven teardown lands inside LATER
+    queries' measured windows (the shuffle_skew_report rerun inversion,
+    SCALING.md round-11 entry). Non-blocking unpersist: the eviction
+    itself must not join the next query's window either."""
+    try:
+        it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+    except Exception:
+        pass
+
+
 def _canary_times(spark, sf_dir: str, n: int = 3) -> list[float]:
     out = []
     for _ in range(n):
@@ -425,6 +443,7 @@ def run_sweep(spark, sf_dir: str, names: list[str], first_attempt: bool = True):
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:
             errors[name] = f"{type(e).__name__}: {e}"[:300]
+        release_pins(spark)  # sweep hygiene: see release_pins docstring
 
     canary_end = _canary_times(spark, sf_dir)
     canary_py_end = _canary_py_times(spark)
@@ -618,6 +637,7 @@ def main() -> None:
             t2 = t
             rerun_error = f"{type(e).__name__}: {e}"[:200]
         py_post = _canary_py_times(spark, n=1)[0]
+        release_pins(spark)  # rerun hygiene, same rationale as the sweep
         timings[name] = min(t, t2)
         reruns[name] = {
             "prior": p,

@@ -418,7 +418,17 @@ def q_shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts = ev.groupBy(col.cast("string").alias("key")).agg(
             F.count(F.lit(1)).alias("cnt")
         )
-        counts = counts.localCheckpoint(eager=True)  # stats + top-10 consumers
+        # stats + top-10 both consume counts, but NO pin is needed:
+        # the two subtrees canonicalize to the same shuffle, and AQE's
+        # stage cache runs it once (final plan shows ReusedExchange —
+        # one events scan per branch). The r10 form eagerly
+        # localCheckpoint-ed here, which (a) added two blocking
+        # materialization jobs per run and (b) left unpersist timing
+        # to the ContextCleaner, whose GC-driven churn was the r10
+        # rerun inversion (3.2 s first / 6.3 s rerun): reruns paid
+        # cleanup of prior runs' checkpoint blocks. Measured after the
+        # drop: stable 1.0-1.2 s x8 reps, clean canaries (SCALING.md
+        # round-11 falsification entry).
         stats = counts.agg(
             F.lit(name).alias("key_col"),
             F.count(F.lit(1)).cast("long").alias("n_keys"),
