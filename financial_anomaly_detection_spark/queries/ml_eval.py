@@ -5426,3 +5426,319 @@ def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_KM_SURV_SQL).cast("double") / F.lit(1e6), 6
         ).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-level oracle surrogates for the ensemble kernel MATH (round 11,
+# VERDICT r10 task 4 — the ann_ivfpq_exact_quantized pattern applied to
+# M4-M10): each query INJECTS fixed integer/dyadic model parameters into
+# the REAL scoring kernel (the same broadcast + Arrow pandas_udf code
+# path the trained tiers run), arranges every intermediate to be exactly
+# representable in float64, and emits integers a DuckDB oracle rebuilds
+# relationally. The trained tiers stay rows-only (their fits are
+# engine-specific); these pin the arithmetic those fits feed.
+# ---------------------------------------------------------------------------
+
+# Shared spec: ONE literal structure generates BOTH the injected numpy
+# parameters and the oracle SQL text, so the two sides cannot drift.
+
+# Isolation trees: (feature, threshold, left, right) internal nodes,
+# None = leaf. Thresholds are integers against floor(x*1000+0.5)
+# quantized embeddings (range ~±530). Every leaf is treated as a
+# singleton (c(1) = 0), so leaf_value == depth and the summed path
+# length over trees is an exact INTEGER.
+_IF_TREES = [
+    (0, 0, (1, -100, None, (2, 150, None, None)), None),
+    (3, 50, None, (4, -50, None, (5, 0, None, None))),
+    (6, 100, (7, -150, None, None), (0, 200, (1, 60, None, None), None)),
+    (2, -40, (3, 130, None, (6, -220, None, None)), (4, 10, None, None)),
+]
+
+
+def _if_tree_arrays(spec):
+    """Flat-array form of one tree spec for IsolationForestModel.trees."""
+    import numpy as np
+
+    feature, threshold, left, right, leafv = [], [], [], [], []
+
+    def rec(node, depth):
+        i = len(feature)
+        feature.append(-1)
+        threshold.append(0.0)
+        left.append(-1)
+        right.append(-1)
+        leafv.append(float(depth))
+        if node is not None:
+            f, t, ln, rn = node
+            feature[i] = f
+            threshold[i] = float(t)
+            left[i] = rec(ln, depth + 1)
+            right[i] = rec(rn, depth + 1)
+        return i
+
+    rec(spec, 0)
+    return (
+        np.asarray(feature, dtype=np.int32),
+        np.asarray(threshold, dtype=np.float64),
+        np.asarray(left, dtype=np.int32),
+        np.asarray(right, dtype=np.int32),
+        np.asarray(leafv, dtype=np.float64),
+    )
+
+
+def _if_tree_sql(node, depth=0):
+    """The same tree as a DuckDB CASE walk over 1-indexed list q."""
+    if node is None:
+        return str(depth)
+    f, t, ln, rn = node
+    return (
+        f"CASE WHEN q[{f + 1}] < {t} THEN "
+        f"{_if_tree_sql(ln, depth + 1)} ELSE {_if_tree_sql(rn, depth + 1)} END"
+    )
+
+
+_IF_PATH_SQL = " + ".join(f"({_if_tree_sql(t)})" for t in _IF_TREES)
+
+# LOF reference set: 1-D positions chosen so EVERY distance the kernel
+# meets is exactly representable and tie-free. Even progression-free
+# integers (no point is the midpoint of two others -> each reference
+# row's kNN distances are distinct); query points sit on 4m + 0.5
+# (half-integers), and even+even sums can never equal the odd 2q, so
+# query->reference distances are tie-free too. All reachability sums
+# are then sums of dyadic rationals — exact in float64 in ANY
+# summation order — and the only cross-engine drift left is the final
+# mean-of-3-lrd ordering (~ulps), absorbed by the 2^24 fixed-point
+# emission (guard band machine-checked in tests/test_ml.py).
+_LOF_REFS = [0, 2, 6, 14, 24, 40, 60, 86]
+_LOF_K = 3
+_LOF_QMOD = 23  # query position = (vec_id % 23) * 4 + 0.5
+
+_LOF_REFS_SQL = ", ".join(
+    f"({i}, CAST({p} AS DOUBLE))" for i, p in enumerate(_LOF_REFS)
+)
+
+# PCA reconstruction: k=4 components with DISJOINT 16-slot supports and
+# entries ±1/4 — exactly orthonormal with dyadic entries, so the rank-k
+# residual energy is an exact multiple of 1/16 and (total-captured)*16
+# is an exact INTEGER both engines agree on bit-for-bit. The mean
+# vector is a small integer pattern so centering is exercised.
+_PCA_D, _PCA_K, _PCA_SUP = 64, 4, 16
+_PCA_MU = [(i % 5) - 2 for i in range(_PCA_D)]
+_PCA_SIGN = [1 if i % 2 == 0 else -1 for i in range(_PCA_D)]
+
+_PCA_MU_SQL = "[" + ", ".join(str(v) for v in _PCA_MU) + "]"
+
+
+def _pca_proj_sql(c: int) -> str:
+    lo = _PCA_SUP * c
+    signs = "[" + ", ".join(str(s) for s in _PCA_SIGN[lo : lo + _PCA_SUP]) + "]"
+    return (
+        f"(list_sum(list_transform(list_zip(list_slice(c, {lo + 1}, "
+        f"{lo + _PCA_SUP}), {signs}), p -> p[1] * p[2])) * 0.25)"
+    )
+
+
+_PCA_CAPTURED_SQL = " + ".join(
+    f"({_pca_proj_sql(c)} * {_pca_proj_sql(c)})" for c in range(_PCA_K)
+)
+
+
+@register(
+    "ml_kernel_iforest_exact",
+    # Hash-level oracle surrogate for the Isolation Forest SCORING
+    # kernel (ml/iforest.py score_col — Liu et al. 2008): four fixed
+    # integer trees are injected into the real broadcast-tree Arrow
+    # kernel; every leaf is a singleton so the summed path length is
+    # an exact integer, recovered from the kernel's s(x) = 2^(-E[h]/c)
+    # output by the inverse transform (exercising the normalization
+    # math in both directions). DuckDB walks the same trees as CASE
+    # expressions. The trained tier (ml_iforest_embeddings) stays
+    # rows-only; this pins the traversal + score arithmetic it runs.
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS q
+            FROM embeddings WHERE vec_id < 400
+        )
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST({_IF_PATH_SQL} AS BIGINT) AS path_total
+        FROM e
+    """,
+    description="Isolation-forest kernel math pinned at hash level: "
+    "injected integer trees through the REAL broadcast-tree Arrow "
+    "scoring kernel (singleton leaves => integer path sums), score "
+    "inverted back to the exact path total; DuckDB re-walks the trees "
+    "relationally. Constant-cost 400-vector verification slice.",
+    tags=["ml", "iforest", "oracle-surrogate"],
+)
+def q_ml_kernel_iforest_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..ml.iforest import IsolationForestModel, _c_factor
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    quant = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("double"),
+    )
+    base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), quant.alias("q"))
+    m = IsolationForestModel(n_estimators=len(_IF_TREES), max_samples=256)
+    m.trees = [_if_tree_arrays(t) for t in _IF_TREES]
+    m._c_psi = _c_factor(256)
+    score = m.score_col(base, "q")
+    # invert s = 2^(-(T/N)/c): T = -log2(s) * N * c. T is an integer
+    # <= 12 and the float round-trip error is ~1e-14, so round() is
+    # exact — pinned against a direct integer tree walk in pytest.
+    path_total = F.round(
+        -F.log2(score) * F.lit(float(len(_IF_TREES)) * m._c_psi)
+    ).cast("long")
+    return base.select("vec_id", path_total.alias("path_total"))
+
+
+@register(
+    "ml_kernel_lof_exact",
+    # Hash-level oracle surrogate for the LOF novelty kernel
+    # (ml/lof.py — Breunig et al. 2000): an 8-point 1-D integer
+    # reference set is injected through the REAL _fit_reference
+    # (chunked kNN, k-distance, lrd) and the REAL broadcast Arrow
+    # scoring kernel (BLAS distance matmul, argpartition kNN,
+    # reachability, lrd ratio). The geometry makes every distance and
+    # reachability sum exactly representable (see _LOF_REFS note);
+    # DuckDB rebuilds kNN/reach/lrd/ratio relationally and both sides
+    # emit floor(lof * 2^24 + 0.5) — machine-checked >= 1e-6 from any
+    # rounding boundary vs cross-engine drift of ~1e-8 scaled units.
+    oracle=f"""
+        WITH refs(rid, pos) AS (VALUES {_LOF_REFS_SQL}),
+        q AS (
+            SELECT vec_id,
+                   (vec_id % {_LOF_QMOD}) * 4 + 0.5 AS pos
+            FROM embeddings WHERE vec_id < 400
+        ), rr AS (
+            SELECT a.rid, b.rid AS nb, abs(a.pos - b.pos) AS d,
+                   row_number() OVER (PARTITION BY a.rid
+                                      ORDER BY abs(a.pos - b.pos)) AS rk
+            FROM refs a JOIN refs b ON a.rid <> b.rid
+        ), knn_r AS (
+            SELECT rid, nb, d FROM rr WHERE rk <= {_LOF_K}
+        ), kdist AS (
+            SELECT rid, MAX(d) AS kd FROM knn_r GROUP BY rid
+        ), lrd_r AS (
+            SELECT k.rid,
+                   {_LOF_K}.0 / greatest(SUM(greatest(kb.kd, k.d)) / {_LOF_K}.0,
+                                         1e-12) AS lrd
+            FROM knn_r k JOIN kdist kb ON kb.rid = k.nb
+            GROUP BY k.rid
+        ), qn AS (
+            SELECT q.vec_id, r.rid, abs(q.pos - r.pos) AS d,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY abs(q.pos - r.pos)) AS rk
+            FROM q CROSS JOIN refs r
+        ), knn_q AS (
+            SELECT vec_id, rid, d FROM qn WHERE rk <= {_LOF_K}
+        ), agg AS (
+            SELECT kq.vec_id,
+                   {_LOF_K}.0 / greatest(SUM(greatest(kd.kd, kq.d)) / {_LOF_K}.0,
+                                         1e-12) AS lrd_x,
+                   SUM(lr.lrd) / {_LOF_K}.0 AS mean_lrd
+            FROM knn_q kq
+            JOIN kdist kd ON kd.rid = kq.rid
+            JOIN lrd_r lr ON lr.rid = kq.rid
+            GROUP BY kq.vec_id
+        )
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(floor(mean_lrd / greatest(lrd_x, 1e-12) * 16777216 + 0.5)
+                    AS BIGINT) AS lof_u
+        FROM agg
+    """,
+    description="LOF kernel math pinned at hash level: injected "
+    "tie-free dyadic 1-D reference set through the REAL fit "
+    "(k-distance/lrd) and Arrow scoring kernel (matmul distances, "
+    "argpartition kNN, reachability ratio); DuckDB rebuilds the same "
+    "pipeline relationally; 2^24 fixed-point emission with a "
+    "machine-checked guard band. Constant-cost 400-query slice.",
+    tags=["ml", "lof", "oracle-surrogate"],
+)
+def q_ml_kernel_lof_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..ml.lof import LOFNoveltyModel
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.array((F.col("vec_id") % _LOF_QMOD) * 4 + F.lit(0.5))
+        .cast("array<double>")
+        .alias("pos"),
+    )
+    model = LOFNoveltyModel(n_neighbors=_LOF_K, max_train=len(_LOF_REFS))
+    model._fit_reference(np.asarray([[float(p)] for p in _LOF_REFS]))
+    lof = model.lof_col(base, "pos")
+    return base.select(
+        "vec_id",
+        F.floor(lof * F.lit(16777216.0) + F.lit(0.5)).cast("long").alias("lof_u"),
+    )
+
+
+@register(
+    "ml_kernel_pca_exact",
+    # Hash-level oracle surrogate for the reconstruction-MSE kernel
+    # (ml/reconstruction.py mse_col, large-d Arrow matmul path — the
+    # PCA analog of the reference autoencoder's MSE,
+    # model_wrapper.py:44-49): injected exactly-orthonormal dyadic
+    # components (disjoint ±1/4 supports) and an integer mean run
+    # through the REAL broadcast (X-mu) @ W kernel; the residual
+    # energy (total - captured) is an exact multiple of 1/16, d = 64
+    # is a power of two, so mse*1024 is an exact integer both engines
+    # produce bit-for-bit — no guard band needed.
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS q
+            FROM embeddings WHERE vec_id < 400
+        ), cc AS (
+            SELECT vec_id,
+                   list_transform(list_zip(q, {_PCA_MU_SQL}),
+                                  p -> CAST(p[1] - p[2] AS DOUBLE)) AS c
+            FROM e
+        )
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(greatest(list_sum(list_transform(c, x -> x * x))
+                             - ({_PCA_CAPTURED_SQL}), 0.0) * 16
+                    AS BIGINT) AS sse_q16
+        FROM cc
+    """,
+    description="Reconstruction-MSE kernel math pinned at hash level: "
+    "injected orthonormal dyadic components through the REAL Arrow "
+    "matmul kernel; residual energy exact in float64, emitted as the "
+    "integer (total - captured) * 16. Pins M8-M10's arithmetic; the "
+    "trained tiers (ml_reconstruction/autoencoder) stay rows-only. "
+    "Constant-cost 400-vector slice.",
+    tags=["ml", "reconstruction", "oracle-surrogate"],
+)
+def q_ml_kernel_pca_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..ml.reconstruction import ReconstructionScorer
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    quant = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("double"),
+    )
+    base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), quant.alias("q"))
+    W = np.zeros((_PCA_D, _PCA_K), dtype=np.float64)
+    for c in range(_PCA_K):
+        for j in range(_PCA_SUP):
+            i = _PCA_SUP * c + j
+            W[i, c] = 0.25 * _PCA_SIGN[i]
+    scorer = ReconstructionScorer(k=_PCA_K)
+    scorer.components = W
+    scorer.mean = np.asarray(_PCA_MU, dtype=np.float64)
+    mse = scorer.mse_col(base, "q")
+    # mse = (total - captured)/64 exactly (dyadic, d a power of two);
+    # *1024 recovers the exact integer (total - captured) * 16
+    return base.select(
+        "vec_id", F.round(mse * F.lit(1024.0)).cast("long").alias("sse_q16")
+    )

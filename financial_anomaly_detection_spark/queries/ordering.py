@@ -65,6 +65,76 @@ from .common import *  # noqa: F401,F403
 # + 18 + 16 stale fills = 43, topped up by the 7 freshest r9 greens
 # (pareto .. decision_stump) = 50. Everything past slot 50 has
 # hash-green driver evidence from r6-r9.
+# Round-11 window (stalest-evidence-first rotation, same policy as
+# r4-r10), 50 slots:
+#   1. queries NEW in r11 — the three kernel-math oracle surrogates
+#      (VERDICT r10 task 4), prepended as they landed;
+#   2. the complete r6-stale cohort (VERDICT r10 task 5): all 46
+#      queries whose freshest driver evidence is CORRECTNESS_r06 —
+#      five rounds old by r11, the oldest evidence in the registry
+#      (computed from the r1-r10 latest-execution union; includes the
+#      cohort's rows-only members ann_pq_topk / semdedup_embeddings /
+#      bpe_train_merges etc., same treatment as r10's rotation);
+#   3. one top-up to 50 from the r7-stale cohort (next in line for
+#      r12): approx_distinct_users.
+# Everything past slot 50 has driver evidence from r7-r10; after this
+# round lands, no query's freshest evidence is older than r7.
+_PRIORITY_R11 = [
+    # new in round 11 (never driver-checked) — newest first
+    "ml_kernel_pca_exact",
+    "ml_kernel_lof_exact",
+    "ml_kernel_iforest_exact",
+    # the full r6-stale cohort (46)
+    "ann_pq_topk",
+    "asof_join_purchase_click",
+    "asof_profile",
+    "bpe_tokenize_docs",
+    "bpe_train_merges",
+    "calendar_gap_fill",
+    "cdc_upsert_merge",
+    "cms_join_cardinality",
+    "customer_profile_90d",
+    "customers_with_urgent_orders",
+    "customers_without_orders",
+    "dedup_exact_docs",
+    "distinct_agg_users",
+    "dq_expectation_checks",
+    "events_scan_filter_project",
+    "feature_hashing_docs",
+    "interval_union_coverage",
+    "kendall_tau_daily",
+    "levenshtein_parity_pairs",
+    "map_functions_user_profile",
+    "merchant_profile_90d",
+    "percentile_thresholds",
+    "pivot_event_type_daily",
+    "profile_join_deviation",
+    "q10_returned_revenue",
+    "q14_promo_revenue_pct",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "q7_nation_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "quantile_sketch_values",
+    "rank_windows",
+    "rules_fusion_risk",
+    "semdedup_embeddings",
+    "sequence_gap_detection",
+    "sessionize_events",
+    "spearman_daily_corr",
+    "time_features_extract",
+    "time_range_self_join",
+    "unpivot_daily_metrics",
+    "window_transform_profile",
+    # top-up to 50 from the r7-stale cohort
+    "approx_distinct_users",
+]
+
 _PRIORITY_R10 = [
     # new in round 10 (never driver-checked) — newest first
     # (section filled as queries land during the round)
@@ -748,7 +818,8 @@ _PRIORITY_R03 = [
 
 
 def _ordered_names() -> list[str]:
-    pri = [n for n in _PRIORITY_R10 if n in REGISTRY]
+    pri = [n for n in _PRIORITY_R11 if n in REGISTRY]
+    pri += [n for n in _PRIORITY_R10 if n in REGISTRY and n not in pri]
     pri += [n for n in _PRIORITY_R09 if n in REGISTRY and n not in pri]
     # prior-round orderings fill next (their own stalest-first
     # logic), then the rest of the registry
@@ -782,6 +853,7 @@ def oracle_sql() -> dict[str, str]:
     }
 
 __all__ = [
+    '_PRIORITY_R11',
     '_PRIORITY_R10',
     '_PRIORITY_R09',
     '_PRIORITY_R08',

@@ -1101,3 +1101,138 @@ def test_kernel_twins_match_full_ensemble_columns(spark, sf_dir):
             assert v is not None and math.isfinite(v), f"{name}: bad score {v}"
             worst = max(worst, abs(v - full[r["event_id"]][col]))
         assert worst <= 1e-6, f"{name}.{col} deviates {worst} from ensemble"
+
+
+# ---------------------------------------------------------------------------
+# Round-11 kernel-math oracle surrogates (queries/ml_eval.py): the
+# injected-parameter constructions rest on geometric invariants that a
+# hash match alone does not document — pin each invariant directly.
+# ---------------------------------------------------------------------------
+
+
+def test_iforest_exact_surrogate_matches_direct_tree_walk(spark, sf_dir):
+    """The inverse transform T = round(-log2(s)·N·c) must recover the
+    integer path sum EXACTLY — cross-checked against a direct integer
+    walk of the same tree specs, independent of the Arrow kernel."""
+    from financial_anomaly_detection_spark.queries.ml_eval import (
+        _IF_TREES,
+        q_ml_kernel_iforest_exact,
+    )
+
+    out = {
+        r["vec_id"]: r["path_total"]
+        for r in q_ml_kernel_iforest_exact(spark, sf_dir).collect()
+    }
+    assert len(out) == 400
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    rows = emb.select("vec_id", "embedding").collect()
+
+    def walk(node, q, depth=0):
+        if node is None:
+            return depth
+        f, t, ln, rn = node
+        return walk(ln if q[f] < t else rn, q, depth + 1)
+
+    for r in rows:
+        q = [float(np.floor(float(x) * 1000 + 0.5)) for x in r["embedding"]]
+        expect = sum(walk(t, q) for t in _IF_TREES)
+        assert out[r["vec_id"]] == expect, r["vec_id"]
+
+
+def test_lof_exact_surrogate_geometry_and_guard_band(spark, sf_dir):
+    """Three invariants behind ml_kernel_lof_exact: (1) the reference
+    set is progression-free and even (tie-free kNN on both sides),
+    (2) a pure-python rebuild of the kernel math agrees with the query
+    output, (3) every emitted value sits >= 1e-6 scaled units from its
+    floor(x+0.5) boundary — two orders of magnitude above the ~1e-8
+    cross-engine summation-order drift the 2^24 emission absorbs."""
+    from financial_anomaly_detection_spark.queries.ml_eval import (
+        _LOF_K,
+        _LOF_QMOD,
+        _LOF_REFS,
+        q_ml_kernel_lof_exact,
+    )
+
+    refs = _LOF_REFS
+    assert all(p % 2 == 0 for p in refs)
+    # no reference point is the midpoint of two others -> per-row kNN
+    # distances are distinct; query points 4m+0.5 give odd 2q, which an
+    # even+even reference sum can never equal -> query kNN tie-free
+    for i, c in enumerate(refs):
+        for a in refs:
+            for b in refs:
+                if a < b and (a != c and b != c):
+                    assert a + b != 2 * c, (a, c, b)
+
+    out = {
+        r["vec_id"]: r["lof_u"] for r in q_ml_kernel_lof_exact(spark, sf_dir).collect()
+    }
+    assert len(out) == 400
+
+    X = np.asarray([[float(p)] for p in refs])
+    k = _LOF_K
+    n = len(X)
+    d = np.abs(X - X.T.reshape(1, -1)).reshape(n, n).astype(np.float64)
+    np.fill_diagonal(d, np.inf)
+    nn = np.argsort(d, axis=1)[:, :k]
+    nn_d = np.take_along_axis(d, nn, axis=1)
+    kdist = nn_d.max(axis=1)
+    reach = np.maximum(kdist[nn], nn_d)
+    lrd = k / np.maximum(reach.mean(axis=1), 1e-12)
+
+    for vid, got in out.items():
+        pos = (vid % _LOF_QMOD) * 4 + 0.5
+        dq = np.abs(pos - X[:, 0])
+        qn = np.argsort(dq)[:k]
+        qd = dq[qn]
+        reach_x = np.maximum(kdist[qn], qd)
+        lrd_x = k / np.maximum(reach_x.mean(), 1e-12)
+        lof = lrd[qn].mean() / np.maximum(lrd_x, 1e-12)
+        scaled = lof * 16777216.0
+        assert got == np.floor(scaled + 0.5), vid
+        # guard band: distance from the floor boundary
+        frac = (scaled + 0.5) % 1.0
+        assert min(frac, 1.0 - frac) >= 1e-6, (vid, scaled)
+
+
+def test_pca_exact_surrogate_residual_is_exact_integer(spark, sf_dir):
+    """The disjoint ±1/4-support components are exactly orthonormal, so
+    the kernel's residual energy is an exact multiple of 1/16 and the
+    emitted sse_q16 equals an all-integer numpy rebuild exactly."""
+    from financial_anomaly_detection_spark.queries.ml_eval import (
+        _PCA_D,
+        _PCA_K,
+        _PCA_MU,
+        _PCA_SIGN,
+        _PCA_SUP,
+        q_ml_kernel_pca_exact,
+    )
+
+    W = np.zeros((_PCA_D, _PCA_K))
+    for c in range(_PCA_K):
+        for j in range(_PCA_SUP):
+            i = _PCA_SUP * c + j
+            W[i, c] = 0.25 * _PCA_SIGN[i]
+    assert np.array_equal(W.T @ W, np.eye(_PCA_K))  # exact orthonormality
+
+    out = {
+        r["vec_id"]: r["sse_q16"]
+        for r in q_ml_kernel_pca_exact(spark, sf_dir).collect()
+    }
+    assert len(out) == 400
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    mu = np.asarray(_PCA_MU, dtype=np.int64)
+    for r in emb.select("vec_id", "embedding").collect():
+        q = np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1000 + 0.5)
+        c = q.astype(np.int64) - mu
+        total16 = int((c * c).sum()) * 16
+        cap16 = 0
+        for col in range(_PCA_K):
+            s = _PCA_SUP * col
+            proj4 = int(
+                (c[s : s + _PCA_SUP] * np.asarray(_PCA_SIGN[s : s + _PCA_SUP])).sum()
+            )  # proj * 4, an integer
+            cap16 += proj4 * proj4  # (proj^2) * 16
+        assert out[r["vec_id"]] == total16 - cap16, r["vec_id"]

@@ -293,6 +293,12 @@ EXPECTED = {
     # the gate is one stateless Arrow stage over a 2-col scan — the
     # benchmark set rides inside the closure, so there is no join at all
     "stream_decontam_replay": (0, {"documents": 2}),
+    # round-11 kernel-math surrogates: one pruned embeddings scan into
+    # one broadcast-model Arrow kernel, no joins (the LOF slice derives
+    # its query positions from vec_id alone -> 1-col scan)
+    "ml_kernel_iforest_exact": (0, {"embeddings": 2}),
+    "ml_kernel_lof_exact": (0, {"embeddings": 1}),
+    "ml_kernel_pca_exact": (0, {"embeddings": 2}),
 }
 
 
