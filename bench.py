@@ -365,9 +365,9 @@ def release_pins(spark) -> None:
     SCALING.md round-11 entry). Non-blocking unpersist: the eviction
     itself must not join the next query's window either."""
     try:
-        it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
-        while it.hasNext():
-            it.next().unpersist(False)
+        # py4j exposes the java.util.Map as a dict-like JavaMap
+        for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            jrdd.unpersist(False)
     except Exception:
         pass
 

@@ -155,7 +155,13 @@ def quantile_sketch_knots(
         .groupBy(*pcols, "g", "v")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    knots = groups.groupBy(*pcols, "g").applyInPandas(summarize, schema=spark_schema)
+    # sorted mapInPandas instead of per-group applyInPandas: with
+    # partition_cols (daily sketches) the group count is days*n_groups
+    # and the per-group Arrow overhead dominates (see
+    # partitioning.sorted_group_map) — knots are identical.
+    from .partitioning import sorted_group_map
+
+    knots = sorted_group_map(groups, [*pcols, "g"], summarize, spark_schema)
     return knots.groupBy(*pcols, "value").agg(F.sum("w").cast("long").alias("w"))
 
 

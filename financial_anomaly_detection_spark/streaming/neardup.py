@@ -251,6 +251,10 @@ def batch_band_collisions(
             }
         )
 
-    return bands.groupBy("band_idx", "band_key").applyInPandas(
-        replay, schema=_OUT_SCHEMA
-    )
+    # Many tiny groups (the at-scale regime: most multi-member buckets
+    # hold 2-5 docs): per-group applyInPandas overhead dominated the
+    # stage (x10 drill: 15.1 s -> 1.2 s, identical pair set), so the
+    # same per-bucket replay runs through one sorted mapInPandas stage.
+    from ..operators.partitioning import sorted_group_map
+
+    return sorted_group_map(bands, ["band_idx", "band_key"], replay, _OUT_SCHEMA)

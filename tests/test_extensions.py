@@ -999,3 +999,48 @@ def test_cross_set_shared_spans_winnow_prefilter_lossless(spark):
         cross_set_shared_spans(
             df, bench_pred=(F.col("doc_id") % 50 == 0), n=8, min_span=10, winnow_w=4
         )
+
+
+def test_sorted_group_map_equals_apply_in_pandas_across_batch_straddle(spark):
+    """sorted_group_map (operators/partitioning.py) must emit exactly
+    what groupBy().applyInPandas emits, INCLUDING when a group straddles
+    consecutive Arrow batches — forced here by shrinking
+    maxRecordsPerBatch below the group size so nearly every batch cut
+    lands mid-group (the carry-buffer path)."""
+    import pandas as pd
+
+    from financial_anomaly_detection_spark.operators.partitioning import (
+        sorted_group_map,
+    )
+
+    rows = []
+    for g in range(60):
+        for j in range(2 + g % 5):
+            rows.append((f"k{g}", g * 100 + j))
+    df = spark.createDataFrame(rows, "k string, v long")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        vs = sorted(int(x) for x in pdf["v"])
+        return pd.DataFrame(
+            {
+                "k": [pdf["k"].iloc[0]],
+                "n": [len(vs)],
+                "vsum": [sum(vs)],
+                "vmin": [vs[0]],
+            }
+        )
+
+    schema = "k string, n long, vsum long, vmin long"
+    expect = {
+        tuple(r) for r in df.groupBy("k").applyInPandas(fn, schema).collect()
+    }
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        got = {tuple(r) for r in sorted_group_map(df, ["k"], fn, schema).collect()}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert got == expect

@@ -112,7 +112,11 @@ EXPECTED = {
     "semdedup_embeddings": (0, {}),
     "write_partition_plan": (1, {"events": 2}),
     "cms_join_cardinality": (1, {"events": 1, "orders": 1}),
-    "shuffle_skew_report": (2, {}),
+    # round-11: the redundant eager checkpoints were dropped (AQE's
+    # stage cache reuses the count shuffle), so the plan reads the
+    # pruned 1-col events scan again; the 2 NLJ stay the benign
+    # one-row stats x top-10 broadcast joins
+    "shuffle_skew_report": (2, {"events": 1}),
     "table_profile_events": (0, {}),
     "trigram_event_sequences": (0, {"events": 4}),
     "seasonal_robust_outliers": (0, {"events": 3}),

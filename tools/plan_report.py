@@ -196,6 +196,11 @@ QUERIES = [
     "stream_neardup_replay",
     "decontam_shared_span",
     "stream_decontam_replay",
+    # Round-11 additions: kernel-math oracle surrogates (VERDICT r10
+    # task 4).
+    "ml_kernel_iforest_exact",
+    "ml_kernel_lof_exact",
+    "ml_kernel_pca_exact",
 ]
 
 
