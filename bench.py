@@ -646,6 +646,25 @@ def main() -> None:
             "py_pre": py_pre,
             "py_post": py_post,
         }
+        # Second rerun when first + rerun BOTH stay hot: measured r11,
+        # the pretrained twin's first post-churn executions land 2-3x
+        # its steady state (first 15.7 s, rerun 19.7 s, third run 7 s
+        # with clean py-canaries adjacent) — two warm-up-class samples
+        # can agree with each other and still both be warm-up. One
+        # bounded extra sample; all three raw numbers ship in reruns.
+        still_hot = timings[name] > OUTLIER_ABS_SEC or (
+            p is not None and timings[name] > OUTLIER_RATIO * p * host_run
+        )
+        if rerun_error is None and still_hot:
+            t0 = time.perf_counter()
+            try:
+                force(REGISTRY[name].fn(spark, sf_dir))
+                t3 = round(time.perf_counter() - t0, 3)
+                reruns[name]["rerun2"] = t3
+                timings[name] = min(timings[name], t3)
+            except Exception as e:
+                reruns[name]["rerun2_error"] = f"{type(e).__name__}: {e}"[:200]
+            release_pins(spark)
         if rerun_error is not None:
             reruns[name]["rerun_error"] = rerun_error
             errors.setdefault(name, f"rerun: {rerun_error}")

@@ -193,8 +193,11 @@ def q_ml_ensemble_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["ml", "ensemble", "bench-twin"],
 )
 def q_ml_ensemble_scores_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ens, feature_df = _pretrained_ensemble(spark, sf_dir)
-    return ens.transform(feature_df, id_col="event_id")
+    def build():
+        ens, feature_df = _pretrained_ensemble(spark, sf_dir)
+        return ens.transform(feature_df, id_col="event_id")
+
+    return _pretrained_plan(spark, sf_dir, "ensemble", build)
 
 
 # Per-kernel bench twins (VERDICT r8 task 4): the full pretrained twin
@@ -219,17 +222,20 @@ def q_ml_ensemble_scores_pretrained(spark: SparkSession, sf_dir: str) -> DataFra
 def q_ml_kernel_base_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.scoring import rule_score
 
-    ens, feats = _pretrained_kernel_feats(spark, sf_dir)
-    return feats.select(
-        "event_id",
-        sround(
-            rule_score(
-                "amount", "channel", "location", "hour",
-                large_amount_t=ens.rule_large_amount,
-            ),
-            6,
-        ).alias("rule_score"),
-    )
+    def build():
+        ens, feats = _pretrained_kernel_feats(spark, sf_dir)
+        return feats.select(
+            "event_id",
+            sround(
+                rule_score(
+                    "amount", "channel", "location", "hour",
+                    large_amount_t=ens.rule_large_amount,
+                ),
+                6,
+            ).alias("rule_score"),
+        )
+
+    return _pretrained_plan(spark, sf_dir, "kernel_base", build)
 
 
 @register(
@@ -241,11 +247,14 @@ def q_ml_kernel_base_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["ml", "ensemble", "bench-twin"],
 )
 def q_ml_kernel_iforest_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ens, feats = _pretrained_kernel_feats(spark, sf_dir)
-    return feats.select(
-        "event_id",
-        sround(ens.iforest.decision_col(feats), 6).alias("anomaly_score_iforest"),
-    )
+    def build():
+        ens, feats = _pretrained_kernel_feats(spark, sf_dir)
+        return feats.select(
+            "event_id",
+            sround(ens.iforest.decision_col(feats), 6).alias("anomaly_score_iforest"),
+        )
+
+    return _pretrained_plan(spark, sf_dir, "kernel_iforest", build)
 
 
 @register(
@@ -257,11 +266,14 @@ def q_ml_kernel_iforest_pretrained(spark: SparkSession, sf_dir: str) -> DataFram
     tags=["ml", "ensemble", "bench-twin"],
 )
 def q_ml_kernel_lof_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ens, feats = _pretrained_kernel_feats(spark, sf_dir)
-    return feats.select(
-        "event_id",
-        sround(ens.lof.decision_col(feats), 6).alias("anomaly_score_lof"),
-    )
+    def build():
+        ens, feats = _pretrained_kernel_feats(spark, sf_dir)
+        return feats.select(
+            "event_id",
+            sround(ens.lof.decision_col(feats), 6).alias("anomaly_score_lof"),
+        )
+
+    return _pretrained_plan(spark, sf_dir, "kernel_lof", build)
 
 
 @register(
@@ -273,11 +285,14 @@ def q_ml_kernel_lof_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["ml", "ensemble", "bench-twin"],
 )
 def q_ml_kernel_ae_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ens, feats = _pretrained_kernel_feats(spark, sf_dir)
-    return feats.select(
-        "event_id",
-        sround(ens.recon.score_col(feats), 6).alias("anomaly_score_ae"),
-    )
+    def build():
+        ens, feats = _pretrained_kernel_feats(spark, sf_dir)
+        return feats.select(
+            "event_id",
+            sround(ens.recon.score_col(feats), 6).alias("anomaly_score_ae"),
+        )
+
+    return _pretrained_plan(spark, sf_dir, "kernel_ae", build)
 
 
 # ---------------------------------------------------------------------------
