@@ -144,6 +144,12 @@ SWEEP_EXCLUDE = {"ml_ensemble_scores"}
 # registration order amortized these fits across family neighbors.
 PREFIT_WARMUP = [
     "ml_ensemble_scores_pretrained",
+    # kernel-split twins: same cached-plan + broadcast-warm contract
+    # as the full twin (each plan carries its own model broadcasts)
+    "ml_kernel_base_pretrained",
+    "ml_kernel_iforest_pretrained",
+    "ml_kernel_lof_pretrained",
+    "ml_kernel_ae_pretrained",
     "multimodal_image_features",
     "multimodal_jpeg_features",
     "multimodal_audio_features",
@@ -503,10 +509,20 @@ def main() -> None:
     max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_RETRY", "1")) + 1
     spark = get_spark(app_name="fad-spark-bench", master=f"local[{cpus}]")
 
-    # Headline set first (round-over-round comparability), then every
-    # other registered query — full registry coverage so each operator
-    # has a per-round perf trace.
+    # Headline set first (round-over-round comparability), then the
+    # PREFIT_WARMUP family ADJACENT to its warmup, then every other
+    # registered query — full registry coverage so each operator has a
+    # per-round perf trace. Prefit adjacency is load-bearing (round 11,
+    # SCALING.md): the python worker pool turns over COMPLETELY across
+    # a 237-query sweep (measured: zero PID overlap), and a
+    # python-kernel plan's first execution on fresh workers runs 3-4x
+    # its steady state (twin: 18.9 s on a fully-turned-over pool, then
+    # 4.2 s on the SAME pids) — so measuring these queries 170 entries
+    # after their warmup times pool turnover, not the plan. The
+    # headline set between warmup and measurement is JVM-side and
+    # leaves the pool intact.
     names = [n for n in HEADLINE if n in REGISTRY]
+    names += [n for n in PREFIT_WARMUP if n in REGISTRY and n not in names]
     names += [
         n for n in REGISTRY if n not in names and n not in SWEEP_EXCLUDE
     ]
