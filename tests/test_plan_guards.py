@@ -312,6 +312,15 @@ def _fresh_plans(spark):
     # relation plans as InMemoryTableScan and hides the parquet scan
     # this module asserts on
     spark.catalog.clearCache()
+    # the pretrained twins cache their CONSTRUCTED plan per session
+    # (queries/common.py _PRETRAINED_PLANS); a plan built while another
+    # module's cached tables were live plans differently than the fresh
+    # driver/bench construction this module asserts on — drop it
+    from financial_anomaly_detection_spark.queries.common import (
+        _PRETRAINED_PLANS,
+    )
+
+    _PRETRAINED_PLANS.clear()
     yield
 
 
