@@ -51,7 +51,12 @@ def sorted_group_map(df: DataFrame, keys: list[str], fn, schema) -> DataFrame:
     is carried into the next and flushed at partition end — without
     this the straddled group is replayed as two fragments (observed:
     one missing pair at x10). ``fn`` receives exactly one whole group's
-    frame per call, same contract as applyInPandas."""
+    frame per call, same contract as applyInPandas — INCLUDING null-key
+    groups: groupby runs with ``dropna=False`` and the carry mask is
+    null-safe (``==`` is always False against NaN/None, which would
+    otherwise silently fragment a null-keyed group across a batch cut;
+    Spark's groupBy().applyInPandas and DuckDB GROUP BY both keep the
+    null group, so dropping it would break oracle hash parity)."""
     import pandas as pd
 
     def gen(batches):
@@ -59,7 +64,7 @@ def sorted_group_map(df: DataFrame, keys: list[str], fn, schema) -> DataFrame:
 
         def flush(pdf: pd.DataFrame) -> pd.DataFrame:
             return pd.concat(
-                [fn(g) for _, g in pdf.groupby(keys, sort=False)],
+                [fn(g) for _, g in pdf.groupby(keys, sort=False, dropna=False)],
                 ignore_index=True,
             )
 
@@ -71,7 +76,10 @@ def sorted_group_map(df: DataFrame, keys: list[str], fn, schema) -> DataFrame:
             last = pdf.iloc[-1]
             tail = None
             for k in keys:
-                m = pdf[k] == last[k]
+                if pd.isna(last[k]):
+                    m = pdf[k].isna()
+                else:
+                    m = pdf[k] == last[k]
                 tail = m if tail is None else (tail & m)
             carry = pdf[tail]
             head = pdf[~tail]

@@ -256,12 +256,29 @@ def _bpe_words(df: DataFrame, text_col: str, max_word_len: int):
 
 
 def _bpe_train(df: DataFrame, text_col: str, n_merges: int, max_word_len: int):
-    """Core merge loop. Returns (merges, vocab): the ranked merge
-    table and the word-type table AFTER all merges — (word, syms,
-    freq), i.e. each word type's final subword segmentation."""
+    """Core merge loop over a corpus. Returns (merges, vocab) — see
+    ``_bpe_train_from_words``, which this wraps after the one raw-text
+    pass (word-type frequency table)."""
     words = _bpe_words(df, text_col, max_word_len).groupBy("word").agg(
         F.count(F.lit(1)).alias("freq")
     )
+    return _bpe_train_from_words(words, n_merges)
+
+
+def _bpe_train_from_words(words: DataFrame, n_merges: int):
+    """Core merge loop from a (word, freq) word-TYPE table. Returns
+    (merges, vocab): the ranked merge table and the word-type table
+    AFTER all merges — (word, syms, freq), i.e. each word type's final
+    subword segmentation.
+
+    Split out from ``_bpe_train`` so the ``bpe_merges_exact`` oracle
+    surrogate can inject a FIXED tiny word-frequency table through the
+    REAL per-round pair-count + argmax + rewrite plans (the repo's
+    hash-surrogate discipline — same pattern as ml_kernel_*_exact):
+    every pair count is integer, the argmax tiebreak is total
+    (pair_freq desc, then lexicographic), so DuckDB can replay the
+    identical greedy rounds and the driver hash-compares the merge
+    table end-to-end."""
     vocab = words.select(
         "word",
         F.concat(

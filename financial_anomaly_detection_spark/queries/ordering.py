@@ -79,6 +79,81 @@ from .common import *  # noqa: F401,F403
 #      r12): approx_distinct_users.
 # Everything past slot 50 has driver evidence from r7-r10; after this
 # round lands, no query's freshest evidence is older than r7.
+# Round-12 window (stalest-evidence-first rotation, same policy as
+# r4-r11), 50 slots:
+#   1. queries NEW in r12 — bpe_merges_exact (the BPE merge-loop hash
+#      surrogate, VERDICT r11 task 5);
+#   2. queries whose code changed in r12 — quantile_sketch_values
+#      (sorted_group_map routing made conditional on partition_cols,
+#      VERDICT r11 task 2; behavior-identical but re-proven; the
+#      weekly rollup shares the operator and sits in the r7 cohort
+#      below, so it re-proves too);
+#   3. the complete r7-stale cohort (VERDICT r11 missing #3): all 45
+#      queries whose freshest driver evidence is CORRECTNESS_r07 —
+#      five rounds old by r12, the oldest evidence in the registry
+#      (computed from the r1-r11 latest-execution union; includes the
+#      cohort's rows-only members, same treatment as r10/r11);
+#   4. top-up to 50 from the r8-stale cohort (next in line for r13):
+#      ann_cosine_topk, ann_exact_quantized, asof_forward_click_purchase.
+# Everything past slot 50 has driver evidence from r8-r11; after this
+# round lands, no query's freshest evidence is older than r8.
+_PRIORITY_R12 = [
+    # new in round 12 (never driver-checked)
+    "bpe_merges_exact",
+    # changed in round 12 -> re-proven
+    "quantile_sketch_values",
+    # the full r7-stale cohort (45)
+    "ann_ivfpq_topk",
+    "ann_lsh_topk",
+    "ann_simhash_topk",
+    "benford_first_digit",
+    "c4_quality_filters",
+    "cdc_scd2_history",
+    "connected_components_copurchase",
+    "date_arithmetic",
+    "entropy_user_types",
+    "except_all_bag_semantics",
+    "from_json_props_struct",
+    "grouping_sets_order_status",
+    "hll_weekly_rollup",
+    "ivfpq_exact_quantized",
+    "json_extract_props",
+    "kl_divergence_daily",
+    "lof_exact_quantized",
+    "mahalanobis_outliers",
+    "minhash_near_dup",
+    "ml_autoencoder_embeddings",
+    "ml_ensemble_scores",
+    "ml_iforest_embeddings",
+    "ml_lof_embeddings",
+    "ml_recon_mse_threshold",
+    "ml_reconstruction_embeddings",
+    "multimodal_audio_features",
+    "multimodal_g711_features",
+    "near_dup_clusters",
+    "priority_case_pivot",
+    "psi_value_drift",
+    "q16_supplier_part_counts",
+    "q20_promo_part_shippers",
+    "q21_waiting_suppliers",
+    "quantile_sketch_weekly_rollup",
+    "rolling_zscore_events",
+    "salted_skew_join",
+    "set_ops_users",
+    "simhash_near_dup",
+    "softmax_temperature_mixing",
+    "source_temperature_weights",
+    "string_functions",
+    "text_lang_fingerprint",
+    "tfidf_det_topk",
+    "tfidf_top_terms",
+    "time_range_window_profile",
+    # top-up to 50 from the r8-stale cohort
+    "ann_cosine_topk",
+    "ann_exact_quantized",
+    "asof_forward_click_purchase",
+]
+
 _PRIORITY_R11 = [
     # new in round 11 (never driver-checked) — newest first
     "ml_kernel_pca_exact",
@@ -818,7 +893,8 @@ _PRIORITY_R03 = [
 
 
 def _ordered_names() -> list[str]:
-    pri = [n for n in _PRIORITY_R11 if n in REGISTRY]
+    pri = [n for n in _PRIORITY_R12 if n in REGISTRY]
+    pri += [n for n in _PRIORITY_R11 if n in REGISTRY and n not in pri]
     pri += [n for n in _PRIORITY_R10 if n in REGISTRY and n not in pri]
     pri += [n for n in _PRIORITY_R09 if n in REGISTRY and n not in pri]
     # prior-round orderings fill next (their own stalest-first
@@ -853,6 +929,7 @@ def oracle_sql() -> dict[str, str]:
     }
 
 __all__ = [
+    '_PRIORITY_R12',
     '_PRIORITY_R11',
     '_PRIORITY_R10',
     '_PRIORITY_R09',

@@ -1072,6 +1072,101 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed injected word-type table for the BPE hash surrogate: the
+# Sennrich 2016 worked example (low/lower/newest/widest) plus three
+# adversarial types — banana (competing overlapping pairs an/na), aaa
+# (adjacent IDENTICAL pair, where greedy non-overlap must count 2 per
+# word and merge only the first), abab (alternating pair, where ONE
+# round must merge BOTH occurrences). Round 1 is a 3-way tie at
+# pair_freq 9 ((e,s)/(s,t)/(t,</w>)) resolved by the lexicographic
+# tiebreak — the argmax ordering gets driver-hash evidence too.
+_BPE_EXACT_WORDS = [
+    ("low", 5),
+    ("lower", 2),
+    ("newest", 6),
+    ("widest", 3),
+    ("banana", 2),
+    ("aaa", 4),
+    ("abab", 3),
+]
+_BPE_EXACT_MERGES = 8
+
+
+def _bpe_exact_oracle(words: list[tuple[str, int]], n_merges: int) -> str:
+    """DuckDB twin of ``_bpe_train_from_words`` on an injected constant
+    table: the greedy merge loop UNROLLED as a CTE chain (p_k pair
+    counts -> b_k argmax -> v_k rewrite), one block per round.
+
+    Each word's segmentation is a string of ``|``-wrapped symbols
+    (``|l||o||w||</w>|``): symbol boundaries are explicit, so plain SQL
+    ``replace(s, '|a||b|', '|ab|')`` — left-to-right, non-overlapping,
+    no rescan of replaced text — is EXACTLY the trainer's greedy
+    ``F.aggregate`` fold (a merged symbol cannot re-trigger as the
+    pair's left within its round in either engine, and two adjacent
+    disjoint occurrences share no characters so both rewrite)."""
+    wrap = lambda w: "".join(f"|{s}|" for s in list(w) + ["</w>"])  # noqa: E731
+    values = ", ".join(f"('{w}', '{wrap(w)}', {f})" for w, f in words)
+    sql = [f"WITH v0(word, s, freq) AS (SELECT * FROM (VALUES {values}))"]
+    for k in range(1, n_merges + 1):
+        sql.append(
+            f""",
+ p{k} AS (
+   SELECT pr.a AS a, pr.b AS b, SUM(freq) AS pair_freq
+   FROM (
+     SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+                   i -> struct_pack(a := l[i], b := l[i + 1]))) AS pr,
+            freq
+     FROM (SELECT str_split(trim(s, '|'), '||') AS l, freq FROM v{k - 1})
+     WHERE len(l) >= 2
+   ) GROUP BY 1, 2
+ ),
+ b{k} AS (
+   SELECT {k} AS rank, a, b, a || b AS merged, pair_freq
+   FROM p{k} ORDER BY pair_freq DESC, a, b LIMIT 1
+ ),
+ v{k} AS (
+   SELECT word,
+          replace(s, '|' || a || '||' || b || '|', '|' || merged || '|') AS s,
+          freq
+   FROM v{k - 1} CROSS JOIN b{k}
+ )"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM b{k}" for k in range(1, n_merges + 1)
+    )
+    sql.append(
+        f"""
+ SELECT CAST(rank AS INTEGER) AS rank, a AS "left", b AS "right",
+        merged, CAST(pair_freq AS BIGINT) AS pair_freq
+ FROM ({unions})"""
+    )
+    return "".join(sql)
+
+
+@register(
+    "bpe_merges_exact",
+    oracle=_bpe_exact_oracle(_BPE_EXACT_WORDS, _BPE_EXACT_MERGES),
+    description="Hash-level oracle surrogate for the BPE merge loop "
+    "(same injected-parameter discipline as ml_kernel_*_exact): a "
+    "fixed 7-type word-frequency table runs through the REAL "
+    "_bpe_train_from_words plans — per-round pair-count partial agg, "
+    "(pair_freq desc, lexicographic) argmax, greedy left-to-right "
+    "F.aggregate rewrite — while DuckDB replays the identical greedy "
+    "rounds as an unrolled CTE chain over |sym|-wrapped segmentation "
+    "strings, where non-overlapping REPLACE is provably the same "
+    "fold. Converts the trainer's merge-selection math from "
+    "pytest-vs-textbook evidence to driver-hash evidence; the "
+    "corpus-scale trainer stays rows-only, as it must.",
+    tags=["text", "tokenizer", "llm-pipeline", "oracle-surrogate"],
+)
+def q_bpe_merges_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import _bpe_train_from_words
+
+    words = spark.createDataFrame(_BPE_EXACT_WORDS, "word string, freq long")
+    merges, _ = _bpe_train_from_words(words, _BPE_EXACT_MERGES)
+    return merges
+
+
 @register(
     "bpe_tokenize_docs",
     # Rows-only like the trainer (iterative argmax loop); the apply

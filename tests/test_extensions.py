@@ -845,6 +845,59 @@ def test_bpe_train_matches_textbook_reference(spark, sf_dir):
     assert got_counts == want_counts
 
 
+def test_bpe_merges_exact_surrogate_matches_textbook(spark):
+    """The bpe_merges_exact surrogate (fixed injected word table
+    through the REAL _bpe_train_from_words plans) must reproduce the
+    textbook greedy merges — the same pin the corpus trainer carries,
+    on the table the DuckDB oracle replays. Also asserts the edge
+    cases the injected table was designed to force: the round-1
+    lexicographic 3-way tie, the adjacent-identical (a,a) pair counted
+    non-overlapping (2 per 'aaa'), and 'abab' rewriting BOTH disjoint
+    (a,b) occurrences in one round."""
+    from collections import Counter
+
+    from financial_anomaly_detection_spark.queries.text_curation import (
+        _BPE_EXACT_MERGES,
+        _BPE_EXACT_WORDS,
+    )
+    from financial_anomaly_detection_spark.queries import REGISTRY
+
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_freq"])
+        for r in REGISTRY["bpe_merges_exact"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .orderBy("rank")
+        .collect()
+    ]
+
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in _BPE_EXACT_WORDS}
+    want = []
+    for rank in range(1, _BPE_EXACT_MERGES + 1):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        (a, b), freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, a, b, a + b, freq))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    assert got == want
+    # designed-in edge cases actually fired
+    assert got[0][1:3] == ("e", "s") and got[0][4] == 9  # tie -> lexicographic
+    assert (4, "a", "a", "aa", 8) in got  # non-overlap: 2 per 'aaa' x 4
+    assert ("ab", "ab") in vocab or any(
+        "ab" in syms for syms in vocab
+    )  # abab merged both (a,b) occurrences on its round
+
+
 def test_bpe_exhausted_corpus_rounds_are_noops(spark):
     """When n_merges exceeds the merges the corpus supports, the
     post-exhaustion rounds must be no-ops (empty best row left-joined),
@@ -1034,6 +1087,55 @@ def test_sorted_group_map_equals_apply_in_pandas_across_batch_straddle(spark):
     expect = {
         tuple(r) for r in df.groupBy("k").applyInPandas(fn, schema).collect()
     }
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        got = {tuple(r) for r in sorted_group_map(df, ["k"], fn, schema).collect()}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert got == expect
+
+
+def test_sorted_group_map_null_keys_and_carry_of_carry(spark):
+    """Two latent edges flagged in r11: (a) a NULL group key — pandas
+    groupby defaults to dropna=True and ``==`` is always False against
+    NaN, so a null-keyed group would be silently dropped or fragmented
+    without the null-safe carry mask; groupBy().applyInPandas (and
+    DuckDB GROUP BY) keep the null group, so parity requires keeping it.
+    (b) carry-of-carry: a single group spanning >= 3 consecutive Arrow
+    batches (10-row group, maxRecordsPerBatch=3 -> 4 batches) must be
+    re-carried through every cut and emitted exactly once, whole."""
+    import pandas as pd
+
+    from financial_anomaly_detection_spark.operators.partitioning import (
+        sorted_group_map,
+    )
+
+    rows = [("knull_%d" % g, g * 10 + j) for g in range(8) for j in range(2)]
+    rows += [(None, 900 + j) for j in range(5)]  # null-keyed group
+    rows += [("kbig", 100 + j) for j in range(10)]  # spans 4 batches of 3
+    df = spark.createDataFrame(rows, "k string, v long")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        vs = sorted(int(x) for x in pdf["v"])
+        return pd.DataFrame(
+            {
+                "k": [pdf["k"].iloc[0]],
+                "n": [len(vs)],
+                "vsum": [sum(vs)],
+                "vmin": [vs[0]],
+            }
+        )
+
+    schema = "k string, n long, vsum long, vmin long"
+    expect = {
+        tuple(r) for r in df.groupBy("k").applyInPandas(fn, schema).collect()
+    }
+    assert (None, 5, 4510, 900) in expect  # applyInPandas DOES keep null keys
+    assert ("kbig", 10, 1045, 100) in expect
     prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
     try:
