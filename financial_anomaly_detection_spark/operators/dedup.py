@@ -530,6 +530,38 @@ def longest_duplicate_spans(
     )
 
 
+def _exploded_grams(df, bench_pred, id_col: str, text_col: str, n: int):
+    """The decontamination operator's positional-gram explode, PRE
+    checkpoint: (_id, _is_bench, pos, key). Exposed separately so plan
+    guards can assert the 2-col documents pruning on the stage that
+    actually scans parquet — the eager ``localCheckpoint`` in
+    :func:`cross_set_shared_spans` hides the scan behind a LogicalRDD
+    leaf in the final plan, which would otherwise leave the pruning
+    unguarded (round-12 advisory)."""
+    toks = tokens_col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.struct(
+            i.alias("pos"), F.md5(F.concat_ws(" ", F.slice(toks, i, n))).alias("key")
+        ),
+    )
+    return (
+        spread_narrow(df)
+        .filter(F.size(toks) >= n)
+        .select(
+            F.col(id_col).alias("_id"),
+            bench_pred.alias("_is_bench"),
+            F.explode(grams).alias("g"),
+        )
+        .select(
+            "_id",
+            "_is_bench",
+            F.col("g.pos").alias("pos"),
+            F.col("g.key").alias("key"),
+        )
+    )
+
+
 def cross_set_shared_spans(
     df: DataFrame,
     bench_pred,
@@ -539,6 +571,7 @@ def cross_set_shared_spans(
     min_span: int = 12,
     max_gram_df: int = 50,
     winnow_w: int = 4,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Exact-substring decontamination (Lee et al. 2022 §4.1, the
     suffix-array "exact substring" check re-expressed relationally):
@@ -578,28 +611,7 @@ def cross_set_shared_spans(
             f"min_span={min_span} < n + winnow_w - 1 = {n + winnow_w - 1}: "
             "the winnowing prefilter would no longer be lossless"
         )
-    toks = tokens_col(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-        lambda i: F.struct(
-            i.alias("pos"), F.md5(F.concat_ws(" ", F.slice(toks, i, n))).alias("key")
-        ),
-    )
-    e = (
-        spread_narrow(df)
-        .filter(F.size(toks) >= n)
-        .select(
-            F.col(id_col).alias("_id"),
-            bench_pred.alias("_is_bench"),
-            F.explode(grams).alias("g"),
-        )
-        .select(
-            "_id",
-            "_is_bench",
-            F.col("g.pos").alias("pos"),
-            F.col("g.key").alias("key"),
-        )
-    )
+    e = _exploded_grams(df, bench_pred, id_col, text_col, n)
     # Materialize the exploded gram frame ONCE: four consumers read it
     # (hot-gram DF agg, the winnow-fingerprint window, and both
     # alignment sides), and without a checkpoint Catalyst re-runs the
@@ -639,11 +651,18 @@ def cross_set_shared_spans(
     # production; ~2% of docs in the test split) — broadcast its
     # fingerprints AND its grams so neither the candidate join nor the
     # alignment join shuffles the corpus-sized train side on a key.
+    # ``broadcast_bench`` exists because "tiny" is the CALLER's claim,
+    # not a property of the operator: the bench side scales with
+    # bench_pred's selectivity times grams-per-doc, and a forced
+    # broadcast of a non-tiny side collects corpus-scale gram rows to
+    # the driver (OOM) where a shuffle join degrades gracefully. Pass
+    # False for a fat bench predicate and let AQE pick the strategy.
+    _bb = F.broadcast if broadcast_bench else (lambda d: d)
     cand = (
         fps.filter(~F.col("_is_bench"))
         .select(F.col("_id").alias("train_doc"), "_fp")
         .join(
-            F.broadcast(
+            _bb(
                 fps.filter(F.col("_is_bench")).select(
                     F.col("_id").alias("bench_doc"), "_fp"
                 )
@@ -669,7 +688,7 @@ def cross_set_shared_spans(
         F.broadcast(cand.select("bench_doc").distinct()), "bench_doc", "left_semi"
     )
     pairs = (
-        et.join(F.broadcast(eb), "key")
+        et.join(_bb(eb), "key")
         .join(F.broadcast(cand), ["train_doc", "bench_doc"], "left_semi")
         .select("train_doc", "bench_doc", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
     )

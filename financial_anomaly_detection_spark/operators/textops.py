@@ -384,6 +384,21 @@ def bpe_token_counts(
     Returns (id_col, n_words, n_bpe_tokens) per document.
     """
     _, vocab = _bpe_train(df, text_col, n_merges, max_word_len)
+    return _bpe_token_counts_from_vocab(df, vocab, id_col, text_col, max_word_len)
+
+
+def _bpe_token_counts_from_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_word_len: int,
+) -> DataFrame:
+    """The serving join of :func:`bpe_token_counts`, split from the
+    trainer so the ``bpe_tokenize_exact`` oracle surrogate can drive it
+    with an injected vocabulary (words absent from ``vocab`` drop via
+    the inner join — vacuous in the corpus-trained flow, where every
+    document word is by construction a vocabulary word type)."""
     seg = vocab.select("word", F.size("syms").alias("n_sub"))
     doc_words = df.select(
         F.col(id_col).alias("_id"),

@@ -330,6 +330,21 @@ def _pretrained_plan(spark: SparkSession, sf_dir: str, name: str, build):
     df = _PRETRAINED_PLANS.get(key)
     if df is None:
         df = build()
+        # Enforce the "plan pins nothing" contract the cache depends
+        # on: bench.release_pins unpersists EVERY persistent RDD
+        # between sweep entries, and a localCheckpoint leaf has its
+        # lineage truncated — once its blocks are dropped, re-forcing
+        # the cached plan fails with missing-block errors mid-sweep.
+        # A checkpointed (or otherwise RDD-rooted) plan must therefore
+        # never enter this cache; fail at build time, not 200 queries
+        # later.
+        leaf_plan = df._jdf.queryExecution().analyzed().toString()
+        if "LogicalRDD" in leaf_plan:
+            raise AssertionError(
+                f"_pretrained_plan({name}): built plan contains a "
+                "LogicalRDD/checkpoint leaf; cached twin plans must be "
+                "fully re-executable after release_pins (see bench.py)"
+            )
         for k in list(_PRETRAINED_PLANS):  # stale sessions keep JVM refs
             if k[0] != key[0]:
                 del _PRETRAINED_PLANS[k]

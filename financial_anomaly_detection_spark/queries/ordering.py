@@ -81,8 +81,10 @@ from .common import *  # noqa: F401,F403
 # round lands, no query's freshest evidence is older than r7.
 # Round-12 window (stalest-evidence-first rotation, same policy as
 # r4-r11), 50 slots:
-#   1. queries NEW in r12 — bpe_merges_exact (the BPE merge-loop hash
-#      surrogate, VERDICT r11 task 5);
+#   1. queries NEW in r12 — bpe_merges_exact + bpe_tokenize_exact (the
+#      BPE train/apply hash surrogates, VERDICT r11 task 5; the second
+#      displaced the last r8-stale top-up, asof_forward_click_purchase,
+#      which keeps its banked r8 green and leads the r13 rotation);
 #   2. queries whose code changed in r12 — quantile_sketch_values
 #      (sorted_group_map routing made conditional on partition_cols,
 #      VERDICT r11 task 2; behavior-identical but re-proven; the
@@ -100,6 +102,7 @@ from .common import *  # noqa: F401,F403
 _PRIORITY_R12 = [
     # new in round 12 (never driver-checked)
     "bpe_merges_exact",
+    "bpe_tokenize_exact",
     # changed in round 12 -> re-proven
     "quantile_sketch_values",
     # the full r7-stale cohort (45)
@@ -151,7 +154,6 @@ _PRIORITY_R12 = [
     # top-up to 50 from the r8-stale cohort
     "ann_cosine_topk",
     "ann_exact_quantized",
-    "asof_forward_click_purchase",
 ]
 
 _PRIORITY_R11 = [

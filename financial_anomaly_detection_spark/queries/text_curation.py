@@ -1092,10 +1092,11 @@ _BPE_EXACT_WORDS = [
 _BPE_EXACT_MERGES = 8
 
 
-def _bpe_exact_oracle(words: list[tuple[str, int]], n_merges: int) -> str:
-    """DuckDB twin of ``_bpe_train_from_words`` on an injected constant
-    table: the greedy merge loop UNROLLED as a CTE chain (p_k pair
-    counts -> b_k argmax -> v_k rewrite), one block per round.
+def _bpe_oracle_chain(words: list[tuple[str, int]], n_merges: int) -> str:
+    """Shared WITH-clause of the BPE DuckDB twins: the greedy merge
+    loop of ``_bpe_train_from_words`` UNROLLED as a CTE chain (p_k pair
+    counts -> b_k argmax -> v_k rewrite), one block per round, on an
+    injected constant word table.
 
     Each word's segmentation is a string of ``|``-wrapped symbols
     (``|l||o||w||</w>|``): symbol boundaries are explicit, so plain SQL
@@ -1131,16 +1132,53 @@ def _bpe_exact_oracle(words: list[tuple[str, int]], n_merges: int) -> str:
    FROM v{k - 1} CROSS JOIN b{k}
  )"""
         )
+    return "".join(sql)
+
+
+def _bpe_exact_oracle(words: list[tuple[str, int]], n_merges: int) -> str:
+    """Merge-table tail over the shared chain: the ranked merge rows."""
     unions = " UNION ALL ".join(
         f"SELECT * FROM b{k}" for k in range(1, n_merges + 1)
     )
-    sql.append(
-        f"""
+    return (
+        _bpe_oracle_chain(words, n_merges)
+        + f"""
  SELECT CAST(rank AS INTEGER) AS rank, a AS "left", b AS "right",
         merged, CAST(pair_freq AS BIGINT) AS pair_freq
  FROM ({unions})"""
     )
-    return "".join(sql)
+
+
+def _bpe_apply_oracle(
+    words: list[tuple[str, int]],
+    n_merges: int,
+    docs: list[tuple[int, str]],
+) -> str:
+    """Serving-join tail over the shared chain: tokenize fixed docs
+    against the FINAL segmentation (v{n_merges}) — the DuckDB twin of
+    ``_bpe_token_counts_from_vocab`` (same lowercase/alpha/length-20
+    word gate, same inner join dropping out-of-vocabulary words, same
+    per-document count/sum)."""
+    dvals = ", ".join(f"({i}, '{t}')" for i, t in docs)
+    return (
+        _bpe_oracle_chain(words, n_merges)
+        + f""",
+ seg AS (
+   SELECT word, len(str_split(trim(s, '|'), '||')) AS n_sub
+   FROM v{n_merges}
+ ),
+ d(doc_id, text) AS (SELECT * FROM (VALUES {dvals})),
+ dw AS (
+   SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+   FROM d
+ )
+ SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens
+ FROM dw JOIN seg USING (word)
+ WHERE regexp_matches(word, '^[a-z]+$') AND len(word) <= 20
+ GROUP BY doc_id"""
+    )
 
 
 @register(
@@ -1165,6 +1203,45 @@ def q_bpe_merges_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = spark.createDataFrame(_BPE_EXACT_WORDS, "word string, freq long")
     merges, _ = _bpe_train_from_words(words, _BPE_EXACT_MERGES)
     return merges
+
+
+# Fixed documents for the serving-join surrogate, composed from the
+# injected word types (plus one out-of-vocabulary word and one
+# over-length word, pinning the inner-join drop and the length gate —
+# vacuous in the corpus-trained flow, exact contract here).
+_BPE_EXACT_DOCS = [
+    (1, "low lower newest newest"),
+    (2, "banana abab aaa low"),
+    (3, "widest newest notinvocab aaa"),
+    (4, "abab abab supercalifragilisticexpialidocious low"),
+]
+
+
+@register(
+    "bpe_tokenize_exact",
+    oracle=_bpe_apply_oracle(_BPE_EXACT_WORDS, _BPE_EXACT_MERGES, _BPE_EXACT_DOCS),
+    description="Hash-level oracle surrogate for the BPE serving join "
+    "(companion to bpe_merges_exact): fixed documents tokenize "
+    "through the REAL _bpe_token_counts_from_vocab plan against the "
+    "vocabulary the REAL merge loop produces from the injected word "
+    "table, while DuckDB extends the same unrolled merge chain with "
+    "the identical word-gate + inner join + per-document count/sum. "
+    "Together the pair gives the full BPE train+apply path driver-hash "
+    "evidence; the corpus-scale queries stay rows-only, as they must.",
+    tags=["text", "tokenizer", "llm-pipeline", "oracle-surrogate"],
+)
+def q_bpe_tokenize_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import (
+        _bpe_token_counts_from_vocab,
+        _bpe_train_from_words,
+    )
+
+    words = spark.createDataFrame(_BPE_EXACT_WORDS, "word string, freq long")
+    _, vocab = _bpe_train_from_words(words, _BPE_EXACT_MERGES)
+    docs = spark.createDataFrame(_BPE_EXACT_DOCS, "doc_id long, text string")
+    return _bpe_token_counts_from_vocab(
+        docs, vocab, "doc_id", "text", max_word_len=20
+    )
 
 
 @register(

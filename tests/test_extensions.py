@@ -897,6 +897,27 @@ def test_bpe_merges_exact_surrogate_matches_textbook(spark):
         "ab" in syms for syms in vocab
     )  # abab merged both (a,b) occurrences on its round
 
+    # the serving-join surrogate: fixed docs vs the textbook final
+    # segmentation, including the OOV drop and the length-20 gate
+    from financial_anomaly_detection_spark.queries.text_curation import (
+        _BPE_EXACT_DOCS,
+    )
+
+    seg_len = {"".join(syms).replace("</w>", ""): len(syms) for syms in vocab}
+    want_counts = {}
+    for doc_id, text in _BPE_EXACT_DOCS:
+        ws = [w for w in text.split() if w in seg_len]
+        want_counts[doc_id] = (len(ws), sum(seg_len[w] for w in ws))
+    got_counts = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in REGISTRY["bpe_tokenize_exact"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert got_counts == want_counts
+    assert got_counts[3][0] == 3  # notinvocab dropped by the inner join
+    assert got_counts[4][0] == 3  # 34-char word dropped by the length gate
+
 
 def test_bpe_exhausted_corpus_rounds_are_noops(spark):
     """When n_merges exceeds the merges the corpus supports, the
@@ -1047,6 +1068,22 @@ def test_cross_set_shared_spans_winnow_prefilter_lossless(spark):
     assert got.get((1, 0)) == 12
     assert (2, 50) not in got  # 11-token span < min_span
     assert all(t != 3 for t, _ in got)
+
+    # broadcast_bench=False (the fat-bench escape hatch: a non-tiny
+    # bench side must be joinable without a driver-collecting
+    # broadcast) is hint-only — identical rows
+    out_nb = cross_set_shared_spans(
+        df,
+        bench_pred=(F.col("doc_id") % 50 == 0),
+        n=8,
+        min_span=12,
+        winnow_w=4,
+        broadcast_bench=False,
+    ).collect()
+    got_nb = {
+        (r["train_doc"], r["bench_doc"]): r["max_span_tokens"] for r in out_nb
+    }
+    assert got_nb == got
 
     with _pytest.raises(ValueError, match="lossless"):
         cross_set_shared_spans(

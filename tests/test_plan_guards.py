@@ -303,6 +303,13 @@ EXPECTED = {
     "ml_kernel_iforest_exact": (0, {"embeddings": 2}),
     "ml_kernel_lof_exact": (0, {"embeddings": 1}),
     "ml_kernel_pca_exact": (0, {"embeddings": 2}),
+    # round-12 BPE surrogates: injected constant tables, no parquet
+    # anywhere; the merge loop's per-round 1-row broadcasts live
+    # behind eager checkpoints so the final merge frame is a pure
+    # union of LogicalRDD leaves (0 joins), and the serving join is
+    # one broadcast hash join of docs x segmented vocab
+    "bpe_merges_exact": (0, {}),
+    "bpe_tokenize_exact": (0, {}),
 }
 
 
@@ -460,3 +467,63 @@ def test_no_unpartitioned_windows_in_source():
         "exchange at scale) — use operators/prefix.py instead:\n"
         + "\n".join(violations)
     )
+
+
+# --- pre-checkpoint pruning + cached-plan pin guards (round 12) -----------
+
+
+def test_decontam_explode_stage_prunes_documents_scan(spark, sf_dir):
+    """decontam_shared_span's FINAL plan hides its parquet scans behind
+    the round-11 localCheckpoint (LogicalRDD leaves), so the {} scan
+    expectation above cannot catch a pruning regression in the explode
+    stage — the one stage that actually reads parquet. Assert the
+    2-col documents pruning on the pre-checkpoint builder directly."""
+    from pyspark.sql import functions as F
+
+    from financial_anomaly_detection_spark.operators.dedup import (
+        _exploded_grams,
+    )
+    from financial_anomaly_detection_spark.queries.common import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    e = _exploded_grams(
+        docs, bench_pred=(F.col("doc_id") % 50 == 0), id_col="doc_id",
+        text_col="text", n=8,
+    )
+    plan = e._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    scans = _scan_cols(plan)
+    assert scans.get("documents") == 2, (
+        f"explode stage must read exactly (doc_id, text): {scans}"
+    )
+
+
+def test_pretrained_plan_cache_rejects_checkpoint_leaves(spark, sf_dir):
+    """bench.release_pins unpersists every persistent RDD between sweep
+    entries; a cached twin plan rooted in a localCheckpoint would lose
+    its (lineage-truncated) blocks and fail mid-sweep. The cache must
+    refuse such plans at build time — and accept checkpoint-free ones."""
+    from financial_anomaly_detection_spark.queries.common import (
+        _PRETRAINED_PLANS,
+        _pretrained_plan,
+        load_table,
+    )
+
+    clean = _pretrained_plan(
+        spark, sf_dir, "guard_clean",
+        lambda: load_table(spark, sf_dir, "region"),
+    )
+    assert clean.count() > 0
+    assert any(k[2] == "guard_clean" for k in _PRETRAINED_PLANS)
+
+    with pytest.raises(AssertionError, match="LogicalRDD"):
+        _pretrained_plan(
+            spark, sf_dir, "guard_pinned",
+            lambda: load_table(spark, sf_dir, "region").localCheckpoint(
+                eager=True
+            ),
+        )
+    assert not any(k[2] == "guard_pinned" for k in _PRETRAINED_PLANS)

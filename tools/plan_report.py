@@ -201,6 +201,10 @@ QUERIES = [
     "ml_kernel_iforest_exact",
     "ml_kernel_lof_exact",
     "ml_kernel_pca_exact",
+    # Round-12 additions: BPE train/apply oracle surrogates (VERDICT
+    # r11 task 5).
+    "bpe_merges_exact",
+    "bpe_tokenize_exact",
 ]
 
 
@@ -238,14 +242,38 @@ def summarize(plan: str) -> dict:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # Provenance stamp (round-12 advisory): a PLANS row can only serve
+    # as a regression baseline if the code it was generated FROM is
+    # knowable — the r11 review found a q21 row drift with no q21
+    # commit in range, adjudicated as a stale prior artifact (the
+    # current row reproduces bit-identically across sessions).
+    try:
+        import subprocess
+
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+        dirty = bool(
+            subprocess.run(
+                ["git", "status", "--porcelain", "--untracked-files=no"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+        )
+    except Exception:
+        commit, dirty = "unknown", False
     spark = get_spark(app_name="plan-report", master="local[4]", shuffle_partitions=8)
     out = [
         "# PLANS — physical-plan evidence for the headline queries",
         "",
-        f"Generated by `tools/plan_report.py` against `{sf_dir}`. Each row",
+        f"Generated by `tools/plan_report.py` against `{sf_dir}` at commit",
+        f"`{commit}`{' (dirty tree)' if dirty else ''}. Each row",
         "summarizes the EXECUTED plan (post-AQE where applicable):",
         "shuffle exchanges, join strategies, whole-stage-codegen spans, and",
-        "per-scan column pruning. Regenerate after plan-affecting changes.",
+        "per-scan column pruning. Regenerate after plan-affecting changes;",
+        "rows are deterministic per commit (AQE finalizes the same plan",
+        "run-to-run at a fixed sf), so a row diff without a code diff",
+        "means the artifact predates the code it sits next to.",
         "",
         "| query | shuffles | BHJ | SMJ | NLJ | codegen | pruned scans |",
         "|---|---|---|---|---|---|---|",

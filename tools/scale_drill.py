@@ -46,6 +46,11 @@ from financial_anomaly_detection_spark.sources.readers import load_table  # noqa
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALES = [1, 3, 10]
+# SPARK_GRAFT_DRILL_SCALES="1,10,30" overrides (e.g. the round-12
+# ×30 carry-of-carry confirmation for sorted_group_map callers)
+_ENV_SCALES = os.environ.get("SPARK_GRAFT_DRILL_SCALES")
+if _ENV_SCALES:
+    SCALES = [int(s) for s in _ENV_SCALES.split(",") if s.strip()]
 OFFSET = 10_000_000  # per-replica id offset: disjoint key spaces
 
 # table -> (id columns to offset, text columns to word-tag)
@@ -185,14 +190,17 @@ def main() -> None:
             results[name][k] = sec
             print(json.dumps({"query": name, "scale": k, "sec": sec, "rows": n}), flush=True)
 
-    print("\n| query | x1 | x3 | x10 | slope(1→10) |")
-    print("|---|---|---|---|---|")
+    lo, hi = SCALES[0], SCALES[-1]
+    header = " | ".join(f"x{k}" for k in SCALES)
+    print(f"\n| query | {header} | slope({lo}→{hi}) |")
+    print("|---" * (len(SCALES) + 2) + "|")
     for name, r in results.items():
         if min(r.values()) <= 0:
             slope = "err"
         else:
-            slope = f"{math.log(r[10] / r[1]) / math.log(10):.2f}"
-        print(f"| {name} | {r[1]} | {r[3]} | {r[10]} | {slope} |")
+            slope = f"{math.log(r[hi] / r[lo]) / math.log(hi / lo):.2f}"
+        cells = " | ".join(str(r[k]) for k in SCALES)
+        print(f"| {name} | {cells} | {slope} |")
     spark.stop()
 
 
