@@ -270,10 +270,12 @@ def main() -> None:
         f"`{commit}`{' (dirty tree)' if dirty else ''}. Each row",
         "summarizes the EXECUTED plan (post-AQE where applicable):",
         "shuffle exchanges, join strategies, whole-stage-codegen spans, and",
-        "per-scan column pruning. Regenerate after plan-affecting changes;",
-        "rows are deterministic per commit (AQE finalizes the same plan",
-        "run-to-run at a fixed sf), so a row diff without a code diff",
-        "means the artifact predates the code it sits next to.",
+        "per-scan column pruning. Regenerate after plan-affecting changes.",
+        "Rows are stable per commit EXCEPT a known +-1 AQE",
+        "shuffle-coalesce flip on ann_simhash_topk / kmv_set_cardinality",
+        "(observed across back-to-back regenerations at eb7082e); any",
+        "OTHER row diff without a code diff means the artifact predates",
+        "the code it sits next to.",
         "",
         "| query | shuffles | BHJ | SMJ | NLJ | codegen | pruned scans |",
         "|---|---|---|---|---|---|---|",
