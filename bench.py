@@ -160,6 +160,17 @@ PREFIT_WARMUP = [
     "ann_ivfpq_topk",
     "ivfpq_exact_quantized",
     "semdedup_embeddings",
+    # round-12 additions, membership proven by the artifact's own
+    # pool_turnover telemetry: each was measured with a near-fully
+    # fresh pool inside its window (stream_neardup_replay first
+    # 16.97 s vs 3.79 steady with 31 new pids; stream_decontam_replay
+    # 3.26 vs 0.91 prior with 29 new — the r12 sweep's one outlier;
+    # quantile_sketch_values 3.24 with kept=2/new=31). All three are
+    # python-kernel plans that follow the ANN limit() stages in sweep
+    # order, so they inherit the retired pool those stages leave.
+    "stream_neardup_replay",
+    "stream_decontam_replay",
+    "quantile_sketch_values",
 ]
 # Degradation = the host got SLOWER while the sweep ran, or a
 # contention spike hit one canary run. A min-max spread over all six

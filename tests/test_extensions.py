@@ -1183,3 +1183,33 @@ def test_sorted_group_map_null_keys_and_carry_of_carry(spark):
         else:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
     assert got == expect
+
+
+def test_worker_pids_reads_live_pool_without_jobs(spark):
+    """bench.worker_pids (the pool_turnover telemetry primitive) must
+    (a) see the workers a python stage leaves idle-pooled, (b) run NO
+    Spark job itself (observer effect would warm the pool it measures),
+    and (c) report a stable set across back-to-back reads."""
+    import pandas as pd
+
+    from bench import worker_pids
+
+    def k(batches):
+        for pdf in batches:
+            yield pdf
+
+    (
+        spark.range(10_000)
+        .repartition(4)
+        .mapInPandas(k, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    before_jobs = spark.sparkContext._jsc.sc().dagScheduler().numTotalJobs()
+    a = worker_pids()
+    b = worker_pids()
+    after_jobs = spark.sparkContext._jsc.sc().dagScheduler().numTotalJobs()
+    assert a, "expected a non-empty idle worker pool after a python stage"
+    assert a == b
+    assert after_jobs == before_jobs, "worker_pids must not run Spark jobs"
