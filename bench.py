@@ -595,11 +595,21 @@ def main() -> None:
         n for n in REGISTRY if n not in names and n not in SWEEP_EXCLUDE
     ]
 
-    # Warmup: pay JVM/codegen startup outside the measured window.
-    try:
-        force(REGISTRY[names[0]].fn(spark, sf_dir))
-    except Exception:
-        pass
+    # Warmup: pay JVM/codegen startup outside the measured window —
+    # the FULL headline set, not just the first query (round 12): the
+    # headline block is measured first, minutes after session start,
+    # so it uniquely paid cold page cache + codegen + host ramp that
+    # every mid-sweep query has already amortized (r12 run on a rested
+    # host: headline queries uniformly 1.3-1.9x their r11 numbers with
+    # zero code changes while mid-sweep queries matched). One
+    # unmeasured pass makes the headline measurement as warm as the
+    # rest of the sweep's — uniform conditions, ~20 s of warmup.
+    for name in names[: len(HEADLINE)]:
+        try:
+            force(REGISTRY[name].fn(spark, sf_dir))
+        except Exception:
+            pass
+    release_pins(spark)  # warmup pins must not linger into the sweep
     # Warm the Python worker pool too: the first Arrow/mapInPandas
     # stage of the sweep otherwise pays worker fork + numpy/pandas
     # (+ codec module) import inside some unlucky query's measured
