@@ -1580,20 +1580,36 @@ def q_fuzzy_name_pairs_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("variant"),
     )
-    cand = (
-        variants.alias("a")
-        .join(
-            variants.alias("b"),
-            (F.col("a.variant") == F.col("b.variant"))
-            & (F.col("a.name") < F.col("b.name")),
-        )
-        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
-        .distinct()
+    # Candidate pairs = pairs of names sharing a variant. One grouped
+    # pass (variant -> sorted name list -> in-group pair comprehension)
+    # replaces the former variant self-join, which planned the whole
+    # scan+distinct+explode subtree TWICE and broadcast one full copy
+    # of the variant set; per-name variants are already deduplicated by
+    # array_union, so names within a group are unique and the sorted
+    # order reproduces the a.name < b.name join condition exactly.
+    groups = (
+        variants.groupBy("variant")
+        .agg(F.array_sort(F.collect_list("name")).alias("ns"))
+        .filter(F.size("ns") >= 2)
     )
+    cand = groups.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ns, (x, i) -> "
+                "transform(slice(ns, i + 2, size(ns)), "
+                "y -> struct(x AS name_a, y AS name_b))))"
+            )
+        ).alias("p")
+    ).select("p.name_a", "p.name_b")
+    # Verify BEFORE deduplicating: a pair can meet under several shared
+    # variants (e.g. transpositions at distance 2), so the distinct is
+    # required — but running levenshtein first means the dedup shuffle
+    # carries only true ED<=1 matches instead of every candidate.
     return (
         cand.withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
         .filter(F.col("dist") <= 1)
         .select("name_a", "name_b", "dist")
+        .distinct()
     )
 
 
