@@ -34,7 +34,7 @@ from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
 from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.vectorfn import cosine_similarity
+from ..functions.vectorfn import cosine_similarity, dot, l2_norm
 
 
 def _lloyd_kmeans(X, k: int, seed: int = 42, max_iter: int = 10):
@@ -618,39 +618,72 @@ def semdedup(
 
     cand = spread_narrow(df).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_e"))
     if nlist is None:
-        nlist = auto_nlist(cand.count())
+        # Count the raw input, not the repartitioned projection: the
+        # value is identical and a bare parquet scan counts from file
+        # metadata without paying the spread exchange.
+        nlist = auto_nlist(df.count())
     X = _train_sample_matrix(cand, "_id", "_e")
     centers = _lloyd_kmeans(X, nlist, seed=seed, max_iter=10)
-    cent_df = df.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
-        "_cell int, _centroid array<double>",
-    )
-    assigned = (
-        cand.join(F.broadcast(cent_df))
-        .withColumn(
-            "_d2",
+    # Cell assignment as ONE projection over a literal centroid array —
+    # the former broadcast-join form materialized nlist rows per vector
+    # and re-collapsed them through a groupBy argmin: an N x nlist row
+    # expansion plus a full-corpus shuffle, both pure overhead at every
+    # scale. d2 per centroid is the same left-to-right double
+    # accumulation; the running min keeps the FIRST strict minimum, so
+    # ties resolve to the smallest cell exactly like min(struct(d2,
+    # cell)), and a null/NaN d2 (null vector element, ragged length)
+    # fails the strict < for every centroid and lands on cell 0 — the
+    # same cell the old min(struct) picked (nulls order first).
+    cent_arr = F.array(*[
+        F.struct(
+            F.lit(int(i)).alias("_cell"),
+            F.array(*[F.lit(float(x)) for x in c]).alias("_cv"),
+        )
+        for i, c in enumerate(centers)
+    ])
+    e_dbl = F.col("_e").cast("array<double>")
+    d2s = F.transform(
+        cent_arr,
+        lambda c: F.struct(
             F.aggregate(
-                F.zip_with(
-                    F.col("_e").cast("array<double>"),
-                    "_centroid",
-                    lambda a, b: (a - b) * (a - b),
-                ),
+                F.zip_with(e_dbl, c["_cv"], lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
-            ),
-        )
-        .groupBy("_id")
-        .agg(
-            F.min(F.struct("_d2", "_cell"))["_cell"].alias("_cell"),
-            F.first("_e").alias("_e"),
+            ).alias("_d2"),
+            c["_cell"].alias("_cell"),
+        ),
+    )
+    best = F.aggregate(
+        d2s,
+        F.struct(
+            F.lit(float("inf")).alias("_d2"), F.lit(0).alias("_cell")
+        ),
+        lambda acc, s: F.when(s["_d2"] < acc["_d2"], s).otherwise(acc),
+    )
+    # The per-row norm is computed ONCE here (O(N) aggregates) so the
+    # pair stages below compare dot/(an*bn) — the former per-pair
+    # cosine_similarity() re-derived both norms inside the join
+    # condition (filters over a join collapse into it), costing five
+    # interpreted array aggregates per SCANNED pair instead of one.
+    # sqrt of the same dot product, so every float is bit-identical.
+    assigned = (
+        cand.select(
+            "_id", "_e", best["_cell"].alias("_cell"),
+            l2_norm("_e").alias("_nrm"),
         )
         .localCheckpoint(eager=True)  # consumed by both pair sides + keep
     )
     def _abcols(j):
         return j.select(
             F.col("a._id").alias("aid"), F.col("a._e").alias("ae"),
+            F.col("a._nrm").alias("an"),
             F.col("b._id").alias("bid"), F.col("b._e").alias("be"),
+            F.col("b._nrm").alias("bn"),
         )
+
+    def _pair_cosine():
+        denom = F.col("an") * F.col("bn")
+        return F.when(denom > 0, dot("ae", "be") / denom)
 
     if pair_cap is not None:
         # adaptive dispatch (see docstring): identical results, cheaper
@@ -683,7 +716,7 @@ def semdedup(
         # predecessor within pair_cap lives there), so the JOIN fan-out
         # is O(cell * cap) — the cap bounds work, not just survivors
         probe = ranked.select(
-            "_id", "_cell", "_e", "_rn",
+            "_id", "_cell", "_e", "_nrm", "_rn",
             F.explode(F.array(F.col("_blk"), F.col("_blk") - 1)).alias("_tblk"),
         )
         band = _abcols(
@@ -704,11 +737,9 @@ def semdedup(
         # Zero vectors are excluded (cosine is undefined/null there,
         # and the uncapped path would not drop them either).
         keep_min = ranked.groupBy("_cell", "_vh").agg(F.min("_id").alias("_keep"))
-        nonzero = F.aggregate(
-            F.col("_e").cast("array<double>"),
-            F.lit(0.0),
-            lambda acc, v: acc + v * v,
-        ) > 0
+        # sum-of-squares > 0 iff its sqrt > 0: reuse the precomputed
+        # norm instead of a second per-row array aggregate.
+        nonzero = F.col("_nrm") > 0
         twin_drops = (
             ranked.join(keep_min, ["_cell", "_vh"])
             # threshold > 1 never matches anything, identical pairs
@@ -717,7 +748,7 @@ def semdedup(
             .select("_id")
         )
         band_drops = (
-            band.filter(cosine_similarity("ae", "be") >= threshold)
+            band.filter(_pair_cosine() >= threshold)
             # band pairs are rn-ordered, not id-ordered — a matching
             # pair always drops its LARGER id
             .select(F.greatest("aid", "bid").alias("_id"))
@@ -738,7 +769,7 @@ def semdedup(
     # filter provably drops twins itself, so the extra groupBy/join/
     # union stages are gated off the common path.
     drops = (
-        pairs.filter(cosine_similarity("ae", "be") >= threshold)
+        pairs.filter(_pair_cosine() >= threshold)
         .select(F.greatest("aid", "bid").alias("_id"))
     )
     if threshold >= 1.0 - 1e-9:
@@ -746,11 +777,7 @@ def semdedup(
             "_vh", F.md5(F.col("_e").cast("array<double>").cast("string"))
         )
         keep_min = vh.groupBy("_cell", "_vh").agg(F.min("_id").alias("_keep"))
-        nonzero = F.aggregate(
-            F.col("_e").cast("array<double>"),
-            F.lit(0.0),
-            lambda acc, v: acc + v * v,
-        ) > 0
+        nonzero = F.col("_nrm") > 0
         twin_drops = (
             vh.join(keep_min, ["_cell", "_vh"])
             .filter(
