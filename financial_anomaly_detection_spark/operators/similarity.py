@@ -403,11 +403,22 @@ def simhash_vector_signatures(
     ex = spread_narrow(df).select(
         F.col(id_col), F.posexplode(F.col(vec_col).cast("array<double>"))
     )
+    def _round_half_up(x: "F.Column") -> "F.Column":
+        # Bit-identical to round(x) cast long, without the per-value
+        # BigDecimal Spark's double ROUND allocates: Spark rounds the
+        # SHORTEST-decimal string HALF_UP (away from zero), and that
+        # decision matches binary floor(|x|+0.5) exactly — a decimal
+        # .5 tie occurs iff the double IS an exact half-integer
+        # (shortest-repr preserves double ordering and k+0.5 is itself
+        # representable for |k| < 2^52; projections here are ~1e7).
+        return F.when(x >= 0, F.floor(x + F.lit(0.5))).otherwise(
+            -F.floor(F.lit(0.5) - x)
+        )
+
     votes = ex.join(F.broadcast(pw), "pos").groupBy(id_col).agg(
         *[
             F.sum(
-                F.round(F.col("col") * F.col("ws")[b] * F.lit(1000000.0))
-                .cast("long")
+                _round_half_up(F.col("col") * F.col("ws")[b] * F.lit(1000000.0))
             ).alias(f"_v{b}")
             for b in range(n_bits)
         ]
@@ -430,6 +441,7 @@ def simhash_vector_topk(
     band_bits: int | None = None,
     n_bits: int = 64,
     seed: int = 42,
+    queries_subset: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k via banded vector SimHash — the
     engine's own pure-Catalyst ANN tier, built after the x30 scale
@@ -442,6 +454,13 @@ def simhash_vector_topk(
 
     ``band_bits=None`` adapts the band width to the corpus size so the
     expected candidate set per query stays constant (auto_band_bits).
+    ``queries_subset=True`` declares that every query id also appears
+    in ``candidates`` with the same vector: the candidate signatures
+    are then computed ONCE (pinned via localCheckpoint, released by
+    the bench between entries) and the query side is a broadcast join
+    of the query ids against that pin — the former shape re-ran the
+    whole explode + plane-join + 64-sum chain on the query rows, whose
+    cost is dominated by its fixed stages, not its row count.
     Returns (query_id, neighbor_id, cosine, rn) like brute_force_topk;
     recall is approximate by construction and concentrated on
     near-duplicate neighbors — the realistic ANN target.
@@ -453,8 +472,7 @@ def simhash_vector_topk(
     n_bands = n_bits // band_bits
     mask = (1 << band_bits) - 1
 
-    def banded(df: DataFrame, out_id: str) -> DataFrame:
-        sigs = simhash_vector_signatures(df, id_col, vec_col, n_bits, seed)
+    def banded(sigs: DataFrame, out_id: str) -> DataFrame:
         bands = F.array(
             *[
                 F.struct(
@@ -470,9 +488,21 @@ def simhash_vector_topk(
             F.col(id_col).alias(out_id), F.explode(bands).alias("_b")
         ).select(out_id, F.col("_b._band").alias("_band"), F.col("_b._val").alias("_val"))
 
-    cband = banded(spread_narrow(candidates), "neighbor_id")
-    qband = banded(queries, "query_id")
+    if queries_subset:
+        sigs = simhash_vector_signatures(
+            candidates, id_col, vec_col, n_bits, seed
+        ).localCheckpoint(eager=True)  # two consumers below
+        qsigs = sigs.join(F.broadcast(queries.select(F.col(id_col))), id_col)
+    else:
+        sigs = simhash_vector_signatures(
+            spread_narrow(candidates), id_col, vec_col, n_bits, seed
+        )
+        qsigs = simhash_vector_signatures(queries, id_col, vec_col, n_bits, seed)
+    cband = banded(sigs, "neighbor_id")
+    qband = banded(qsigs, "query_id")
     pairs = (
+        # no broadcast hint: forcing the probe side broadcast measured
+        # SLOWER than the AQE-planned join here (6.1 vs 4.8 s isolated)
         qband.join(cband, ["_band", "_val"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
@@ -487,7 +517,9 @@ def simhash_vector_topk(
         F.col(vec_col).cast("array<double>").alias("_cv"),
     )
     scored = (
-        pairs.join(qv, "query_id")
+        # the query set is the structurally-small ANN probe side (the
+        # exact tier broadcasts it for the same reason)
+        pairs.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
         .withColumn("cosine", cosine_similarity(F.col("_qv"), F.col("_cv")))
     )

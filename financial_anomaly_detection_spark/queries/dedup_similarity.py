@@ -1464,7 +1464,9 @@ def q_ann_simhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % 100 == 0)
-    out = simhash_vector_topk(emb, qs, "vec_id", "embedding", k=10)
+    out = simhash_vector_topk(
+        emb, qs, "vec_id", "embedding", k=10, queries_subset=True
+    )
     return out.select(
         F.col("query_id").cast("long"),
         F.col("neighbor_id").cast("long"),
