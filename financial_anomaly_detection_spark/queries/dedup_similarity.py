@@ -2092,6 +2092,9 @@ def q_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") <= 10, F.col("gain_nano")).otherwise(0)
         ).alias("dcg_nano"),
         F.min(F.when(F.col("rel") == 1, F.col("rn"))).alias("first_rel_rank"),
+        # NOT pinned (r12): checkpointing perq to dedupe its two
+        # consumers measured SLOWER (3.15 vs 2.67 s isolated) — the
+        # duplicated subtrees overlap inside one job at this size.
     )
     spine = spark.range(1, 11).select(
         F.col("id").alias("pos"), (F.col("id") + 1).cast("double").alias("posd")
@@ -2141,6 +2144,13 @@ def q_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("mrr"),
         )
+    )
+
+
+def _cooccurrence_baskets(li: DataFrame) -> DataFrame:
+    """Pre-checkpoint basket builder (plan-guarded for 2-col pruning)."""
+    return li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
 
 
@@ -2211,9 +2221,11 @@ def q_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ps")
-    )
+    # Pinned once: the former UNION-of-directions shape planned the
+    # basket aggregate + pair explode TWICE and the item-count
+    # aggregate twice more — 5 lineitem scans. Everything below
+    # derives from this one scan + shuffle (r12: 5 scans -> 1).
+    baskets = _cooccurrence_baskets(li).localCheckpoint(eager=True)
     pair_expr = F.flatten(
         F.transform(
             F.col("ps"),
@@ -2230,25 +2242,28 @@ def q_item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("c_ab"))
     )
+    # ps is the distinct part set per order, so exploding it counts
+    # each (order, part) once — identical to the former
+    # distinct-then-count over lineitem; and n_orders (count of
+    # distinct orderkeys) is just the basket row count.
     items = (
-        li.select("l_orderkey", F.col("l_partkey").alias("part"))
-        .distinct()
+        baskets.select(F.explode("ps").alias("part"))
         .groupBy("part")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    sym = co.select(
-        F.col("pa").alias("item"), F.col("pb").alias("other"), "c_ab"
-    ).unionAll(
-        co.select(
-            F.col("pb").alias("item"), F.col("pa").alias("other"), "c_ab"
-        )
-    )
-    ia = items.select(F.col("part").alias("item"), F.col("c").alias("c_item"))
-    ib = items.select(F.col("part").alias("other"), F.col("c").alias("c_other"))
+    n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    ia = items.select(F.col("part").alias("pa"), F.col("c").alias("c_item"))
+    ib = items.select(F.col("part").alias("pb"), F.col("c").alias("c_other"))
+    # cosine and lift are symmetric in (pa, pb): score each undirected
+    # pair ONCE, then explode the two directions — the former
+    # UNION ALL pushed every pair through the joins twice. A pair can
+    # emit a visible row only if one endpoint is < 300, so the
+    # pre-join filter keeps the join input tight; the post-explode
+    # filter drops the non-qualifying direction.
     scored = (
-        sym.join(ia, "item")
-        .join(ib, "other")
+        co.filter((F.col("pa") < 300) | (F.col("pb") < 300))
+        .join(ia, "pa")
+        .join(ib, "pb")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "cos_raw",
@@ -2261,9 +2276,21 @@ def q_item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFram
             / (F.col("c_item").cast("double") * F.col("c_other").cast("double")),
         )
     )
+    both = scored.select(
+        "c_ab", "cos_raw", "lift_raw",
+        F.explode(
+            F.array(
+                F.struct(F.col("pa").alias("item"), F.col("pb").alias("other")),
+                F.struct(F.col("pb").alias("item"), F.col("pa").alias("other")),
+            )
+        ).alias("d"),
+    ).select(
+        F.col("d.item").alias("item"), F.col("d.other").alias("other"),
+        "c_ab", "cos_raw", "lift_raw",
+    )
     wr = Window.partitionBy("item").orderBy(F.col("cos_raw").desc(), "other")
     return (
-        scored.filter(F.col("item") < 300)
+        both.filter(F.col("item") < 300)
         .withColumn("rn", F.row_number().over(wr).cast("long"))
         .filter(F.col("rn") <= 3)
         .select(

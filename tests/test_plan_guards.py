@@ -256,7 +256,11 @@ EXPECTED = {
     # scalar argmin broadcasts; ransac: candidates x day-grain base is
     # THE algorithm (28-row candidate broadcast against the pinned day
     # table, twice) + one-row best/mean/sums scalars
-    "item_cooccurrence_similarity": (1, {"lineitem": 2}),
+    # r12: basket aggregate pinned (localCheckpoint) — the final plan
+    # reads the checkpointed basket frame, not parquet; the 2-col
+    # lineitem pruning is guarded on the pre-checkpoint builder in
+    # test_cooccurrence_basket_stage_prunes_lineitem_scan
+    "item_cooccurrence_similarity": (1, {}),
     "decision_stump_split": (4, {"events": 3}),
     "group_kfold_balance": (1, {"events": 2}),
     "ransac_trend_daily": (10, {}),
@@ -498,6 +502,29 @@ def test_decontam_explode_stage_prunes_documents_scan(spark, sf_dir):
     scans = _scan_cols(plan)
     assert scans.get("documents") == 2, (
         f"explode stage must read exactly (doc_id, text): {scans}"
+    )
+
+
+def test_cooccurrence_basket_stage_prunes_lineitem_scan(spark, sf_dir):
+    """item_cooccurrence_similarity's FINAL plan hides its one lineitem
+    scan behind the r12 basket localCheckpoint, so the {} expectation
+    above cannot catch a pruning regression in the basket aggregate —
+    the one stage that reads parquet. Assert 2-col pruning on the
+    pre-checkpoint builder directly."""
+    from financial_anomaly_detection_spark.queries.common import load_table
+    from financial_anomaly_detection_spark.queries.dedup_similarity import (
+        _cooccurrence_baskets,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = _cooccurrence_baskets(li)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    scans = _scan_cols(plan)
+    assert scans.get("lineitem") == 2, (
+        f"basket stage must read exactly (l_orderkey, l_partkey): {scans}"
     )
 
 
