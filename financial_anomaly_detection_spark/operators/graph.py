@@ -260,11 +260,26 @@ def connected_components_twophase(
 
     Both steps strictly shrink a potential function, and the fixpoint
     is a forest of stars (every edge (v, root)). Fixpoint detection is
-    EXACT: round output vs input compared by count + one-sided
-    exceptAll probe (both distinct sets). Edge sets are
+    EXACT and two-tier (r12): each generation's (count, xxhash64 xor)
+    is computed in ONE scan of the fresh checkpoint blocks and
+    compared to the previous generation's remembered pair — only when
+    BOTH match does the exact count + one-sided exceptAll probe run to
+    confirm (a hash collision merely costs one wasted probe, never a
+    wrong fixpoint). Non-converged rounds therefore pay zero probe
+    shuffles and no recount of the previous generation. Edge sets are
     localCheckpointed per round with superseded generations freed —
     the same two memory disciplines as the label-prop loop.
     """
+
+    def _stats(df: DataFrame) -> tuple:
+        # bit_xor, not sum: ANSI mode (Spark 4 default) raises on long
+        # sum overflow; xor is overflow-free and order-insensitive.
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("_a", "_b")).alias("h"),
+        ).head()
+        return r["n"], r["h"]
+
     e0 = (
         edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
         .filter(F.col("_a") != F.col("_b"))
@@ -278,6 +293,7 @@ def connected_components_twophase(
         .localCheckpoint(eager=True)
     )
     cur = e0
+    cur_stats = _stats(e0)
     try:
         for rnd in range(max_rounds):
             # large-star on the symmetric view
@@ -309,13 +325,13 @@ def connected_components_twophase(
                 .distinct()
                 .localCheckpoint(eager=True)
             )
-            same = (
-                nxt.count() == cur.count()
-                and nxt.exceptAll(cur).limit(1).count() == 0
+            nxt_stats = _stats(nxt)
+            same = nxt_stats == cur_stats and (
+                nxt.exceptAll(cur).limit(1).count() == 0
             )
             if cur is not e0:
                 _free_checkpoint(cur)
-            cur = nxt
+            cur, cur_stats = nxt, nxt_stats
             if same:
                 LAST_RUN_STATS["connected_components_twophase"] = rnd + 1
                 roots = cur.select(

@@ -231,10 +231,11 @@ def bpe_train_merges(
     exactly the reference algorithm's non-overlapping left-to-right
     replacement — pytest-pinned against a textbook Python BPE.
 
-    Everything stays in-plan: the winning pair is a 1-row broadcast
-    joined into the rewrite expression, never a driver value; each
-    round's vocabulary is pinned with ``localCheckpoint`` (bounded
-    lineage across the merge loop, as in BFS).
+    The winning pair reaches the rewrite as literals from the 1-row
+    gate peek each round already performs (bounded driver traffic:
+    one row per round, never corpus- or vocab-scale); each round's
+    vocabulary is pinned with ``localCheckpoint`` (bounded lineage
+    across the merge loop, as in BFS).
 
     Returns (rank, left, right, merged, pair_freq), rank 1..n_merges.
     """
@@ -324,45 +325,45 @@ def _bpe_train_from_words(words: DataFrame, n_merges: int):
         # are exhausted, every later round would run the full pair
         # scan, top-1, and two checkpoint materializations as
         # guaranteed no-ops. Stop instead.
-        if not best.head(1):
+        row = best.head(1)
+        if not row:
             if merges is None:
                 merges = best  # 0-row frame with the merge schema
             break
         merges = best if merges is None else merges.unionByName(best)
-        # LEFT join against the 1-row merge table: when a round finds
-        # no pairs at all (n_merges exceeds what the corpus supports),
-        # ``best`` is empty and an inner join would silently empty the
-        # whole vocabulary — the degenerate round must be a no-op
-        # instead, so the fold is gated on the merge row existing.
-        vocab = (
-            vocab.join(
-                F.broadcast(best.select("left", "right", "merged")),
-                F.lit(True),
-                "left",
-            )
-            .select(
-                "word",
-                F.when(F.col("left").isNull(), F.col("syms"))
-                .otherwise(
-                    F.aggregate(
-                        "syms",
-                        F.array().cast("array<string>"),
-                        lambda acc, s: F.when(
-                            (F.size(acc) > 0)
-                            & (F.element_at(acc, -1) == F.col("left"))
-                            & (s == F.col("right")),
-                            F.concat(
-                                F.slice(acc, 1, F.size(acc) - 1),
-                                F.array(F.col("merged")),
-                            ),
-                        ).otherwise(F.concat(acc, F.array(s))),
-                    )
-                )
-                .alias("syms"),
-                "freq",
-            )
-            .localCheckpoint(eager=True)
+        # The winning pair rides into the rewrite as LITERALS from the
+        # gate peek above (a 1-row bounded read the loop already pays —
+        # r12: the former per-round broadcast-join injection added a
+        # broadcast exchange + join to every round for values the
+        # driver had in hand). Words that cannot contain the pair skip
+        # the O(len^2) greedy fold via a linear containment pre-check —
+        # the fold is the identity for them, so gating on the superset
+        # condition (both symbols present anywhere) changes nothing.
+        lft, rgt, mrg = row[0]["left"], row[0]["right"], row[0]["merged"]
+        fold = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(lft))
+                & (s == F.lit(rgt)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(mrg)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
         )
+        vocab = vocab.select(
+            "word",
+            F.when(
+                (F.array_position("syms", lft) > 0)
+                & (F.array_position("syms", rgt) > 0),
+                fold,
+            )
+            .otherwise(F.col("syms"))
+            .alias("syms"),
+            "freq",
+        ).localCheckpoint(eager=True)
     return merges, vocab
 
 

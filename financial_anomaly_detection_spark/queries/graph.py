@@ -488,11 +488,16 @@ def q_near_dup_clusters_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_bfs_reachability_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # One checkpoint materialization only (r12): the symmetric view is
+    # two projections over e's pinned blocks — re-deriving it per hop
+    # costs two block scans, while its former eager checkpoint paid a
+    # 2x-edge materialization job. `visited` stays UNcheckpointed: it
+    # is a flat union of LogicalRDD leaves (the seed row + each level's
+    # pinned frontier), so lineage cannot grow — the checkpoint there
+    # bought nothing but two more jobs.
     e = _copurchase_pairs(li).localCheckpoint(eager=True)
-    edges = (
-        e.select(F.col("a").alias("s"), F.col("b").alias("d"))
-        .unionAll(e.select(F.col("b").alias("s"), F.col("a").alias("d")))
-        .localCheckpoint(eager=True)
+    edges = e.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
+        e.select(F.col("b").alias("s"), F.col("a").alias("d"))
     )
     # seed stays in-plan: a 1-row aggregate, broadcast into the joins
     frontier = li.agg(F.min("l_partkey").alias("v")).withColumn("hop", F.lit(0))
@@ -511,7 +516,7 @@ def q_bfs_reachability_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame
             .withColumn("hop", F.lit(hop))
             .localCheckpoint(eager=True)
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited.select(
         F.col("v").cast("long").alias("node"),

@@ -3956,7 +3956,11 @@ def q_keyness_g2_en_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOT pinned (r12): eagerly checkpointing c to dedupe the two
     # consumers measured SLOWER (5.15 vs 4.84 s isolated) — the twin
     # subtrees overlap inside one job, while the pin serializes
-    # materialize-then-consume.
+    # materialize-then-consume. Also NOT rewritten to a doc-level
+    # size(split(...)) totals pass (r12): AQE ReusedExchange already
+    # shares the explode+groupBy shuffle between t and r, so the
+    # "second explode" never runs — the rewrite ADDED a real second
+    # documents scan and measured slower (interleaved A/B, 3 reps).
     t = c.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
     r = (
         c.filter(F.col("a") + F.col("b") >= 10)

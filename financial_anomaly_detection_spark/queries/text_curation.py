@@ -1058,7 +1058,8 @@ def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     description="BPE tokenizer merge training (Sennrich 2016) as "
     "relational plans: corpus -> word-type frequency table (the only "
     "raw-text pass), then per round a pair-count partial agg, an "
-    "in-plan 1-row argmax broadcast, and a greedy left-to-right "
+    "1-row argmax (its values ride into the rewrite as literals via "
+    "the loop's gate peek), and a greedy left-to-right "
     "F.aggregate rewrite of the symbol arrays — no driver-side "
     "values, bounded lineage via per-round checkpoints. The "
     "tokenizer-training member of the LLM-pipeline family.",
