@@ -140,3 +140,111 @@ def det_exp_sql(var: str) -> str:
     )
     pw = f"(CASE {pw_branches} ELSE {_pow2_literal(_EXP_K_MIN - 1)} END)"
     return f"({pw} * {poly})"
+
+
+# ---------------------------------------------------------------------------
+# Column twins (round 12).
+#
+# The SQL-string forms above duplicate every shared subterm TEXTUALLY:
+# in det_ln the 81-branch CASE ladder is re-expanded once per reference
+# to m/t/u (~34 references -> ~2,700 CASE branches per call site), and
+# in det_exp the floor-k expression recurs in all 117 pw branches. The
+# cost is not (only) row evaluation — it is DRIVER-side: analysis and
+# optimizer passes over ~1e5-node trees, a whole-stage-codegen attempt
+# that overflows janino and falls back to interpreted eval of the same
+# giant tree (measured: keyness_g2's ladder accounted for 4.2 s of its
+# 5.1 s isolated runtime at 31 output rows).
+#
+# The Column twins below bind each subterm ONCE via a single-element
+# higher-order-function "let" (transform over a 1-element array: lambda
+# references read the bound value instead of re-expanding the defining
+# expression), so the tree is O(ladder size). The IEEE op sequence is
+# IDENTICAL to the SQL form — sharing a deterministic subexpression
+# cannot change its value — and 2^k comes from pow(2e0, k), which is
+# exactly the CASE ladder's literal for every integer k in range
+# (asserted bit-equal over the full grid in tests/test_mathfn.py).
+# HOF lambdas are CodegenFallback, but interpreted evaluation of the
+# COMPACT tree beats both interpreted and codegen'd evaluation of the
+# exploded one. The SQL forms remain the DuckDB-oracle side.
+# ---------------------------------------------------------------------------
+
+
+def _let(val, body):
+    """Single-value let-binding: evaluate ``val`` once, pass the bound
+    Column to ``body``. transform() applies the lambda to the one-element
+    array; element_at unwraps the result."""
+    from pyspark.sql import functions as F
+
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
+def det_ln_col(x):
+    """Column twin of :func:`det_ln_sql` — bit-identical result, compact
+    tree. Unlike the SQL form, ``x`` may be any expression (it is bound
+    once, so nothing is textually duplicated)."""
+    from pyspark.sql import functions as F
+
+    ln2 = F.lit(float(_LN2))
+
+    def with_x(xv):
+        k_ladder = F.when(
+            xv >= F.lit(2.0 ** _K_MAX), F.lit(float(_K_MAX))
+        )
+        for k in range(_K_MAX - 1, _K_MIN - 1, -1):
+            k_ladder = k_ladder.when(xv >= F.lit(2.0 ** k), F.lit(float(k)))
+        k_ladder = k_ladder.otherwise(F.lit(float(_K_MIN - 1)))
+
+        def with_k(kv):
+            def with_m(m):
+                def with_t(t):
+                    def with_u(u):
+                        horner = F.lit(float(_COEFFS[-1]))
+                        for c in reversed(_COEFFS[:-1]):
+                            horner = F.lit(float(c)) + u * horner
+                        series = t * (F.lit(1.0) + u * horner)
+                        return kv * ln2 + F.lit(2.0) * series
+
+                    return _let(t * t, with_u)
+
+                return _let((m - F.lit(1.0)) / (m + F.lit(1.0)), with_t)
+
+            return _let(xv / F.pow(F.lit(2.0), kv), with_m)
+
+        return _let(k_ladder, with_k)
+
+    return _let(x, with_x)
+
+
+def det_exp_col(x):
+    """Column twin of :func:`det_exp_sql` — bit-identical result, compact
+    tree; ``x`` may be any expression."""
+    from pyspark.sql import functions as F
+
+    inv_ln2 = F.lit(float(_INV_LN2))
+    ln2 = F.lit(float(_LN2))
+
+    def with_x(xv):
+        k_expr = F.floor(xv * inv_ln2 + F.lit(0.5)).cast("double")
+
+        def with_k(kv):
+            def with_r(r):
+                horner = F.lit(float(_EXP_COEFFS[0]))
+                for c in _EXP_COEFFS[1:]:
+                    horner = F.lit(float(c)) + r * horner
+                poly = F.lit(1.0) + r * horner
+                # clamp reproduces the descending CASE: k >= K_MAX
+                # takes the top branch, k < K_MIN the ELSE arm
+                pw = F.pow(
+                    F.lit(2.0),
+                    F.least(
+                        F.greatest(kv, F.lit(float(_EXP_K_MIN - 1))),
+                        F.lit(float(_EXP_K_MAX)),
+                    ),
+                )
+                return pw * poly
+
+            return _let(xv - kv * ln2, with_r)
+
+        return _let(k_expr, with_k)
+
+    return _let(x, with_x)

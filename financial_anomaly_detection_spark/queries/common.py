@@ -47,7 +47,7 @@ from ..functions.scoring import (
     rule_flags,
     rule_score,
 )
-from ..functions.mathfn import det_exp_sql, det_ln_sql
+from ..functions.mathfn import det_exp_col, det_exp_sql, det_ln_col, det_ln_sql
 from ..functions.timefn import dow_pandas, lookback_filter
 from ..operators.prefix import ordered_prefix_sum
 from ..functions.vectorfn import cosine_similarity, dot, l2_norm
@@ -710,7 +710,9 @@ __all__ = [
     'risk_level',
     'rule_flags',
     'rule_score',
+    'det_exp_col',
     'det_exp_sql',
+    'det_ln_col',
     'det_ln_sql',
     'dow_pandas',
     'lookback_filter',

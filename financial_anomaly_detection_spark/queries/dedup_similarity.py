@@ -1329,7 +1329,12 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("c") + 1).cast("double")
             ).alias("inv_p"),
         )
-        .select("doc_id", F.expr(_XENT_TERM_SQL).alias("nano"))
+        # Column twin of _XENT_TERM_SQL (r12): compact det_ln tree
+        .select(
+            "doc_id",
+            F.floor(det_ln_col(F.col("inv_p")) * F.lit(1e9) + F.lit(0.5))
+            .cast("long").alias("nano"),
+        )
     )
     lm_keep = (
         terms.groupBy("doc_id")
@@ -2078,10 +2083,15 @@ def q_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(wr).cast("long").alias("rn"),
         )
         .withColumn("rnd", (F.col("rn") + 1).cast("double"))
-        # the det_ln CASE ladder is projected BEFORE the aggregate:
-        # inlined inside SUM it blows the 64KB generated-method limit
-        # and drops the whole stage to interpreted mode
-        .withColumn("gain_nano", F.expr(_NDCG_GAIN_SQL))
+        # the det_ln gain is projected BEFORE the aggregate (r12:
+        # through the compact det_ln_col twin of _NDCG_GAIN_SQL)
+        .withColumn(
+            "gain_nano",
+            F.floor(
+                F.col("rel").cast("double") * F.lit(6.93147180559945e8)
+                / det_ln_col(F.col("rnd")) + F.lit(0.5)
+            ).cast("long"),
+        )
     )
     perq = gains.groupBy("query_id", "query_label").agg(
         F.sum("rel").alias("n_relevant"),
@@ -2098,7 +2108,13 @@ def q_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spine = spark.range(1, 11).select(
         F.col("id").alias("pos"), (F.col("id") + 1).cast("double").alias("posd")
-    ).withColumn("ideal_gain_nano", F.expr(_NDCG_IDEAL_SQL))
+    ).withColumn(
+        # Column twin of _NDCG_IDEAL_SQL (r12)
+        "ideal_gain_nano",
+        F.floor(
+            F.lit(6.93147180559945e8) / det_ln_col(F.col("posd")) + F.lit(0.5)
+        ).cast("long"),
+    )
     ideal = (
         perq.join(
             F.broadcast(spine),

@@ -892,14 +892,27 @@ def q_bm25_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rid2", F.expr(_BM25_RID_SQL.format(i=2)))
         .withColumn("rid3", F.expr(_BM25_RID_SQL.format(i=3)))
     )
+    # Column twin of _BM25_TERM_SQL (r12): same ops, compact det_ln
+    # tree (3 ladder instances per plan made this codegen-heavy)
+    def bm25_term(i: int):
+        tf = F.col(f"tf{i}")
+        frac = (F.lit(44) * F.col("w_total") * tf).cast("double") / (
+            F.lit(20) * F.col("w_total") * tf
+            + F.lit(6) * F.col("w_total")
+            + F.lit(18) * F.col("dl") * F.col("n_docs")
+        ).cast("double")
+        return F.floor(
+            det_ln_col(F.col(f"rid{i}")) * frac * F.lit(1e9) + F.lit(0.5)
+        ).cast("long")
+
     t = r.select(
         "doc_id",
         "tf1",
         "tf2",
         "tf3",
-        F.expr(_BM25_TERM_SQL.format(i=1)).alias("t1_nano"),
-        F.expr(_BM25_TERM_SQL.format(i=2)).alias("t2_nano"),
-        F.expr(_BM25_TERM_SQL.format(i=3)).alias("t3_nano"),
+        bm25_term(1).alias("t1_nano"),
+        bm25_term(2).alias("t2_nano"),
+        bm25_term(3).alias("t3_nano"),
     )
     return (
         t.withColumn(
@@ -1492,11 +1505,15 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_PSI_Q_SQL).alias("q"),
     )
     rr = r.withColumn("ratio", F.expr("(p / q)"))
+    # Column twin of _PSI_TERM_SQL (r12): compact det_ln tree
     terms = rr.select(
         "bucket",
         "ref_cnt",
         "cur_cnt",
-        F.expr(_PSI_TERM_SQL).alias("psi_term_nano"),
+        F.floor(
+            (F.col("p") - F.col("q")) * det_ln_col(F.col("ratio"))
+            * F.lit(1e9) + F.lit(0.5)
+        ).cast("long").alias("psi_term_nano"),
     )
     total = terms.agg(
         F.sum("psi_term_nano").cast("long").alias("psi_total_nano")
@@ -1592,8 +1609,12 @@ def q_kl_divergence_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q"),
     )
     rr = r.withColumn("ratio", F.expr("(p / q)"))
+    # Column twin of _KL_TERM_SQL (r12): compact det_ln tree
     terms = rr.select(
-        "day", "event_type", "c", F.expr(_KL_TERM_SQL).alias("kl_term_nano")
+        "day", "event_type", "c",
+        F.floor(
+            F.col("p") * det_ln_col(F.col("ratio")) * F.lit(1e9) + F.lit(0.5)
+        ).cast("long").alias("kl_term_nano"),
     )
     wd = Window.partitionBy("day")
     return terms.select(
@@ -1659,17 +1680,25 @@ def q_entropy_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))").alias("inv"),
         "n",
     )
-    terms = r.select("user_id", "n", F.expr(_ENT_TERM_SQL).alias("term_nano"))
+    # Column twin of _ENT_TERM_SQL (r12): compact det_ln tree
+    terms = r.select(
+        "user_id", "n",
+        F.floor(
+            F.col("p") * det_ln_col(F.col("inv")) * F.lit(1e9) + F.lit(0.5)
+        ).cast("long").alias("term_nano"),
+    )
     agg = terms.groupBy("user_id").agg(
         F.any_value("n").cast("long").alias("n_events"),
         F.sum("term_nano").cast("long").alias("entropy_nano"),
     )
     h = agg.withColumn("h", F.expr("(CAST(entropy_nano AS DOUBLE) / 1e9)"))
+    # Column twin of _PPLX_SQL (r12): compact det_exp tree
     return h.select(
         F.col("user_id").cast("long").alias("user_id"),
         "n_events",
         "entropy_nano",
-        F.expr(_PPLX_SQL).alias("perplexity_micro"),
+        F.floor(det_exp_col(F.col("h")) * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("perplexity_micro"),
     )
 
 
@@ -1711,10 +1740,15 @@ def q_entropy_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_softmax_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     s = docs.groupBy("source").agg(F.sum("n_chars").cast("long").alias("chars"))
+    # Column twins of the det_ln/2 score and _SOFTMAX_E_SQL (r12)
     sc = s.withColumn("cd", F.expr("CAST(chars AS DOUBLE)")).withColumn(
-        "hs", F.expr("(" + det_ln_sql("cd") + " / 2e0)")
+        "hs", det_ln_col(F.col("cd")) / F.lit(2.0)
     )
-    e = sc.select("source", "chars", F.expr(_SOFTMAX_E_SQL).alias("e_units"))
+    e = sc.select(
+        "source", "chars",
+        F.floor(det_exp_col(F.col("hs")) * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("e_units"),
+    )
     t = e.agg(F.sum("e_units").alias("total"))
     return e.join(F.broadcast(t)).select(
         "source",
@@ -3983,11 +4017,25 @@ def q_keyness_g2_en_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b") * F.col("na")).alias("rhs"),
         )
     )
+    # Column twins of _G2_TERM_A/B_SQL (r12): identical IEEE op
+    # sequence through det_ln_col's compact let-bound ladder — the SQL
+    # form's ~2,700-branch expanded tree cost ~4.2 s of this query's
+    # 5.1 s in DRIVER-side analysis + failed codegen + interpreted
+    # fallback (bit-equality proven on the full output at sf0.01 and
+    # sf0.1; ladder equivalence pinned in tests/test_mathfn.py).
+    def g2_term(cnt: str, ratio: str):
+        return F.when(F.col(cnt) == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(
+                F.col(cnt).cast("double") * det_ln_col(F.col(ratio))
+                * F.lit(1e9) + F.lit(0.5)
+            ).cast("long")
+        )
+
     g = r.select(
         "word", "a", "b", "lhs", "rhs",
-        (
-            2 * (F.expr(_G2_TERM_A_SQL) + F.expr(_G2_TERM_B_SQL))
-        ).alias("g2_nano"),
+        (2 * (g2_term("a", "ratio_a") + g2_term("b", "ratio_b"))).alias(
+            "g2_nano"
+        ),
     )
     return g.select(
         "word",
@@ -4405,7 +4453,12 @@ def q_woe_iv_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("neg") + 1) * (F.col("pos_tot") + F.col("k"))
         ).alias("share_num"),
     )
-    w = r.withColumn("woe_nano", F.expr(_WOE_LN_NANO_SQL))
+    # Column twin of _WOE_LN_NANO_SQL (r12): compact det_ln tree
+    w = r.withColumn(
+        "woe_nano",
+        F.floor(det_ln_col(F.col("ratio")) * F.lit(1e9) + F.lit(0.5))
+        .cast("long"),
+    )
     terms = w.select(
         "event_type", "pos", "neg", "woe_nano",
         F.expr(
@@ -5424,29 +5477,33 @@ def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_total") - F.col("_before")).alias("n_risk"),
     )
     terms = k.withColumn("km_ratio", F.expr(_KM_SAFE_RATIO_SQL))
-    nano = terms.withColumn("raw_nano", F.expr(_KM_RAW_NANO_SQL)).withColumn(
-        "term_nano", F.expr(_KM_TERM_SQL)
-    )
+    # Column twin of _KM_RAW_NANO_SQL (r12): compact det_ln tree
+    nano = terms.withColumn(
+        "raw_nano",
+        F.floor(det_ln_col(F.col("km_ratio")) * F.lit(1e9) + F.lit(0.5))
+        .cast("long"),
+    ).withColumn("term_nano", F.expr(_KM_TERM_SQL))
     cum = ordered_prefix_sum(nano, "tte", "term_nano", out_col="_cum0", pin=True)
-    # km_x must be a MATERIALIZED leaf attribute before the det_exp
-    # ladder reads it: projection collapse otherwise substitutes the
-    # greatest(...)/1e9 expression into every ladder reference and
-    # codegen exceeds 64KB (same failure class as the CASE(det_ln)
-    # above — both measured on this query)
+    # r12: the km_x materialization pin is gone — det_exp_col binds its
+    # input ONCE (let-bound), so projection collapse can no longer
+    # replicate the greatest(...)/1e9 expression into ~160 ladder
+    # references; the codegen-size failure the pin guarded against is
+    # structurally impossible in the compact form.
     fin = cum.withColumn(
         "km_x",
         F.greatest(
             (F.col("_cum0") + F.col("term_nano")).cast("double") / F.lit(1e9),
             F.lit(-40.0),
         ),
-    ).localCheckpoint(eager=True)
+    )
     return fin.filter(F.col("d") > 0).select(
         F.col("tte").cast("long").alias("tte_days"),
         F.col("n_risk").cast("long"),
         F.col("d").cast("long").alias("n_events"),
         F.col("c").cast("long").alias("n_censored"),
         sround(
-            F.expr(_KM_SURV_SQL).cast("double") / F.lit(1e6), 6
+            F.floor(det_exp_col(F.col("km_x")) * F.lit(1e6) + F.lit(0.5))
+            .cast("double") / F.lit(1e6), 6
         ).alias("survival"),
     )
 

@@ -555,8 +555,14 @@ def q_tfidf_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # Column twin of _TFIDF_SCORE_SQL (r12): compact det_ln tree
     scored = r.select(
-        "doc_id", "word", "c", F.expr(_TFIDF_SCORE_SQL).alias("score_nano")
+        "doc_id", "word", "c",
+        F.floor(
+            (F.col("c").cast("double") / F.col("len").cast("double"))
+            * (det_ln_col(F.col("rid")) + F.lit(1.0))
+            * F.lit(1e9) + F.lit(0.5)
+        ).cast("long").alias("score_nano"),
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("score_nano"), F.asc("word")
@@ -1478,7 +1484,12 @@ def q_doc_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("inv_p"),
         )
     )
-    terms = r.select("doc_id", F.expr(_XENT_TERM_SQL).alias("nano"))
+    # Column twin of _XENT_TERM_SQL (r12): compact det_ln tree
+    terms = r.select(
+        "doc_id",
+        F.floor(det_ln_col(F.col("inv_p")) * F.lit(1e9) + F.lit(0.5))
+        .cast("long").alias("nano"),
+    )
     d = terms.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"), F.sum("nano").alias("s")
     )
@@ -1581,8 +1592,12 @@ def q_zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").cast("double").alias("rankd"),
         F.col("f").cast("double").alias("freqd"),
     )
+    # Column twins of _ZIPF_XN/YN_SQL (r12): compact det_ln trees
     nano = pts.select(
-        F.expr(_ZIPF_XN_SQL).alias("xn"), F.expr(_ZIPF_YN_SQL).alias("yn")
+        F.floor(det_ln_col(F.col("rankd")) * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("xn"),
+        F.floor(det_ln_col(F.col("freqd")) * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("yn"),
     )
     sagg = nano.agg(
         F.count(F.lit(1)).alias("n"),

@@ -79,3 +79,43 @@ def test_det_literals_are_double_typed_in_spark(spark):
         f"typeof({det_exp_sql('x')}) AS te",
     ).collect()[0]
     assert row["tl"] == "double" and row["te"] == "double"
+
+
+def test_det_ln_col_bit_identical_to_sql_form(spark):
+    # round-12 Column twin: same IEEE op sequence, compact (let-bound)
+    # tree. Must be BIT-identical to the SQL-string form over the full
+    # grid, including a dense sweep across ladder-branch boundaries.
+    from financial_anomaly_detection_spark.functions.mathfn import det_ln_col
+
+    vals = _values()
+    vals += [2.0**e * (1 + eps) for e in range(-40, 41, 1)
+             for eps in (-1e-16, 0.0, 1e-16, 0.3)]
+    vals = [v for v in vals if v > 0]
+    df = spark.createDataFrame([(v,) for v in vals], "r double").select(
+        "r",
+        F.expr(det_ln_sql("r")).alias("sql_form"),
+        det_ln_col(F.col("r")).alias("col_form"),
+    )
+    for row in df.collect():
+        assert row["sql_form"] == row["col_form"], f"diverge at {row['r']}"
+
+
+def test_det_exp_col_bit_identical_to_sql_form(spark):
+    from financial_anomaly_detection_spark.functions.mathfn import (
+        det_exp_col,
+        det_exp_sql,
+    )
+
+    vals = [x / 7.3 for x in range(-280, 281, 7)]
+    vals += [0.0, 1.0, -1.0, 39.9, -39.9, 1e-12, -1e-12]
+    # k-boundary sweep: the pow-clamp must match the CASE ladder at
+    # every integer k in and beyond the ladder range
+    vals += [k * math.log(2) + d for k in range(-60, 61, 5)
+             for d in (-0.2, 0.0, 0.2)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").select(
+        "x",
+        F.expr(det_exp_sql("x")).alias("sql_form"),
+        det_exp_col(F.col("x")).alias("col_form"),
+    )
+    for row in df.collect():
+        assert row["sql_form"] == row["col_form"], f"diverge at {row['x']}"

@@ -270,9 +270,12 @@ EXPECTED = {
     "attribution_models": (0, {"events": 5}),
     "ab_test_proportions": (0, {"events": 3}),
     "anomaly_monitoring_e2e": (1, {}),
-    # KM: every stage up to km_x is pinned (codegen-size discipline,
-    # mathfn docstring) — the final plan is a lone ladder projection
-    "kaplan_meier_conversion": (0, {}),
+    # KM: r12 removed the km_x materialization pin (det_exp_col binds
+    # its input once, so the codegen-size blowup the pin guarded
+    # against is structurally impossible) — the final plan now shows
+    # the last prefix level's bounded triangular-carry NLJ that the
+    # pin used to hide (same class as anomaly_monitoring_e2e above)
+    "kaplan_meier_conversion": (1, {}),
     # pareto: grid pinned; the NLJ are the one unpinned prefix level's
     # bounded broadcasts + the one-row totals join
     "pareto_revenue_deciles": (5, {}),
