@@ -289,7 +289,14 @@ def _bpe_train_from_words(words: DataFrame, n_merges: int):
         "freq",
     ).localCheckpoint(eager=True)
 
-    merges = None
+    # Per-round winners accumulate as plain Python tuples (one bounded
+    # 1-row driver read per round — the gate peek the loop pays anyway)
+    # and become the merge table in ONE createDataFrame at the end.
+    # r12: the former per-round 1-row `best` localCheckpoint added a
+    # checkpoint job per round, and the returned union-of-10-pinned-
+    # frames paid a 10-partition scan per consumer, all for values the
+    # driver already held from the peek.
+    winners: list[tuple] = []
     for rank in range(1, n_merges + 1):
         # size(syms) == 1 guard: sequence(1, 0) is DESCENDING [1, 0] in
         # Spark, so a fully-merged single-symbol word would index
@@ -308,38 +315,22 @@ def _bpe_train_from_words(words: DataFrame, n_merges: int):
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("freq").alias("pair_freq"))
         )
-        best = (
-            pairs.orderBy(F.col("pair_freq").desc(), "a", "b")
-            .limit(1)
-            .select(
-                F.lit(rank).alias("rank"),
-                F.col("a").alias("left"),
-                F.col("b").alias("right"),
-                F.concat("a", "b").alias("merged"),
-                F.col("pair_freq").cast("long").alias("pair_freq"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        # ``best`` is already materialized (eager checkpoint), so this
-        # 1-row peek costs no extra job — and once the corpus's merges
-        # are exhausted, every later round would run the full pair
-        # scan, top-1, and two checkpoint materializations as
-        # guaranteed no-ops. Stop instead.
-        row = best.head(1)
+        # Once the corpus's merges are exhausted, every later round
+        # would run the full pair scan and top-1 as guaranteed no-ops.
+        # Stop instead.
+        row = pairs.orderBy(F.col("pair_freq").desc(), "a", "b").limit(1).head(1)
         if not row:
-            if merges is None:
-                merges = best  # 0-row frame with the merge schema
             break
-        merges = best if merges is None else merges.unionByName(best)
         # The winning pair rides into the rewrite as LITERALS from the
-        # gate peek above (a 1-row bounded read the loop already pays —
-        # r12: the former per-round broadcast-join injection added a
-        # broadcast exchange + join to every round for values the
-        # driver had in hand). Words that cannot contain the pair skip
-        # the O(len^2) greedy fold via a linear containment pre-check —
-        # the fold is the identity for them, so gating on the superset
-        # condition (both symbols present anywhere) changes nothing.
-        lft, rgt, mrg = row[0]["left"], row[0]["right"], row[0]["merged"]
+        # gate peek above (a 1-row bounded read per round, never
+        # corpus- or vocab-scale driver traffic). Words that cannot
+        # contain the pair skip the O(len^2) greedy fold via a linear
+        # containment pre-check — the fold is the identity for them,
+        # so gating on the superset condition (both symbols present
+        # anywhere) changes nothing.
+        lft, rgt = row[0]["a"], row[0]["b"]
+        mrg = lft + rgt
+        winners.append((rank, lft, rgt, mrg, int(row[0]["pair_freq"])))
         fold = F.aggregate(
             "syms",
             F.array().cast("array<string>"),
@@ -364,6 +355,10 @@ def _bpe_train_from_words(words: DataFrame, n_merges: int):
             .alias("syms"),
             "freq",
         ).localCheckpoint(eager=True)
+    merges = words.sparkSession.createDataFrame(
+        winners,
+        "rank int, left string, right string, merged string, pair_freq long",
+    )
     return merges, vocab
 
 
