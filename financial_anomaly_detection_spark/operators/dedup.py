@@ -348,12 +348,20 @@ def near_dup_clusters(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    # Checkpointed generation handle for _free_checkpoint (which is a
+    # no-op on any plan that is not a bare LogicalRDD leaf — the
+    # initial, never-checkpointed labels included).
+    ckpt = None
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # The did-it-change bit is computed inline where both the old
+        # and the new label are in hand, so the convergence probe scans
+        # the fresh generation's pinned blocks instead of joining two
+        # label generations (r12).
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -361,23 +369,21 @@ def near_dup_clusters(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
+                    "_chg"
+                ),
             )
         ).localCheckpoint(eager=True)  # cut the lineage per round
-        # convergence probe reads the two materialized label frames only
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        changed = new_labels.filter("_chg").limit(1).count()
         # retire the superseded generation's checkpoint blocks (py4j GC
         # is too lazy for convergence loops — see operators/graph.py's
         # measured x10-drill failure)
         from .graph import _free_checkpoint
 
-        _free_checkpoint(labels)
-        labels = new_labels
+        if ckpt is not None:
+            _free_checkpoint(ckpt)
+        ckpt = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

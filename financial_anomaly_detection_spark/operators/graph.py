@@ -120,6 +120,12 @@ def connected_components(
         .withColumn("_lbl", F.col("_v"))
         .localCheckpoint(eager=True)
     )
+    # The generation's CHECKPOINTED handle, tracked separately from the
+    # (projected) labels view: _free_checkpoint only reaches the
+    # persisted RDD through a bare LogicalRDD plan, so freeing the
+    # Project-over-LogicalRDD `labels` was a silent no-op (r12 fix —
+    # superseded generations now actually release their blocks).
+    ckpt = labels
     try:
         for it in range(max_iter):
             # shuffle_hash, never broadcast: the label table scales
@@ -132,22 +138,31 @@ def connected_components(
             msgs = sym.join(
                 labels.hint("shuffle_hash"), sym["_s"] == labels["_v"]
             ).select(F.col("_d").alias("_v"), F.col("_lbl"))
+            # The previous label rides through the fold as `_old` (min
+            # over the single tagged labels row per vertex — every
+            # vertex has exactly one, so never null): the convergence
+            # probe is then a filter over the FRESH generation's pinned
+            # blocks instead of a join of two label generations
+            # (r12 — one boolean column through the shuffle buys back a
+            # per-probe join).
             new = (
-                labels.unionAll(msgs)
+                labels.select("_v", "_lbl", F.lit(True).alias("_own"))
+                .unionAll(msgs.select("_v", "_lbl", F.lit(False).alias("_own")))
                 .groupBy("_v")
-                .agg(F.min("_lbl").alias("_new"))
+                .agg(
+                    F.min("_lbl").alias("_new"),
+                    F.min(F.when(F.col("_own"), F.col("_lbl"))).alias("_old"),
+                )
                 .localCheckpoint(eager=True)
             )
             if (it + 1) % check_every == 0 or it == max_iter - 1:
                 changed = (
-                    new.join(labels, "_v")
-                    .filter(F.col("_new") < F.col("_lbl"))
-                    .limit(1)
-                    .count()
+                    new.filter(F.col("_new") < F.col("_old")).limit(1).count()
                 )
             else:
                 changed = 1
-            _free_checkpoint(labels)  # retire the superseded generation
+            _free_checkpoint(ckpt)  # retire the superseded generation
+            ckpt = new
             labels = new.select("_v", F.col("_new").alias("_lbl"))
             if changed == 0:
                 LAST_RUN_STATS["connected_components"] = it + 1
