@@ -316,16 +316,33 @@ def q_entity_resolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("variant"),
     )
+    # One grouped pass (variant -> sorted name list -> in-group pair
+    # comprehension) instead of the former variant self-join, which
+    # planned the scan+distinct+explode subtree twice (r12 — the same
+    # rewrite fuzzy_name_pairs_ed1 carries, proven lossless there by
+    # the naive-n² oracle; per-name variants are deduplicated by
+    # array_union, so the sorted in-group order reproduces the
+    # a.name < b.name condition exactly). Levenshtein verify runs
+    # BEFORE the pair-distinct so the dedup shuffle carries matches
+    # only.
+    groups = (
+        variants.groupBy("variant")
+        .agg(F.array_sort(F.collect_list("name")).alias("ns"))
+        .filter(F.size("ns") >= 2)
+    )
     pairs = (
-        variants.alias("a")
-        .join(
-            variants.alias("b"),
-            (F.col("a.variant") == F.col("b.variant"))
-            & (F.col("a.name") < F.col("b.name")),
+        groups.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, (x, i) -> "
+                    "transform(slice(ns, i + 2, size(ns)), "
+                    "y -> struct(x AS name_a, y AS name_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
-        .distinct()
+        .select("p.name_a", "p.name_b")
         .filter(F.levenshtein("name_a", "name_b") <= 1)
+        .distinct()
     )
     cc = connected_components(
         pairs, src="name_a", dst="name_b",
