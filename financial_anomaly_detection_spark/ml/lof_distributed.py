@@ -322,12 +322,22 @@ def distributed_lof(
         F.col("_rn") <= n_neighbors
     ).localCheckpoint(eager=True)
 
-    # k-distance of each point = distance to its k-th kept neighbor
+    # k-distance of each point = distance to its k-th kept neighbor.
+    # The kdist/lrd/out sides below are one-row-per-VERTEX tables:
+    # shuffle_hash, never broadcast (they scale with n at 100 TB) and
+    # never sort-merge (post-checkpoint stats blind the planner into
+    # SMJ, paying two sorts per join for hash-relation-sized sides —
+    # r12 interleaved A/B: 3 of 4 paired reps faster with the hints).
     kdist = knn.groupBy("a").agg(F.max("_d").alias("_kdist"))
 
     # reach_dist_k(a, b) = max(kdist(b), d(a, b))
     reach = (
-        knn.join(kdist.select(F.col("a").alias("b"), F.col("_kdist").alias("_kdist_b")), "b")
+        knn.join(
+            kdist.select(
+                F.col("a").alias("b"), F.col("_kdist").alias("_kdist_b")
+            ).hint("shuffle_hash"),
+            "b",
+        )
         # the 1e-12 floor keeps exact-duplicate groups (all pair
         # distances 0) at a huge-but-finite lrd, so their LOF stays
         # ~1.0 instead of Inf/Inf = NaN
@@ -339,9 +349,12 @@ def distributed_lof(
     )
     # LOF(a) = mean(lrd(b) for b in kNN(a)) / lrd(a)
     neigh_lrd = knn.join(
-        lrd.select(F.col("a").alias("b"), F.col("_lrd").alias("_lrd_b")), "b"
+        lrd.select(F.col("a").alias("b"), F.col("_lrd").alias("_lrd_b")).hint(
+            "shuffle_hash"
+        ),
+        "b",
     ).groupBy("a").agg(F.avg("_lrd_b").alias("_mean_lrd_b"))
-    out = neigh_lrd.join(lrd, "a").select(
+    out = neigh_lrd.join(lrd.hint("shuffle_hash"), "a").select(
         F.col("a").alias(id_col),
         (F.col("_mean_lrd_b") / F.col("_lrd")).alias("lof"),
     )
@@ -351,6 +364,6 @@ def distributed_lof(
     # dropping them (rank-correct for top-k anomaly queries).
     return (
         df.select(F.col(id_col))
-        .join(out, id_col, "left")
+        .join(out.hint("shuffle_hash"), id_col, "left")
         .withColumn("lof", F.coalesce(F.col("lof"), F.lit(float("inf"))))
     )
