@@ -99,11 +99,22 @@ def q_pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pin the edge list: 3 iterations × 2 consumers each would replay
     # the distinct-shuffle per consumer otherwise.
     e = e.localCheckpoint(eager=True)
-    deg = e.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
-    n = deg.agg(F.count(F.lit(1)).alias("n"))
-    r = deg.join(F.broadcast(n)).select(
-        "node", "deg", F.expr(f"{R} div n").alias("r")
+    # Pin the degree table too (r12): it feeds r0 plus one join per
+    # iteration, and no exchange reuse fired across those consumers —
+    # the before-plan re-ran the degree aggregation 4x over the pinned
+    # edge blocks. The node count then comes from ONE bounded count of
+    # the pinned frame (a single long of driver traffic), and the
+    # teleport terms (R div n), (3*(R div n)) div 20 fold to exact
+    # Python-int literals (// == SQL div for positive ints) — removing
+    # the four 1-row-aggregate broadcast joins the before-plan carried.
+    deg = (
+        e.groupBy(F.col("s").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
+    n = deg.count()
+    teleport = (3 * (R // n)) // 20
+    r = deg.select("node", "deg", F.lit(R // n).alias("r"))
     for _ in range(3):
         contrib = (
             e.join(r.withColumnRenamed("node", "s"), "s")
@@ -113,11 +124,10 @@ def q_pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         r = (
             deg.join(contrib, "node")
-            .join(F.broadcast(n))
             .select(
                 "node",
                 "deg",
-                F.expr(f"(3 * ({R} div n)) div 20 + (17 * contrib) div 20").alias("r"),
+                F.expr(f"{teleport} + (17 * contrib) div 20").alias("r"),
             )
         )
     return (
