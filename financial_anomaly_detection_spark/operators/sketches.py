@@ -178,10 +178,20 @@ def quantile_sketch_estimates(
     """Quantile estimates from merged knots, fully relational: the
     running weight is the two-pass distributed prefix scan (no
     single-partition exchange), and each estimate is the smallest
-    knot value whose cumulative weight reaches ceil(q*N)."""
+    knot value whose cumulative weight reaches ceil(q*N).
+
+    ``knots`` is pinned HERE (one knot-sized artifact) because it has
+    two independent consumers — the prefix scan and the N-total
+    aggregate — and its upstream contains the Arrow summarize stage:
+    unpinned, that python stage re-ran once per consumer (r12,
+    FlatMapGroupsInPandas x2 in the quantile_sketch_values plan). The
+    prefix scan then runs lazy (pin=False) over the pinned frame —
+    the one-unpinned-level-per-pinned-input rule its docstring
+    blesses."""
     from .prefix import ordered_prefix_sum
 
-    run = ordered_prefix_sum(knots, "value", "w", out_col="_before")
+    knots = knots.localCheckpoint(eager=True)
+    run = ordered_prefix_sum(knots, "value", "w", out_col="_before", pin=False)
     run = run.withColumn("cum", (F.col("_before") + F.col("w")).cast("long"))
     total = knots.agg(F.sum("w").cast("long").alias("n_total"))
     qdf = run.sparkSession.createDataFrame(

@@ -107,7 +107,16 @@ EXPECTED = {
     "longest_dup_span_pairs": (0, {"documents": 2}),
     "pmi_collocations": (2, {}),
     "bfs_reachability_copurchase": (0, {}),
-    "quantile_sketch_values": (3, {"events": 2}),
+    # r12: quantile_sketch_estimates pins the knots (its Arrow
+    # summarize stage ran once PER consumer unpinned), so the final
+    # plan reads the checkpointed knot frame, not parquet — events
+    # pruning is guarded on the pre-checkpoint builder in
+    # test_quantile_knot_stage_prunes_events_scan. The prefix scan now
+    # runs lazy over the pin, exposing its grid-sized triangular/
+    # bounds broadcasts (<=64-row subtotals + one-row totals x 7-row
+    # quantile spine) in the final plan: 6 bounded NLJ, never
+    # data-scale.
+    "quantile_sketch_values": (6, {}),
     "rrf_fusion_topk": (4, {"embeddings": 2, "documents": 2}),
     "semdedup_embeddings": (0, {}),
     "write_partition_plan": (1, {"events": 2}),
@@ -528,6 +537,37 @@ def test_cooccurrence_basket_stage_prunes_lineitem_scan(spark, sf_dir):
     scans = _scan_cols(plan)
     assert scans.get("lineitem") == 2, (
         f"basket stage must read exactly (l_orderkey, l_partkey): {scans}"
+    )
+
+
+def test_quantile_knot_stage_prunes_events_scan(spark, sf_dir):
+    """quantile_sketch_values' FINAL plan hides its events scan behind
+    the r12 knots localCheckpoint (quantile_sketch_estimates pins the
+    knots so the Arrow summarize stage runs once, not once per
+    consumer), so the {} expectation above cannot catch a pruning
+    regression in the knot builder — the one stage that reads parquet.
+    Assert 2-col pruning on the pre-checkpoint builder directly."""
+    from pyspark.sql import functions as F
+
+    from financial_anomaly_detection_spark.operators.sketches import (
+        quantile_sketch_knots,
+    )
+    from financial_anomaly_detection_spark.queries.common import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    knots = quantile_sketch_knots(cents, "cents", "event_id")
+    plan = knots._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    scans = _scan_cols(plan)
+    assert scans.get("events") == 2, (
+        f"knot stage must read exactly (event_id, value): {scans}"
     )
 
 
