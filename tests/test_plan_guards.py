@@ -571,6 +571,74 @@ def test_quantile_knot_stage_prunes_events_scan(spark, sf_dir):
     )
 
 
+# --- InferFiltersFromGenerate exclusion guard (round 13) ------------------
+#
+# session.py excludes InferFiltersFromGenerate globally: the inferred
+# Filter(size(arr) > 0) is redundant for outer=false explode and
+# double-evaluated every gram/shingle array below the spread exchange
+# (measured 10x on the shingle explode, r12). The exclusion is safe
+# ONLY while no registered query relies on that inference for SCAN
+# pruning — i.e. while every generator input is a DERIVED expression
+# (split/transform/sequence over scalar columns), never a stored
+# parquet array whose inferred isnotnull/size predicate could have
+# pushed into the scan. This guard machine-checks the invariant on
+# generate-carrying representatives of every family that reads
+# parquet directly (the checkpoint-hidden ones are covered by their
+# pre-checkpoint builder guards above): re-enabling the rule must not
+# change any scan's PushedFilters or ReadSchema.
+
+_GENERATE_REPRESENTATIVES = [
+    "jaccard_pairs_prefix_filter",   # shingle explode over documents
+    "ngram_jaccard_pairs",           # gram explode over documents
+    "feature_hashing_docs",          # token explode over documents
+    "longest_dup_span_pairs",        # positional-gram explode
+    "fuzzy_name_pairs_ed1",          # deletion-variant explode (customer)
+    "explode_type_matrix",           # array explode over events
+]
+
+
+def _scan_pushdown_facts(plan: str) -> list[tuple[str, str]]:
+    facts = []
+    for block in re.split(r"\n\s*\n", plan):
+        if "Scan parquet" not in block:
+            continue
+        tm = re.search(r"[/\\](\w+)\.parquet", block)
+        pf = re.search(r"PushedFilters: \[([^\]]*)\]", block)
+        rs = re.search(r"ReadSchema: struct<([^>]*)>", block)
+        facts.append((
+            tm.group(1) if tm else "?",
+            f"pushed=[{pf.group(1) if pf else ''}] "
+            f"read=<{rs.group(1) if rs else ''}>",
+        ))
+    return sorted(facts)
+
+
+def test_generate_filter_inference_not_needed_for_scan_pruning(spark, sf_dir):
+    from financial_anomaly_detection_spark.session import RUNTIME_CONFS
+
+    excluded_plans = {}
+    for name in _GENERATE_REPRESENTATIVES:
+        plan = _plan(spark, name, sf_dir)
+        assert "Generate" in plan, (
+            f"{name} no longer carries a Generate node — replace it in "
+            "_GENERATE_REPRESENTATIVES to keep the family covered"
+        )
+        excluded_plans[name] = _scan_pushdown_facts(plan)
+    key = "spark.sql.optimizer.excludedRules"
+    try:
+        spark.conf.set(key, "")
+        for name in _GENERATE_REPRESENTATIVES:
+            with_rule = _scan_pushdown_facts(_plan(spark, name, sf_dir))
+            assert with_rule == excluded_plans[name], (
+                f"{name}: scan pushdown differs with InferFiltersFromGenerate "
+                f"re-enabled — a generator input has become scan-prunable and "
+                f"the global exclusion in session.py now costs pruning.\n"
+                f"with rule: {with_rule}\nexcluded:  {excluded_plans[name]}"
+            )
+    finally:
+        spark.conf.set(key, RUNTIME_CONFS[key])
+
+
 def test_pretrained_plan_cache_rejects_checkpoint_leaves(spark, sf_dir):
     """bench.release_pins unpersists every persistent RDD between sweep
     entries; a cached twin plan rooted in a localCheckpoint would lose
