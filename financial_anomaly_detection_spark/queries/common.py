@@ -578,6 +578,61 @@ def _copurchase_pairs(li: DataFrame) -> DataFrame:
     )
 
 
+def _ed1_candidate_pairs(names: DataFrame, name_col: str = "name") -> DataFrame:
+    """FastSS ED<=1 candidate pairs (Bocek 2007) from a distinct-name
+    frame: each name emits itself plus its single-character-deletion
+    variants; two names are candidates iff they share a variant.
+
+    One grouped pass (variant -> sorted name list) replaces the r11
+    variant self-join, which planned the scan+distinct+explode subtree
+    twice (r12). Per-name variants are deduplicated by ``array_union``,
+    so names within a group are unique and the sorted in-group order
+    reproduces the ``a.name < b.name`` join condition exactly.
+
+    Skew guard (r13, VERDICT r12 task 2): pair expansion runs as TWO
+    pipelined generates — posexplode the sorted group, then explode
+    each element's tail slice — so per-row state is O(g) for a group of
+    g names. The r12 form built the whole O(g²) pair array in ONE row
+    (``flatten(transform(...transform(slice...)))``) before exploding:
+    fine for sf-scale groups, but a single hot variant — g is bounded
+    by construction at (len+1)·|alphabet|+1 distinct insertions, still
+    ~10³-10⁴ for long names over a wide alphabet — concentrated g²/2
+    structs into one straggler/OOM row at 100 TB scale. The candidate
+    pair SET is identical (same tails, same sorted order; equality is
+    machine-checked by tests/test_queries_oracle.py's naive-n² oracles
+    and the hot-variant test in tests/test_graph.py).
+
+    Returns candidate ``(name_a, name_b)`` with name_a < name_b, NOT
+    deduplicated: a pair can meet under several shared variants, so
+    callers verify levenshtein and then ``distinct()`` — verify-first
+    keeps the dedup shuffle to true matches only (r12).
+    """
+    variants = names.select(
+        F.col(name_col).alias("_n"),
+        F.explode(
+            F.array_union(
+                F.array(F.col(name_col)),
+                F.expr(
+                    f"transform(sequence(1, length({name_col})), "
+                    f"i -> concat(substr({name_col}, 1, i - 1), "
+                    f"substr({name_col}, i + 1)))"
+                ),
+            )
+        ).alias("variant"),
+    )
+    groups = (
+        variants.groupBy("variant")
+        .agg(F.array_sort(F.collect_list("_n")).alias("ns"))
+        .filter(F.size("ns") >= 2)
+    )
+    return groups.select(
+        F.posexplode("ns").alias("_i", "name_a"), "ns"
+    ).select(
+        "name_a",
+        F.explode(F.expr("slice(ns, _i + 2, size(ns))")).alias("name_b"),
+    )
+
+
 # Poisson(1) inverse-CDF thresholds scaled to u32: floor(cum_pmf * 2^32)
 # for k = 0..8 (else 9). Fixed integer literals, so the replicate
 # weights come from pure integer comparisons — no libm, no RNG.
@@ -782,6 +837,7 @@ __all__ = [
     '_BLOOM_M',
     '_bloom_pos_sql',
     '_copurchase_pairs',
+    '_ed1_candidate_pairs',
     '_POIS1_U32',
     '_pois_w_sql',
     '_G2_TERM_A_SQL',

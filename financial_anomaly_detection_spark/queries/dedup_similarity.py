@@ -1572,42 +1572,12 @@ def q_dedup_rapid_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fuzzy_name_pairs_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     names = cust.select(F.col("c_name").alias("name")).distinct()
-    # deletion neighborhood: the name itself + every single-char
-    # deletion, as (variant, name) rows — a SQL comprehension over the
-    # character index sequence
-    variants = names.select(
-        "name",
-        F.explode(
-            F.array_union(
-                F.array(F.col("name")),
-                F.expr(
-                    "transform(sequence(1, length(name)), "
-                    "i -> concat(substr(name, 1, i - 1), substr(name, i + 1)))"
-                ),
-            )
-        ).alias("variant"),
-    )
-    # Candidate pairs = pairs of names sharing a variant. One grouped
-    # pass (variant -> sorted name list -> in-group pair comprehension)
-    # replaces the former variant self-join, which planned the whole
-    # scan+distinct+explode subtree TWICE and broadcast one full copy
-    # of the variant set; per-name variants are already deduplicated by
-    # array_union, so names within a group are unique and the sorted
-    # order reproduces the a.name < b.name join condition exactly.
-    groups = (
-        variants.groupBy("variant")
-        .agg(F.array_sort(F.collect_list("name")).alias("ns"))
-        .filter(F.size("ns") >= 2)
-    )
-    cand = groups.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ns, (x, i) -> "
-                "transform(slice(ns, i + 2, size(ns)), "
-                "y -> struct(x AS name_a, y AS name_b))))"
-            )
-        ).alias("p")
-    ).select("p.name_a", "p.name_b")
+    # Deletion-neighborhood blocking + skew-guarded in-group pair
+    # expansion, shared with entity_resolution_e2e (_ed1_candidate_
+    # pairs: grouped pass instead of a variant self-join [r12], pair
+    # generation as two pipelined generates so a hot variant never
+    # materializes its O(g²) pair array in one row [r13]).
+    cand = _ed1_candidate_pairs(names)
     # Verify BEFORE deduplicating: a pair can meet under several shared
     # variants (e.g. transpositions at distance 2), so the distinct is
     # required — but running levenshtein first means the dedup shuffle

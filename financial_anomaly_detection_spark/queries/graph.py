@@ -113,6 +113,14 @@ def q_pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n = deg.count()
+    if n == 0:
+        # Empty graph guard (ADVICE r12): the pre-r12 1-row-aggregate
+        # `div n` plan degraded to an empty result; the literal fold
+        # below would instead raise ZeroDivisionError at plan-build
+        # time. Keep the original contract.
+        return spark.createDataFrame(
+            [], "entity_id long, kind string, degree long, rank_u long"
+        )
     teleport = (3 * (R // n)) // 20
     r = deg.select("node", "deg", F.lit(R // n).alias("r"))
     for _ in range(3):
@@ -314,43 +322,15 @@ def q_entity_resolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 600)
     names = cust.select(F.col("c_name").alias("name")).distinct()
-    variants = names.select(
-        "name",
-        F.explode(
-            F.array_union(
-                F.array(F.col("name")),
-                F.expr(
-                    "transform(sequence(1, length(name)), "
-                    "i -> concat(substr(name, 1, i - 1), substr(name, i + 1)))"
-                ),
-            )
-        ).alias("variant"),
-    )
-    # One grouped pass (variant -> sorted name list -> in-group pair
-    # comprehension) instead of the former variant self-join, which
-    # planned the scan+distinct+explode subtree twice (r12 — the same
-    # rewrite fuzzy_name_pairs_ed1 carries, proven lossless there by
-    # the naive-n² oracle; per-name variants are deduplicated by
-    # array_union, so the sorted in-group order reproduces the
-    # a.name < b.name condition exactly). Levenshtein verify runs
-    # BEFORE the pair-distinct so the dedup shuffle carries matches
-    # only.
-    groups = (
-        variants.groupBy("variant")
-        .agg(F.array_sort(F.collect_list("name")).alias("ns"))
-        .filter(F.size("ns") >= 2)
-    )
+    # Deletion-neighborhood blocking + skew-guarded in-group pair
+    # expansion shared with fuzzy_name_pairs_ed1 (_ed1_candidate_pairs:
+    # grouped pass instead of a variant self-join [r12], two pipelined
+    # generates so a hot variant never materializes its O(g²) pair
+    # array in one row [r13]; losslessness proven by this query's own
+    # full-chain oracle). Levenshtein verify runs BEFORE the
+    # pair-distinct so the dedup shuffle carries matches only.
     pairs = (
-        groups.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ns, (x, i) -> "
-                    "transform(slice(ns, i + 2, size(ns)), "
-                    "y -> struct(x AS name_a, y AS name_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.name_a", "p.name_b")
+        _ed1_candidate_pairs(names)
         .filter(F.levenshtein("name_a", "name_b") <= 1)
         .distinct()
     )

@@ -212,3 +212,48 @@ def test_auto_cc_pathological_diameter_falls_back(spark):
     assert LAST_RUN_STATS["connected_components_auto_fallback"] == 1
     assert LAST_RUN_STATS["connected_components_twophase"] <= 12
     assert got == {i: 0 for i in range(1024)}
+
+
+# --- ED1 candidate-pair expansion skew guard (round 13) --------------------
+
+
+def test_ed1_pair_expansion_streams_hot_variant_group(spark):
+    """VERDICT r12 task 2 / ADVICE item 2: a hot deletion-variant group
+    (here 10^3 names sharing ONE variant) must stream through the pair
+    expansion with O(g) per-row state. The r12 form materialized the
+    whole O(g^2) struct array in a single row before exploding — a
+    straggler/OOM row at scale. Asserts (a) the plan is the two-
+    pipelined-generate shape with no in-row pair comprehension, (b) the
+    candidate pair set over the hot group is exactly all C(g,2) sorted
+    pairs — the same set the old comprehension produced."""
+    import string
+
+    from financial_anomaly_detection_spark.queries.common import (
+        _ed1_candidate_pairs,
+    )
+
+    base = "ABCDEFGHIJKLMNO"  # 15 distinct chars -> 16 insertion slots
+    alphabet = string.ascii_lowercase + string.digits + string.punctuation
+    names = []
+    for pos in range(len(base) + 1):
+        for c in alphabet:
+            names.append(base[:pos] + c + base[pos:])
+    names = sorted(set(names))[:1000]
+    assert len(names) == 1000
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+
+    cand = _ed1_candidate_pairs(df)
+    plan = cand._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # two pipelined generates after the group agg (posexplode + tail
+    # explode), and no flatten-comprehension building pairs in-row
+    assert "posexplode" in plan
+    assert "flatten(" not in plan
+
+    # every name deletes to `base`, so the hot group holds all 1000 and
+    # the distinct candidate set is exactly the C(1000,2) sorted pairs
+    assert cand.filter("name_a >= name_b").count() == 0
+    assert cand.distinct().count() == 1000 * 999 // 2

@@ -75,7 +75,9 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--top", type=int, default=0)
     ap.add_argument("--plans", default=None,
-                    help="dump explain('formatted') to plans/r12/<q>_<TAG>.txt")
+                    help="dump explain('formatted') to plans/<dir>/<q>_<TAG>.txt")
+    ap.add_argument("--plandir", default="r13",
+                    help="subdirectory of plans/ for the dumps")
     args = ap.parse_args()
 
     names = list(args.queries)
@@ -93,7 +95,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name="fad-opt-profile", master=f"local[{cpus}]")
-    plan_dir = os.path.join(HERE, "plans", "r12")
+    plan_dir = os.path.join(HERE, "plans", args.plandir)
     if args.plans:
         os.makedirs(plan_dir, exist_ok=True)
 
