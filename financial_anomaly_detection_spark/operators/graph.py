@@ -195,53 +195,75 @@ def k_core(
     signal for entity-match graphs).
 
     ``edges`` is an undirected edge list in either or both directions
-    (symmetrized internally, self-loops dropped). Per round: one
+    (canonically ORIENTED internally — one ``_a < _b`` row per
+    undirected edge, self-loops dropped; r13, was symmetrized): every
+    per-round shuffle and checkpoint carries HALF the rows of the
+    symmetric form, and the degree aggregation reads both endpoints of
+    the single row instead of one endpoint of two rows — same degree
+    values, same peel, half the bytes (guide §2.3). Per round: one
     vertex-keyed degree agg + two semi-joins reattaching the edge set
     to the survivors — all shuffles key on vertex id. Edge sets only
     SHRINK, so a round-over-round edge-count equality is an exact
-    fixpoint test (no exceptAll probe needed). Rounds = the peel
-    depth, bounded by the degeneracy ordering's cascade length —
-    small on dense co-occurrence graphs, O(n) only on adversarial
-    chains (same routing logic as :func:`connected_components`; at
-    pathological depths, switch to bucketed semi-peeling or accept
-    the rounds). Same two memory disciplines as the other
-    convergence loops: localCheckpoint lineage caps + explicit
-    generation freeing.
+    fixpoint test (no exceptAll probe needed); the count that probes
+    it ALSO materializes the round's lazy ``localCheckpoint`` (r13 —
+    one action per round, was checkpoint-job + count-job; a full-scan
+    count computes every partition, so the lazy checkpoint persists
+    completely as its side effect). Rounds = the peel depth, bounded
+    by the degeneracy ordering's cascade length — small on dense
+    co-occurrence graphs, O(n) only on adversarial chains (same
+    routing logic as :func:`connected_components`; at pathological
+    depths, switch to bucketed semi-peeling or accept the rounds).
+    Same two memory disciplines as the other convergence loops:
+    localCheckpoint lineage caps + explicit generation freeing.
     """
     e = (
-        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
-        .filter(F.col("_a") != F.col("_b"))
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
     )
     cur = (
-        e.unionAll(e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+        e.select(
+            F.least("_s", "_d").alias("_a"), F.greatest("_s", "_d").alias("_b")
+        )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     first = cur
-    n_cur = cur.count()
+    n_cur = cur.count()  # materializes the lazy checkpoint
+
+    def _deg(frame: DataFrame, out: str) -> DataFrame:
+        return (
+            frame.select(F.col("_a").alias("_v"))
+            .unionAll(frame.select(F.col("_b").alias("_v")))
+            .groupBy("_v")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
     try:
         for rnd in range(max_rounds):
-            deg = cur.groupBy("_a").agg(F.count(F.lit(1)).alias("_deg"))
-            keep = deg.filter(F.col("_deg") >= k).select("_a")
+            keep = _deg(cur, "_deg").filter(F.col("_deg") >= k).select("_v")
             nxt = (
-                cur.join(keep.hint("shuffle_hash"), "_a", "left_semi")
+                cur.join(
+                    keep.withColumnRenamed("_v", "_a").hint("shuffle_hash"),
+                    "_a",
+                    "left_semi",
+                )
                 .join(
-                    keep.withColumnRenamed("_a", "_b").hint("shuffle_hash"),
+                    keep.withColumnRenamed("_v", "_b").hint("shuffle_hash"),
                     "_b",
                     "left_semi",
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            n_nxt = nxt.count()
+            n_nxt = nxt.count()  # fixpoint probe + checkpoint materialization
             if cur is not first:
                 _free_checkpoint(cur)
             cur, n_prev = nxt, n_cur
             n_cur = n_nxt
             if n_nxt == n_prev:
                 LAST_RUN_STATS["k_core"] = rnd + 1
-                return cur.groupBy("_a").agg(
-                    F.count(F.lit(1)).alias(out_col)
-                ).select(F.col("_a").alias(out_vertex), F.col(out_col))
+                return _deg(cur, out_col).select(
+                    F.col("_v").alias(out_vertex), F.col(out_col)
+                )
         raise ValueError(f"k_core did not converge in {max_rounds} rounds")
     finally:
         _free_checkpoint(first)
@@ -281,7 +303,11 @@ def connected_components_twophase(
     BOTH match does the exact count + one-sided exceptAll probe run to
     confirm (a hash collision merely costs one wasted probe, never a
     wrong fixpoint). Non-converged rounds therefore pay zero probe
-    shuffles and no recount of the previous generation. Edge sets are
+    shuffles and no recount of the previous generation — and since
+    r13 the stats aggregate is ALSO what materializes the round's
+    lazy ``localCheckpoint`` (a full-scan agg computes every
+    partition, persisting the checkpoint as a side effect): one
+    action per round, was checkpoint-job + stats-job. Edge sets are
     localCheckpointed per round with superseded generations freed —
     the same two memory disciplines as the label-prop loop.
     """
@@ -299,7 +325,8 @@ def connected_components_twophase(
         edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
         .filter(F.col("_a") != F.col("_b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: the _stats(e0) full-scan agg below materializes it
+        .localCheckpoint(eager=False)
     )
     verts = (
         e0.select(F.col("_a").alias("_v"))
@@ -338,7 +365,8 @@ def connected_components_twophase(
                 )
                 .filter(F.col("_a") != F.col("_b"))
                 .distinct()
-                .localCheckpoint(eager=True)
+                # lazy: the stats scan below materializes it (1 action)
+                .localCheckpoint(eager=False)
             )
             nxt_stats = _stats(nxt)
             same = nxt_stats == cur_stats and (
