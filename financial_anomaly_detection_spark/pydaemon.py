@@ -53,7 +53,16 @@ def _tune_malloc_inline() -> None:
 
 
 def _preload() -> None:
-    """Import the modules every Arrow kernel needs, pre-fork (COW)."""
+    """Import the modules every Arrow kernel needs, pre-fork (COW).
+
+    Round 13 (VERDICT r12 task 4): the engine's OWN kernel modules are
+    preloaded too. A fresh worker unpickles kernel closures whose
+    globals reference these modules (codec decoders, kernel math,
+    sketch summarizers), so it imported them on its first batch — the
+    remaining pool-turnover-correlated first-run inflation after the
+    r11 numpy/pandas preload. These imports are read-only module
+    definitions (no sessions, no registration side effects) and each
+    is individually fault-tolerant like the rest of the list."""
     for mod in (
         "numpy",
         "pandas",
@@ -63,6 +72,18 @@ def _preload() -> None:
         "pyspark.sql.pandas.serializers",
         "pyspark.sql.pandas.types",
         "pyspark.worker",
+        # engine kernel modules (worker-side closures resolve these)
+        "financial_anomaly_detection_spark.operators.codecs",
+        "financial_anomaly_detection_spark.operators.multimodal",
+        "financial_anomaly_detection_spark.operators.partitioning",
+        "financial_anomaly_detection_spark.operators.sketches",
+        "financial_anomaly_detection_spark.operators.similarity",
+        "financial_anomaly_detection_spark.ml.features",
+        "financial_anomaly_detection_spark.ml.iforest",
+        "financial_anomaly_detection_spark.ml.lof",
+        "financial_anomaly_detection_spark.ml.autoencoder",
+        "financial_anomaly_detection_spark.ml.reconstruction",
+        "financial_anomaly_detection_spark.ml.ensemble",
     ):
         try:
             __import__(mod)
