@@ -187,7 +187,17 @@ def quantile_sketch_estimates(
     FlatMapGroupsInPandas x2 in the quantile_sketch_values plan). The
     prefix scan then runs lazy (pin=False) over the pinned frame —
     the one-unpinned-level-per-pinned-input rule its docstring
-    blesses."""
+    blesses.
+
+    Pin lifecycle (ADVICE r12): the checkpointed knots frame backs the
+    RETURNED lazy plan, so it cannot be freed here (unlike the
+    convergence loops' superseded generations). The bench/driver
+    harness releases it between queries (``release_pins``); a
+    long-lived session calling this repeatedly outside that harness
+    must unpersist between calls the same way (drop the session's
+    persistent RDDs once the result is consumed), or the knot-sized
+    pins accumulate in block-manager storage — py4j GC alone is too
+    lazy (the measured repo-wide discipline)."""
     from .prefix import ordered_prefix_sum
 
     knots = knots.localCheckpoint(eager=True)
