@@ -190,8 +190,16 @@ def ngram_jaccard_pairs(
             )
             .filter(F.col("jaccard") >= threshold)
         )
-    sh = spread_narrow(df).select(
-        F.col(id_col).alias("_id"), F.explode(shingles_col(text_col, n)).alias("_sh")
+    # One pinned explode (r13): `sh` has three consumers — the sizes
+    # aggregate and both sides of the shingle self-join — so the
+    # shingle construction (the dominant per-row expression) ran once
+    # per consumer unpinned. Built over the shared _shingle_arrays
+    # builder so the 2-col scan pruning stays machine-checked on the
+    # pre-checkpoint plan (tests/test_plan_guards.py).
+    sh = (
+        _shingle_arrays(df, id_col, text_col, n)
+        .select("_id", F.explode("_arr").alias("_sh"))
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     if broadcast_sizes:
@@ -214,6 +222,17 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(_id, _arr) shingle-array frame — the pre-checkpoint builder of
+    prefix_filter_jaccard_pairs, split out so the 2-col scan pruning
+    stays testable once the caller pins it (the decontam pattern)."""
+    return spread_narrow(df).select(
+        F.col(id_col).alias("_id"), shingles_col(text_col, n).alias("_arr")
     )
 
 
@@ -242,10 +261,16 @@ def prefix_filter_jaccard_pairs(
     ranking window partitions by document (high-cardinality parallel).
     Verification recomputes exact Jaccard from the full shingle sets
     (array_intersect), as in the capped tier.
+
+    The shingle-array frame is pinned (r13): it has THREE independent
+    consumers — the prefix explode and both verification re-attach
+    sides — and the shingle construction (zip_with over the token
+    split) is the dominant per-row expression; unpinned it ran once
+    per consumer. Same localCheckpoint discipline as the decontam
+    gram pin; pruning of the pre-checkpoint builder stays machine-
+    checked in tests/test_plan_guards.py.
     """
-    arrs = spread_narrow(df).select(
-        F.col(id_col).alias("_id"), shingles_col(text_col, n).alias("_arr")
-    )
+    arrs = _shingle_arrays(df, id_col, text_col, n).localCheckpoint(eager=True)
     # one explode feeds df-counts, sizes, and the ranked prefix
     sh = arrs.select("_id", F.size("_arr").alias("_sz"), F.explode("_arr").alias("_sh"))
     docfreq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
@@ -470,9 +495,15 @@ def simhash_near_dup_pairs(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
+        # Filter BEFORE the pair-distinct (r13, the fuzzy-ed1 verify-
+        # first pattern): hamming is a function of the pair, so the
+        # two commute — but filtering first means the dedup shuffle
+        # carries only true near-dups instead of every block-collision
+        # candidate (quarters collide freely on short docs).
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    return pairs
 
 
 def longest_duplicate_spans(

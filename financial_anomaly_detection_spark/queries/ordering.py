@@ -99,6 +99,80 @@ from .common import *  # noqa: F401,F403
 #      ann_cosine_topk, ann_exact_quantized, asof_forward_click_purchase.
 # Everything past slot 50 has driver evidence from r8-r11; after this
 # round lands, no query's freshest evidence is older than r8.
+# Round-13 window (stalest-evidence-first rotation, same policy as
+# r4-r12), 50 slots — EXACTLY full, no top-up needed:
+#   1. queries whose code changed in r13 and sit OUTSIDE the stale
+#      cohort: fuzzy_name_pairs_ed1 (skew-guarded pair expansion,
+#      r9 evidence) and kcore_repeat_copurchase (oriented peel loop,
+#      r9 evidence) — re-proven first;
+#   2. the complete r8-stale cohort (VERDICT r12 task 8): all 48
+#      queries whose freshest driver evidence is CORRECTNESS_r08 —
+#      five rounds old by r13, the oldest in the registry (computed
+#      from the r1-r12 latest-execution union; includes the cohort's
+#      rows-only members, same treatment as r10-r12).
+#      asof_forward_click_purchase leads per the r12 note; the
+#      r13-changed cohort members (entity_resolution_e2e,
+#      cc_twophase_copurchase, pagerank_part_supplier,
+#      near_dup_clusters_md5 — the last via the shared CC operator's
+#      unchanged label-prop tier, listed for adjacency) follow it so
+#      changed code re-proves earliest in the window.
+# Everything past slot 50 has driver evidence from r9-r12; after this
+# round lands, no query's freshest evidence is older than r9.
+_PRIORITY_R13 = [
+    # changed in round 13, outside the stale cohort -> re-proven first
+    "fuzzy_name_pairs_ed1",
+    "kcore_repeat_copurchase",
+    # the full r8-stale cohort (48), changed members up front
+    "asof_forward_click_purchase",
+    "entity_resolution_e2e",
+    "cc_twophase_copurchase",
+    "pagerank_part_supplier",
+    "near_dup_clusters_md5",
+    "benchmark_contamination",
+    "bigram_coverage_quality",
+    "bm25_det_topk",
+    "bm25_rational_topk",
+    "chisq_type_drift",
+    "chunk_text_windows",
+    "cohort_retention",
+    "cramers_v_type_dow",
+    "curation_pipeline_e2e",
+    "dedup_keep_first",
+    "deterministic_split",
+    "duplicate_chunks_across_docs",
+    "embedding_cosine_near_dup",
+    "event_type_association_rules",
+    "ewma_amounts",
+    "funnel_conversion",
+    "loo_target_encode",
+    "markov_next_event_hitrate",
+    "minhash_band_pairs_md5",
+    "minhash_exact_md5",
+    "ml_ensemble_scores_pretrained",
+    "multimodal_image_features",
+    "multimodal_jpeg_features",
+    "multimodal_mjpeg_features",
+    "multimodal_video_features",
+    "ngram_jaccard_pairs",
+    "pack_sequences_2048",
+    "pii_scrub_documents",
+    "profile_window_7d",
+    "q11_important_parts",
+    "quantile_rank_embeddings",
+    "rfm_segments",
+    "runtime_filter_semi_join",
+    "scd2_point_in_time_join",
+    "scd2_user_tiers",
+    "seasonal_decompose_daily",
+    "simhash_exact_md5",
+    "skyline_pareto_parts",
+    "table_fingerprint_checksum",
+    "text_quality_profile",
+    "threshold_sweep_pr",
+    "weighted_sample_docs",
+    "winnow_fingerprint_md5",
+]
+
 _PRIORITY_R12 = [
     # new in round 12 (never driver-checked)
     "bpe_merges_exact",
@@ -895,7 +969,8 @@ _PRIORITY_R03 = [
 
 
 def _ordered_names() -> list[str]:
-    pri = [n for n in _PRIORITY_R12 if n in REGISTRY]
+    pri = [n for n in _PRIORITY_R13 if n in REGISTRY]
+    pri += [n for n in _PRIORITY_R12 if n in REGISTRY and n not in pri]
     pri += [n for n in _PRIORITY_R11 if n in REGISTRY and n not in pri]
     pri += [n for n in _PRIORITY_R10 if n in REGISTRY and n not in pri]
     pri += [n for n in _PRIORITY_R09 if n in REGISTRY and n not in pri]
@@ -931,6 +1006,7 @@ def oracle_sql() -> dict[str, str]:
     }
 
 __all__ = [
+    '_PRIORITY_R13',
     '_PRIORITY_R12',
     '_PRIORITY_R11',
     '_PRIORITY_R10',

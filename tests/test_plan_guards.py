@@ -58,7 +58,11 @@ EXPECTED = {
     "q21_waiting_suppliers": (0, {"lineitem": 3, "orders": 2, "supplier": 2}),
     "sessionize_events": (0, {"events": 3}),
     "dedup_exact_docs": (0, {"documents": 2}),
-    "ngram_jaccard_pairs": (0, {"documents": 2}),
+    # r13: the exploded shingle frame is pinned (3 consumers) — the
+    # final plan reads the checkpointed frame; documents pruning is
+    # guarded on the shared pre-checkpoint builder
+    # (test_prefix_filter_shingle_stage_prunes_documents_scan)
+    "ngram_jaccard_pairs": (0, {}),
     # gram table is pinned via localCheckpoint: the plan reads the
     # materialized RDD, so no parquet scan appears downstream
     "benchmark_contamination": (0, {}),
@@ -80,7 +84,11 @@ EXPECTED = {
     "ngram_diversity_by_source": (0, {"documents": 2}),
     "stream_replay_scoring": (0, {"events": 6}),
     "bloom_semi_join_prune": (0, {"orders": 3, "customer": 2}),
-    "jaccard_pairs_prefix_filter": (0, {"documents": 2}),
+    # r13: the shingle-array frame is pinned (3 consumers), so the
+    # final plan reads the checkpointed frame; the 2-col documents
+    # pruning is guarded on the pre-checkpoint builder in
+    # test_prefix_filter_shingle_stage_prunes_documents_scan
+    "jaccard_pairs_prefix_filter": (0, {}),
     # the two NLJ are intentional broadcast single-row joins (the
     # z_scaled scalar and the true-count scalar), as in pagerank
     "hll_exact_md5": (2, {"events": 1}),
@@ -540,6 +548,32 @@ def test_cooccurrence_basket_stage_prunes_lineitem_scan(spark, sf_dir):
     )
 
 
+def test_prefix_filter_shingle_stage_prunes_documents_scan(spark, sf_dir):
+    """jaccard_pairs_prefix_filter's FINAL plan hides its documents
+    scan behind the r13 shingle-array localCheckpoint (the frame has
+    three consumers), so the {} expectation above cannot catch a
+    pruning regression in the shingle builder — the one stage that
+    reads parquet. Assert 2-col pruning on the pre-checkpoint builder
+    directly."""
+    from financial_anomaly_detection_spark.operators.dedup import (
+        _shingle_arrays,
+    )
+    from financial_anomaly_detection_spark.queries.common import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _shingle_arrays(
+        docs, "doc_id", "text", 3
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    scans = _scan_cols(plan)
+    assert scans.get("documents") == 2, (
+        f"shingle stage must read exactly (doc_id, text): {scans}"
+    )
+
+
 def test_quantile_knot_stage_prunes_events_scan(spark, sf_dir):
     """quantile_sketch_values' FINAL plan hides its events scan behind
     the r12 knots localCheckpoint (quantile_sketch_estimates pins the
@@ -589,7 +623,7 @@ def test_quantile_knot_stage_prunes_events_scan(spark, sf_dir):
 
 _GENERATE_REPRESENTATIVES = [
     "jaccard_pairs_prefix_filter",   # shingle explode over documents
-    "ngram_jaccard_pairs",           # gram explode over documents
+    "duplicate_chunks_across_docs",  # gram explode over documents
     "feature_hashing_docs",          # token explode over documents
     "longest_dup_span_pairs",        # positional-gram explode
     "fuzzy_name_pairs_ed1",          # deletion-variant explode (customer)

@@ -41,12 +41,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from financial_anomaly_detection_spark.operators.dedup import (  # noqa: E402
     minhash_near_dup_pairs,
+    shingles_col,
 )
 from financial_anomaly_detection_spark.operators.partitioning import (  # noqa: E402
     spread_narrow,
-)
-from financial_anomaly_detection_spark.operators.textops import (  # noqa: E402
-    shingles_col,
 )
 from financial_anomaly_detection_spark.session import get_spark  # noqa: E402
 from financial_anomaly_detection_spark.sources.readers import load_table  # noqa: E402
@@ -138,23 +136,36 @@ def main() -> None:
         print("building x10 replicas...", flush=True)
         replicate(spark, x10, 10)
 
-    # correctness: both arms identical on ×1 (ids + distances)
+    # Correctness gate: candidate PAIR SETS must match on ×1. Distances
+    # are compared loosely only — they CANNOT be made bit-identical in
+    # pure Catalyst: ml.feature.HashingTF hashes strings with
+    # Murmur3_x86_32.hashUnsafeBytes2 (spec-correct tail mixing) while
+    # Catalyst's hash() expression uses the Block/hashUnsafeBytes
+    # variant, so index sets differ on a few terms whose UTF-8 length
+    # is not a multiple of 4 (observed: union sizes off by 1 on ~a few
+    # of 256 pairs, distances differing in the 11th decimal). That
+    # alone blocks ADOPTION as a drop-in (declared-query outputs must
+    # stay bit-identical); the timing verdict below still decides
+    # whether the shuffle-bytes trade would be worth a tier
+    # reimplementation (which the md5 family already provides).
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     docs1 = load_table(spark, src, "documents")
     a = {
-        (r["id_a"], r["id_b"], round(r["jaccard_distance"], 12))
+        (r["id_a"], r["id_b"], round(r["jaccard_distance"], 6))
         for r in minhash_near_dup_pairs(docs1).collect()
     }
     b = {
-        (r["id_a"], r["id_b"], round(r["jaccard_distance"], 12))
+        (r["id_a"], r["id_b"], round(r["jaccard_distance"], 6))
         for r in skinny_pairs(docs1).collect()
     }
     release_pins(spark)
-    print(f"x1 equality: mllib={len(a)} skinny={len(b)} equal={a == b}",
-          flush=True)
-    if a != b:
-        print("sample only-mllib:", list(a - b)[:3])
-        print("sample only-skinny:", list(b - a)[:3])
+    ids_a = {(x, y) for x, y, _ in a}
+    ids_b = {(x, y) for x, y, _ in b}
+    print(f"x1: mllib={len(a)} skinny={len(b)} pair_sets_equal="
+          f"{ids_a == ids_b} dist6_equal={a == b}", flush=True)
+    if ids_a != ids_b:
+        print("sample only-mllib:", list(ids_a - ids_b)[:3])
+        print("sample only-skinny:", list(ids_b - ids_a)[:3])
         spark.stop()
         sys.exit(1)
 
